@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Classic relational operators over the star schema: scan+pushdown,
+  * group-by aggregation, multi-way broadcast joins, semi/anti joins,
+  * window ranking, top-N. These are the Spark-first re-expressions of the
+  * reference's projection/filter/join/aggregation inventory
+  * (SURVEY §2.2–§2.6, §2.9): every pandas `merge`/`groupby`/`sort_values`
+  * site maps to a declarative plan Catalyst can push down and reorder.
+  *
+  * Conventions shared with the DuckDB oracles (driver hash-compare):
+  *  - every double aggregate is `round(x, 4)` on both sides (partial
+  *    aggregation order differs between engines, exact doubles won't match);
+  *  - counts stay BIGINT on both sides (DuckDB `sum(BIGINT)` would be
+  *    HUGEINT — always cast);
+  *  - each result carries a deterministic total order via its key columns.
+  */
+object ClassicQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style pricing summary: groupBy + sum/avg/count with a pushed
+    * date filter. Reference analogue: A3 runtime-per-day style aggregation. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, filter on both fact
+    * sides, aggregate, deterministic top-N. */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style local-supplier revenue: 6-way join with broadcast
+    * dimensions, co-located nation keys. */
+  def regionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): customers that placed an urgent order,
+    * counted per market segment. Reference analogue: J8 semi-join of events
+    * whose CO survived aggregation (`App/etl/transform/mes_etl.py:246`). */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): parts with no lineitem shipped in a
+    * window. Reference analogue: D3 anti-membership brandcode union
+    * (`ref/RCO_Overall_orchestrator.R:564-567`). */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    p.join(l, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Window ranking: top-2 orders by totalprice per customer (row_number
+    * with deterministic tie-break). Reference analogue: D2 most-frequent
+    * brandcode pick (`App/etl/extract/data_from_mdc.py:280-283`). */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("totalprice"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cls_pricing_summary" -> (pricingSummary _),
+    "cls_shipping_priority" -> (shippingPriority _),
+    "cls_regional_revenue" -> (regionalRevenue _),
+    "cls_semi_join" -> (semiJoin _),
+    "cls_anti_join" -> (antiJoin _),
+    "cls_top_orders_per_customer" -> (topOrdersPerCustomer _))
+
+  val oracles: Map[String, String] = Map(
+    "cls_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "cls_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+           AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-06-30'
+           AND l_shipdate > TIMESTAMP '1998-06-30'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "cls_regional_revenue" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+         FROM lineitem, orders, customer, supplier, nation, region
+         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+    "cls_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "cls_anti_join" ->
+      """SELECT p_partkey, p_brand, p_type FROM part
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem
+           WHERE l_partkey = p_partkey
+             AND l_shipdate < TIMESTAMP '1996-01-01')
+         ORDER BY p_partkey""",
+    "cls_top_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice,
+                rank
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rank
+               FROM orders) WHERE rank <= 2
+         ORDER BY o_custkey, rank""")
+}
