@@ -1,0 +1,131 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Canonical RCO downtime-log model (SURVEY §1.2), instantiated over the
+  * driver's `events` table so every operator has a DuckDB-checkable oracle.
+  *
+  * Mapping (deterministic, SQL-replicable on both engines):
+  *   downtime_id = event_id          LINE       = 'L' + user_id
+  *   START_TIME  = ts (sec-trunc)    DOWNTIME   = value (minutes)
+  *   CAUSE_1     = event_type        CAUSE_2/3  = from props "k" (k%5, k%3)
+  *   BRANDCODE   = 'B' + k%7         MACHINE    = LINE + ' M' + event_id%3
+  * plus the reference's derived flags (`App/etl/extract/data_from_mdc.py:69-85`):
+  * Planned_Stop_Check / Idle_Check / isExcluded / isStop.
+  *
+  * Derived times are carried as epoch-second doubles (START_EPOCH/END_EPOCH):
+  * whole-second epochs plus `value*60` are exact IEEE arithmetic on both
+  * engines, which sidesteps timestamp-precision parity issues (events.parquet
+  * is ns-precision; Spark truncates to µs).
+  *
+  * The DuckDB-side twin of this adapter lives in [[RcoSql]] — keep in sync.
+  */
+object Rco {
+
+  /** Tie-break/order key: numeric downtime id. */
+  val dtid: Column = col("downtime_id").cast("long")
+
+  /** Ordered-within-LINE window every RCO operator shares (SURVEY §2.7). */
+  val lineWindow = Window.partitionBy("LINE").orderBy(col("START_EPOCH"), dtid)
+
+  /** Normalize `events` to the canonical downtime log (P1/P2 + F2-F5). */
+  def downtimeLog(events: DataFrame): DataFrame = {
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+    events
+      .withColumn("k", k)
+      .select(
+        col("event_id").cast("string").as("downtime_id"),
+        concat(lit("L"), col("user_id").cast("string")).as("LINE"),
+        date_trunc("second", col("ts")).as("START_TIME"),
+        col("value").as("DOWNTIME"),
+        col("event_type").as("CAUSE_LEVELS_1_NAME"),
+        when(col("k") % 5 === 4, lit("Changeover Failure"))
+          .otherwise(concat(lit("K"), (col("k") % 5).cast("string")))
+          .as("CAUSE_LEVELS_2_NAME"),
+        concat(lit("M"), (col("k") % 3).cast("string"))
+          .as("CAUSE_LEVELS_3_NAME"),
+        concat(lit("B"), (col("k") % 7).cast("string")).as("BRANDCODE"),
+        concat(lit("L"), col("user_id").cast("string"), lit(" M"),
+          (col("event_id") % 3).cast("string")).as("MACHINE"),
+        when(col("event_type") === "signup", 1).otherwise(0)
+          .as("Planned_Stop_Check"),
+        when(col("event_type") === "view" && col("k") % 2 === 0, 1).otherwise(0)
+          .as("Idle_Check"),
+        (col("k") % 11 === 0).as("isExcluded"),
+        (!col("event_type").isin("view", "signup")).as("isStop"))
+      .withColumn("START_EPOCH", col("START_TIME").cast("double"))
+      .withColumn("END_EPOCH", col("START_EPOCH") + col("DOWNTIME") * 60)
+  }
+
+  /** D1 multi-constraint dedup on (START_TIME, LINE), deterministic keep of
+    * the smallest downtime_id (`App/etl/extract/data_from_mdc.py:91-94`;
+    * the reference's keep='first' depends on input order — we define a
+    * total order, SURVEY §7.4), then the UPTIME-since-previous-event
+    * derivation (minutes, 0 for the first event per line, clamped >= 0). */
+  def downtimeLogDeduped(events: DataFrame): DataFrame = {
+    val wDedup = Window.partitionBy("LINE", "START_EPOCH").orderBy(dtid)
+    val gap =
+      (col("START_EPOCH") - lag(col("END_EPOCH"), 1).over(lineWindow)) / 60.0
+    downtimeLog(events)
+      .withColumn("__rn", row_number().over(wDedup))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .withColumn("UPTIME",
+        when(gap.isNull || gap < 0, lit(0.0)).otherwise(gap))
+  }
+
+  /** F7 dynamic CO predicate surface: per-site predicate arrives as a SQL
+    * string (the Spark-SQL analogue of the reference's pandas `df.query`
+    * strings from SharePoint, `App/etl/transform/mes_etl.py:9-20`). */
+  def coFilter(dt: DataFrame, predicateSql: String): DataFrame =
+    dt.filter(expr(predicateSql))
+
+  /** The CO predicate used by the test queries (F7/F8 stand-in). */
+  val testCoPredicate = "CAUSE_LEVELS_1_NAME IN ('error','click','purchase')"
+}
+
+/** DuckDB twin of [[Rco]]: CTE snippets the oracle SQL strings compose.
+  * Any change to the Spark adapter must be mirrored here.
+  */
+object RcoSql {
+
+  /** dt = canonical (deduped) downtime log with UPTIME. */
+  val dtCte: String =
+    """WITH dt0 AS (
+      SELECT CAST(event_id AS VARCHAR) AS downtime_id,
+             event_id AS dtid,
+             'L' || CAST(user_id AS VARCHAR) AS LINE,
+             date_trunc('second', ts) AS START_TIME,
+             epoch(date_trunc('second', ts)) AS START_EPOCH,
+             value AS DOWNTIME,
+             event_type AS CAUSE_LEVELS_1_NAME,
+             CASE WHEN k % 5 = 4 THEN 'Changeover Failure'
+                  ELSE 'K' || CAST(k % 5 AS VARCHAR) END AS CAUSE_LEVELS_2_NAME,
+             'M' || CAST(k % 3 AS VARCHAR) AS CAUSE_LEVELS_3_NAME,
+             'B' || CAST(k % 7 AS VARCHAR) AS BRANDCODE,
+             'L' || CAST(user_id AS VARCHAR) || ' M' ||
+               CAST(event_id % 3 AS VARCHAR) AS MACHINE,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END
+               AS Planned_Stop_Check,
+             CASE WHEN event_type = 'view' AND k % 2 = 0 THEN 1 ELSE 0 END
+               AS Idle_Check,
+             k % 11 = 0 AS isExcluded,
+             event_type NOT IN ('view', 'signup') AS isStop,
+             epoch(date_trunc('second', ts)) + value * 60 AS END_EPOCH
+      FROM (SELECT *, CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k
+            FROM events)),
+    dt1 AS (
+      SELECT *, row_number() OVER (PARTITION BY LINE, START_EPOCH
+        ORDER BY dtid) AS __rn FROM dt0),
+    dt AS (
+      SELECT * EXCLUDE (__rn, gap),
+        CASE WHEN gap IS NULL OR gap < 0 THEN 0.0 ELSE gap END AS UPTIME
+      FROM (SELECT *, (START_EPOCH - lag(END_EPOCH) OVER (PARTITION BY LINE
+              ORDER BY START_EPOCH, dtid)) / 60.0 AS gap
+            FROM (SELECT * FROM dt1 WHERE __rn = 1)))"""
+      .replaceAll("\\s+", " ")
+
+  val coPredicate = "CAUSE_LEVELS_1_NAME IN ('error','click','purchase')"
+}
