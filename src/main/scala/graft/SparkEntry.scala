@@ -19,10 +19,21 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ClassicQueries.queries
+    ClassicQueries.queries ++ RcoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ClassicQueries.oracles
+    ClassicQueries.oracles ++ RcoQueries.oracles
+
+  /** Headline queries graft.Bench times at sf0.1 (first doubles as the
+    * untimed warmup). Keep this the representative cross-section, not the
+    * full verify set — Verify runs everything at sf0.01 already. */
+  def benchQueries: Seq[String] = Seq(
+    "cls_pricing_summary",
+    "cls_shipping_priority",
+    "cls_regional_revenue",
+    "cls_semi_join",
+    "cls_anti_join",
+    "cls_top_orders_per_customer")
 }

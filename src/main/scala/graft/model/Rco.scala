@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   */
 object Rco {
 
-  /** Tie-break/order key: numeric downtime id. */
-  val dtid: Column = col("downtime_id").cast("long")
+  /** Tie-break/order key: numeric downtime id (carried as a real column
+    * by [[downtimeLog]] so Spark and the DuckDB twin stay symmetric). */
+  val dtid: Column = col("dtid")
 
   /** Ordered-within-LINE window every RCO operator shares (SURVEY §2.7). */
   val lineWindow = Window.partitionBy("LINE").orderBy(col("START_EPOCH"), dtid)
@@ -37,6 +38,7 @@ object Rco {
       .withColumn("k", k)
       .select(
         col("event_id").cast("string").as("downtime_id"),
+        col("event_id").cast("long").as("dtid"),
         concat(lit("L"), col("user_id").cast("string")).as("LINE"),
         date_trunc("second", col("ts")).as("START_TIME"),
         col("value").as("DOWNTIME"),
@@ -114,7 +116,7 @@ object RcoSql {
              k % 11 = 0 AS isExcluded,
              event_type NOT IN ('view', 'signup') AS isStop,
              epoch(date_trunc('second', ts)) + value * 60 AS END_EPOCH
-      FROM (SELECT *, CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k
+      FROM (SELECT *, TRY_CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k
             FROM events)),
     dt1 AS (
       SELECT *, row_number() OVER (PARTITION BY LINE, START_EPOCH

