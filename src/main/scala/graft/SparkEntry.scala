@@ -35,5 +35,8 @@ object SparkEntry {
     "cls_regional_revenue",
     "cls_semi_join",
     "cls_anti_join",
-    "cls_top_orders_per_customer")
+    "cls_top_orders_per_customer",
+    "rco_sessionize",
+    "rco_co_agg",
+    "rco_brandcode")
 }

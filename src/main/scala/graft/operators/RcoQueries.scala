@@ -42,11 +42,45 @@ object RcoQueries {
            gap AS MinutesDifference
     FROM ses"""
 
+  def coAgg: Q = (s, dir) => CoAggregate(Sessionize(coLog(s, dir), P))
+
+  private val coAggOracle: String =
+    s"""${RcoSql.dtCte},
+    ${SessionizeSql.sesCte(RcoSql.coPredicate, P)},
+    ${CoAggregateSql.aggCte}
+    SELECT CO_Identifier, LINE, CO_StartTime, CO_Start_EPOCH, CO_End_EPOCH,
+           CO_DOWNTIME, downtime_id_of_First_CO_Event,
+           downtime_id_of_Last_CO_Event, n_events, Number_of_Machines,
+           CO_DOWNTIME_prorated
+    FROM agg"""
+
+  def brandcode: Q = (s, dir) => {
+    val full = Rco.downtimeLogDeduped(Tables.events(s, dir))
+    BrandcodeResolve(
+      CoAggregate(Sessionize(Rco.coFilter(full, Rco.testCoPredicate), P)),
+      full)
+  }
+
+  private val brandcodeOracle: String =
+    s"""${RcoSql.dtCte},
+    ${SessionizeSql.sesCte(RcoSql.coPredicate, P)},
+    ${CoAggregateSql.aggCte},
+    ${BrandcodeResolveSql.bcCte}
+    SELECT CO_Identifier, LINE, CO_StartTime, Current_BRANDCODE,
+           Next_BRANDCODE,
+           CASE WHEN Current_BRANDCODE = Next_BRANDCODE THEN 'Not Changed'
+                ELSE 'OK' END AS Brandcode_Status
+    FROM bc"""
+
   val queries: Map[String, Q] = Map(
     "rco_sessionize" -> sessionize(P),
-    "rco_sessionize_split" -> sessionize(Psplit))
+    "rco_sessionize_split" -> sessionize(Psplit),
+    "rco_co_agg" -> coAgg,
+    "rco_brandcode" -> brandcode)
 
   val oracles: Map[String, String] = Map(
     "rco_sessionize" -> sessionizeOracle(P),
-    "rco_sessionize_split" -> sessionizeOracle(Psplit))
+    "rco_sessionize_split" -> sessionizeOracle(Psplit),
+    "rco_co_agg" -> coAggOracle,
+    "rco_brandcode" -> brandcodeOracle)
 }
