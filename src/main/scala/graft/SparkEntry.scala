@@ -38,5 +38,7 @@ object SparkEntry {
     "cls_top_orders_per_customer",
     "rco_sessionize",
     "rco_co_agg",
-    "rco_brandcode")
+    "rco_brandcode",
+    "rco_first_stop",
+    "rco_co_uptime")
 }

@@ -41,6 +41,10 @@ object CoAggregate {
         max_by(col("downtime_id"), col("START_EPOCH"))
           .as("downtime_id_of_Last_CO_Event"),
         count(lit(1)).as("n_events"),
+        // UPTIME of the session's first event — consumed by
+        // FirstStopAfterCo's uptime-till-next-CO totals
+        // (`ref/RCO_subETL_First_Stop_after_CO.R:75-79`).
+        min_by(col("UPTIME"), col("START_EPOCH")).as("first_ev_UPTIME"),
         countDistinct(col("MACHINE")).as("Number_of_Machines"),
         round(sum(col("DOWNTIME")) / countDistinct(col("MACHINE")), 4)
           .as("CO_DOWNTIME_prorated"))
@@ -59,6 +63,7 @@ object CoAggregateSql {
       arg_min(downtime_id, START_EPOCH) AS downtime_id_of_First_CO_Event,
       arg_max(downtime_id, START_EPOCH) AS downtime_id_of_Last_CO_Event,
       count(*) AS n_events,
+      arg_min(UPTIME, START_EPOCH) AS first_ev_UPTIME,
       count(DISTINCT MACHINE) AS Number_of_Machines,
       round(sum(DOWNTIME) / count(DISTINCT MACHINE), 4)
         AS CO_DOWNTIME_prorated

@@ -30,9 +30,11 @@ object RcoQueries {
     "START_TIME", "DOWNTIME", "UPTIME", "BRANDCODE", "CO_Trigger_Column",
     "CO_Trigger", "MinutesDifference")
 
-  def sessionize(params: Sessionize.Params): Q = (s, dir) =>
-    Sessionize(coLog(s, dir), params)
-      .select(sesCols.map(col): _*)
+  def sessionize(params: Sessionize.Params): Q = (s, dir) => {
+    val ses = if (params == P) RcoPipeline.sessionized(s, dir, P)
+      else Sessionize(coLog(s, dir), params)
+    ses.select(sesCols.map(col): _*)
+  }
 
   private def sessionizeOracle(params: Sessionize.Params): String =
     s"""${RcoSql.dtCte},
@@ -42,7 +44,7 @@ object RcoQueries {
            gap AS MinutesDifference
     FROM ses"""
 
-  def coAgg: Q = (s, dir) => CoAggregate(Sessionize(coLog(s, dir), P))
+  def coAgg: Q = (s, dir) => RcoPipeline.coAgg(s, dir, P)
 
   private val coAggOracle: String =
     s"""${RcoSql.dtCte},
@@ -50,16 +52,13 @@ object RcoQueries {
     ${CoAggregateSql.aggCte}
     SELECT CO_Identifier, LINE, CO_StartTime, CO_Start_EPOCH, CO_End_EPOCH,
            CO_DOWNTIME, downtime_id_of_First_CO_Event,
-           downtime_id_of_Last_CO_Event, n_events, Number_of_Machines,
-           CO_DOWNTIME_prorated
+           downtime_id_of_Last_CO_Event, n_events, first_ev_UPTIME,
+           Number_of_Machines, CO_DOWNTIME_prorated
     FROM agg"""
 
-  def brandcode: Q = (s, dir) => {
-    val full = Rco.downtimeLogDeduped(Tables.events(s, dir))
-    BrandcodeResolve(
-      CoAggregate(Sessionize(Rco.coFilter(full, Rco.testCoPredicate), P)),
-      full)
-  }
+  def brandcode: Q = (s, dir) =>
+    BrandcodeResolve(RcoPipeline.coAgg(s, dir, P),
+      RcoPipeline.fullLog(s, dir, P))
 
   private val brandcodeOracle: String =
     s"""${RcoSql.dtCte},
@@ -72,15 +71,45 @@ object RcoQueries {
                 ELSE 'OK' END AS Brandcode_Status
     FROM bc"""
 
+  def firstStop: Q = (s, dir) =>
+    FirstStopAfterCo.firstStops(RcoPipeline.coAgg(s, dir, P),
+      RcoPipeline.fullLog(s, dir, P))
+
+  def coUptime: Q = (s, dir) =>
+    FirstStopAfterCo.uptimeTillNextCo(RcoPipeline.coAgg(s, dir, P),
+      RcoPipeline.fullLog(s, dir, P))
+
+  private def rcoWith(tail: String): String =
+    s"""${RcoSql.dtCte},
+    ${SessionizeSql.sesCte(RcoSql.coPredicate, P)},
+    ${CoAggregateSql.aggCte},
+    $tail"""
+
+  private val firstStopOracle: String = rcoWith(
+    s"""${FirstStopAfterCoSql.fsCte}
+    SELECT START_TIME, round(DOWNTIME, 2) AS DOWNTIME,
+           round(UPTIME, 2) AS UPTIME, round(Uptime_cumul, 2) AS Uptime_cumul,
+           CAUSE_LEVELS_1_NAME, CAUSE_LEVELS_2_NAME, CAUSE_LEVELS_3_NAME,
+           BRANDCODE, LINE, downtime_id, CO_Identifier
+    FROM fstop""")
+
+  private val coUptimeOracle: String = rcoWith(
+    s"""${FirstStopAfterCoSql.fsCte}
+    SELECT CO_Identifier, LINE, Total_Uptime_till_Next_CO FROM tot""")
+
   val queries: Map[String, Q] = Map(
     "rco_sessionize" -> sessionize(P),
     "rco_sessionize_split" -> sessionize(Psplit),
     "rco_co_agg" -> coAgg,
-    "rco_brandcode" -> brandcode)
+    "rco_brandcode" -> brandcode,
+    "rco_first_stop" -> firstStop,
+    "rco_co_uptime" -> coUptime)
 
   val oracles: Map[String, String] = Map(
     "rco_sessionize" -> sessionizeOracle(P),
     "rco_sessionize_split" -> sessionizeOracle(Psplit),
     "rco_co_agg" -> coAggOracle,
-    "rco_brandcode" -> brandcodeOracle)
+    "rco_brandcode" -> brandcodeOracle,
+    "rco_first_stop" -> firstStopOracle,
+    "rco_co_uptime" -> coUptimeOracle)
 }
