@@ -19,12 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ClassicQueries.queries ++ RcoQueries.queries
+    ClassicQueries.queries ++ RcoQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ClassicQueries.oracles ++ RcoQueries.oracles
+    ClassicQueries.oracles ++ RcoQueries.oracles ++ LlmQueries.oracles
 
   /** Headline queries graft.Bench times at sf0.1 (first doubles as the
     * untimed warmup). Keep this the representative cross-section, not the
@@ -40,5 +40,8 @@ object SparkEntry {
     "rco_co_agg",
     "rco_brandcode",
     "rco_first_stop",
-    "rco_co_uptime")
+    "rco_co_uptime",
+    "llm_dedup_near",
+    "llm_knn",
+    "llm_textstats")
 }

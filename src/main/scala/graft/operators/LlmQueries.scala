@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** LLM-training-data pipeline queries over the driver's `documents` and
+  * `embeddings` tables, with DuckDB oracles that replay the identical
+  * algorithms (same md5 hash family, same band layout, same fold order).
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+
+  val queries: Map[String, Q] = Map(
+    "llm_dedup_exact" -> ((s, d) => LlmText.dedupExact(docs(s, d))),
+    "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
+    "llm_simhash" -> ((s, d) => LlmText.simhash(docs(s, d))),
+    "llm_fingerprint" -> ((s, d) => LlmText.fingerprint(docs(s, d))),
+    "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
+    "llm_knn" -> ((s, d) => LlmSim.knnBrute(embs(s, d))),
+    "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
+    "llm_dedup_near" -> LlmTextSql.dedupNearSql,
+    "llm_simhash" -> LlmTextSql.simhashSql,
+    "llm_fingerprint" -> LlmTextSql.fingerprintSql,
+    "llm_textstats" -> LlmTextSql.textStatsSql,
+    "llm_knn" -> LlmSimSql.knnBruteSql,
+    "llm_knn_ivf" -> LlmSimSql.knnIvfSql)
+}

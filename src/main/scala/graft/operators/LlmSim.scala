@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id,
+  * embedding: array<float> dim 64, label).
+  *
+  * Two operators:
+  *  - [[knnBrute]] — exact top-k cosine per query vector. The query set
+  *    is a small fraction (vec_id % 20 == 0), so the pair generation is
+  *    a broadcast nested-loop of queries × corpus: the CORRECTNESS
+  *    baseline, linear in corpus size per query, and the thing you run
+  *    at 100 TB only for evaluation samples.
+  *  - [[knnIvf]] — the scale path: a deterministic coarse quantizer
+  *    (sign bits of the first 4 dimensions → 16 cells) turns the search
+  *    into an EQUI-JOIN on the cell id; each query probes only its own
+  *    cell. This is IVF with nprobe=1 — recall is traded for a
+  *    shuffle-bounded plan with no cross join.
+  *
+  * Determinism: elements are cast float→double BEFORE any arithmetic on
+  * both engines (float32 upcasts are exact); dot products accumulate
+  * left-to-right (Spark `aggregate` fold); ranking uses round(cos, 6)
+  * with vec_id tie-break so top-k membership cannot flip on sub-1e-6
+  * float noise between engines.
+  *
+  * Keep in sync with [[LlmSimSql]].
+  */
+object LlmSim {
+
+  val QueryMod = 20
+  val TopK = 5
+  val IvfTopK = 3
+  val IvfDims = 4
+
+  /** Left-to-right dot product of two double arrays. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def withVec(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  private def ranked(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+    pairs
+      .withColumn("cos_r", round(col("cos"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cos_r").as("cosine"),
+        col("rank").cast("long").as("rank"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id % 20). */
+  def knnBrute(embeddings: DataFrame): DataFrame = {
+    val e = withVec(embeddings)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val pairs = broadcast(q).join(e, col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    ranked(pairs, TopK)
+  }
+
+  /** Sign-quantizer cell id over the first [[IvfDims]] dimensions. */
+  private def cell(v: Column): Column =
+    concat((1 to IvfDims).map(i =>
+      when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
+
+  /** IVF(nprobe=1) top-k: candidates share the query's quantizer cell. */
+  def knnIvf(embeddings: DataFrame): DataFrame = {
+    val e = withVec(embeddings).withColumn("cell", cell(col("v")))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("cell"))
+    val pairs = q.join(e, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    ranked(pairs, IvfTopK)
+  }
+}
+
+/** DuckDB twin of [[LlmSim]]. The dot product is spelled as the same
+  * left-to-right fold (list_reduce over list_zip) — NOT
+  * list_dot_product, whose summation order is unspecified. */
+object LlmSimSql {
+
+  import LlmSim._
+
+  // list_prepend(0.0) + 2-arg list_reduce == Spark aggregate(zip, 0.0,
+  // (acc,x) -> acc+x): identical left-to-right IEEE accumulation.
+  private val dotFold =
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(list_zip(%s, %s), p -> p[1] * p[2])), " +
+      "(acc, x) -> acc + x)"
+
+  private def dot(a: String, b: String) = dotFold.format(a, b)
+
+  private val eCte =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       sqrt(${dot("CAST(embedding AS DOUBLE[])",
+      "CAST(embedding AS DOUBLE[])")}) AS norm
+       FROM embeddings)"""
+
+  val knnBruteSql: String =
+    s"""WITH $eCte,
+    q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e
+          WHERE vec_id % $QueryMod = 0),
+    pairs AS (SELECT qid, e.vec_id,
+      ${dot("qv", "v")} / (qnorm * norm) AS cos
+      FROM q, e WHERE e.vec_id <> qid),
+    rk AS (SELECT qid, vec_id, round(cos, 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank
+      FROM pairs)
+    SELECT qid, vec_id, cosine, rank FROM rk WHERE rank <= $TopK"""
+
+  private val cellExpr = (1 to IvfDims).map(i =>
+    s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val knnIvfSql: String =
+    s"""WITH $eCte,
+    ec AS (SELECT *, $cellExpr AS cell FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm, cell FROM ec
+          WHERE vec_id % $QueryMod = 0),
+    pairs AS (SELECT qid, ec.vec_id,
+      ${dot("qv", "v")} / (qnorm * norm) AS cos
+      FROM q JOIN ec USING (cell) WHERE ec.vec_id <> qid),
+    rk AS (SELECT qid, vec_id, round(cos, 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank
+      FROM pairs)
+    SELECT qid, vec_id, cosine, rank FROM rk WHERE rank <= $IvfTopK"""
+}
