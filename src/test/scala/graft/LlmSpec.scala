@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmSim, LlmText}
+
+/** Golden tests for the LLM-data operators on hand-built corpora. */
+class LlmSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"),
+      (3L, "something else")).toDF("doc_id", "text")
+    val out = LlmText.dedupExact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Int]("is_dup")))).toMap
+    assert(out(1L) == ((1L, 0)))
+    assert(out(2L) == ((1L, 1)))
+    assert(out(3L) == ((3L, 0)))
+  }
+
+  test("near dedup finds a shifted copy and reports its jaccard") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shifted = (0 to 30).map(i => s"w$i").mkString(" ") // 1 extra word
+    val docs = Seq(
+      (1L, base), (2L, shifted),
+      (3L, (100 to 130).map(i => s"v$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val pairs = LlmText.dedupNear(docs).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    // base's 28 shingles are a subset of shifted's 29 -> J = 28/29
+    assert(math.abs(r.getAs[Double]("jaccard") - 28.0 / 29.0) < 1e-6)
+  }
+
+  test("identical texts get identical simhash and fingerprint") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content here with other words entirely"))
+      .toDF("doc_id", "text")
+    val sh = byKey(LlmText.simhash(docs), "doc_id", "simhash16")
+    assert(sh("1") == sh("2"))
+    assert(sh("1").asInstanceOf[String].length == 16)
+    val fp = byKey(LlmText.fingerprint(docs), "doc_id", "fingerprint")
+    assert(fp("1") == fp("2"))
+    assert(fp("1") != fp("3"))
+  }
+
+  test("text stats on a known sentence") {
+    val docs = Seq((1L, "The cat and the cat!")).toDF("doc_id", "text")
+    val r = LlmText.textStats(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") == 5)
+    assert(r.getAs[Long]("n_distinct_tokens") == 4) // the, cat, and, cat!
+    assert(r.getAs[Long]("n_punct") == 1)
+    assert(r.getAs[Long]("n_bpe_units") == 6) // 5 words + '!'
+    assert(r.getAs[Long]("en_hits") == 3) // the, and, the
+    assert(r.getAs[String]("lang_guess") == "en")
+  }
+
+  test("knn ranks an identical vector first with cosine 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // same direction
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)))  // opposite
+      .toDF("vec_id", "embedding")
+    val out = LlmSim.knnBrute(vecs)
+      .filter(col("qid") === 0).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("cosine") == 1.0)
+    assert(out.last.getAs[Double]("cosine") == -1.0)
+  }
+
+  test("ivf probes only the query's sign cell") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f, 0.5f)),
+      (20L, Array(1.0f, 1.0f, 1.0f, 1.0f, 0.9f)),  // same cell as 0
+      (21L, Array(-1.0f, 1.0f, 1.0f, 1.0f, 0.9f))) // different cell
+      .toDF("vec_id", "embedding")
+    val out = LlmSim.knnIvf(vecs).filter(col("qid") === 0).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(20L))
+  }
+}
