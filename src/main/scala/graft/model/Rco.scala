@@ -84,6 +84,39 @@ object Rco {
   def coFilter(dt: DataFrame, predicateSql: String): DataFrame =
     dt.filter(expr(predicateSql))
 
+  /** Canonical PRODUCTION_LOG model (P2,
+    * `App/etl/extract/data_from_mdc.py:150-181`), instantiated over the
+    * production-side event types. ProdDesc carries the `X-Y` shape the
+    * brandcode-master BRANDNAME split rules expect
+    * (`App/etl/extract/data_from_mdc.py:288-299`); StatFactor straddles 0
+    * so the `> 0` max-filter (A5) is exercised. Mirrored in
+    * [[RcoSql.prodCte]]. */
+  def productionLog(events: DataFrame): DataFrame = {
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("int")
+    events
+      .filter(col("event_type").isin("view", "signup"))
+      .withColumn("k", k)
+      .select(
+        col("event_id").cast("string").as("event_id"),
+        col("event_id").cast("long").as("evid"),
+        concat(lit("L"), col("user_id").cast("string")).as("LINE"),
+        date_trunc("second", col("ts")).as("START_TIME"),
+        concat(lit("B"), (col("k") % 7).cast("string")).as("BRANDCODE"),
+        concat(lit("P"), (col("k") % 5).cast("string"), lit("-N"),
+          (col("k") % 9).cast("string")).as("ProdDesc"),
+        concat(lit("F"), (col("k") % 4).cast("string")).as("ProdFam"),
+        concat(lit("G"), (col("k") % 3).cast("string")).as("ProdGroup"),
+        (col("k") % 6).as("FirstPackCount"),
+        (col("value") - 25.0).as("StatFactor"),
+        when(col("k") % 13 === 0, "PR Out").otherwise("In Production")
+          .as("LineStatus"))
+  }
+
+  /** F6: keep only In-Production rows
+    * (`App/etl/extract/data_from_mdc.py:183`). */
+  def productionLogPrIn(events: DataFrame): DataFrame =
+    productionLog(events).filter(col("LineStatus") === "In Production")
+
   /** The CO predicate used by the test queries (F7/F8 stand-in). */
   val testCoPredicate = "CAUSE_LEVELS_1_NAME IN ('error','click','purchase')"
 }
@@ -130,4 +163,27 @@ object RcoSql {
       .replaceAll("\\s+", " ")
 
   val coPredicate = "CAUSE_LEVELS_1_NAME IN ('error','click','purchase')"
+
+  /** prod = canonical production log (twin of [[Rco.productionLog]]);
+    * prodin = F6 In-Production filter. */
+  val prodCte: String =
+    """prod AS (
+      SELECT CAST(event_id AS VARCHAR) AS event_id,
+             event_id AS evid,
+             'L' || CAST(user_id AS VARCHAR) AS LINE,
+             date_trunc('second', ts) AS START_TIME,
+             'B' || CAST(k % 7 AS VARCHAR) AS BRANDCODE,
+             'P' || CAST(k % 5 AS VARCHAR) || '-N' || CAST(k % 9 AS VARCHAR)
+               AS ProdDesc,
+             'F' || CAST(k % 4 AS VARCHAR) AS ProdFam,
+             'G' || CAST(k % 3 AS VARCHAR) AS ProdGroup,
+             k % 6 AS FirstPackCount,
+             value - 25.0 AS StatFactor,
+             CASE WHEN k % 13 = 0 THEN 'PR Out' ELSE 'In Production' END
+               AS LineStatus
+      FROM (SELECT *, TRY_CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k
+            FROM events)
+      WHERE event_type IN ('view', 'signup')),
+    prodin AS (SELECT * FROM prod WHERE LineStatus = 'In Production')"""
+      .replaceAll("\\s+", " ")
 }

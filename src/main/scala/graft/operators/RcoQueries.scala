@@ -97,13 +97,52 @@ object RcoQueries {
     s"""${FirstStopAfterCoSql.fsCte}
     SELECT CO_Identifier, LINE, Total_Uptime_till_Next_CO FROM tot""")
 
+  private val prodCols = Seq("event_id", "LINE", "START_TIME", "BRANDCODE",
+    "ProdDesc", "ProdFam", "ProdGroup", "FirstPackCount", "StatFactor",
+    "LineStatus")
+
+  def prodLog: Q = (s, dir) =>
+    Rco.productionLogPrIn(Tables.events(s, dir)).select(prodCols.map(col): _*)
+
+  private val prodLogOracle: String =
+    s"""WITH ${RcoSql.prodCte}
+    SELECT ${prodCols.mkString(", ")} FROM prodin"""
+
+  def runtimePerDay: Q = (s, dir) =>
+    ProdOps.runtimePerDay(RcoPipeline.fullLog(s, dir, P))
+
+  private val runtimeOracle: String =
+    s"""${RcoSql.dtCte}
+    ${ProdOpsSql.runtimePerDaySql}"""
+
+  def dayStart: Q = (s, dir) =>
+    ProdOps.dayStart(RcoPipeline.fullLog(s, dir, P))
+
+  private val dayStartOracle: String =
+    s"""${RcoSql.dtCte},
+    ${ProdOpsSql.dayStartSql()}"""
+
+  def brandcodeMaster: Q = (s, dir) =>
+    ProdOps.brandcodeMaster(Rco.productionLogPrIn(Tables.events(s, dir)))
+
+  private val brandcodeMasterOracle: String =
+    s"""WITH ${RcoSql.prodCte},
+    ${ProdOpsSql.brandcodeMasterSql}
+    SELECT BRANDCODE, BRANDNAME, ProdFam, ProdGroup, UNITS_PER_CASE,
+           StatFactor, tally
+    FROM bm"""
+
   val queries: Map[String, Q] = Map(
     "rco_sessionize" -> sessionize(P),
     "rco_sessionize_split" -> sessionize(Psplit),
     "rco_co_agg" -> coAgg,
     "rco_brandcode" -> brandcode,
     "rco_first_stop" -> firstStop,
-    "rco_co_uptime" -> coUptime)
+    "rco_co_uptime" -> coUptime,
+    "rco_prod_log" -> prodLog,
+    "rco_runtime_per_day" -> runtimePerDay,
+    "rco_day_start" -> dayStart,
+    "rco_brandcode_master" -> brandcodeMaster)
 
   val oracles: Map[String, String] = Map(
     "rco_sessionize" -> sessionizeOracle(P),
@@ -111,5 +150,9 @@ object RcoQueries {
     "rco_co_agg" -> coAggOracle,
     "rco_brandcode" -> brandcodeOracle,
     "rco_first_stop" -> firstStopOracle,
-    "rco_co_uptime" -> coUptimeOracle)
+    "rco_co_uptime" -> coUptimeOracle,
+    "rco_prod_log" -> prodLogOracle,
+    "rco_runtime_per_day" -> runtimeOracle,
+    "rco_day_start" -> dayStartOracle,
+    "rco_brandcode_master" -> brandcodeMasterOracle)
 }
