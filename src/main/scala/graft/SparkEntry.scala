@@ -41,6 +41,7 @@ object SparkEntry {
     "rco_brandcode",
     "rco_first_stop",
     "rco_co_uptime",
+    "rco_gantt",
     "llm_dedup_near",
     "llm_knn",
     "llm_textstats")

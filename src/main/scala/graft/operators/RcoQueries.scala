@@ -132,7 +132,40 @@ object RcoQueries {
            StatFactor, tally
     FROM bm"""
 
+  /** Constraint-machine log: each line's " M0" machine + the J6 CO-event
+    * flag (left join + fill 0,
+    * `App/etl/transform/machine_level.py:212-215`). */
+  private def consLog(s: SparkSession, dir: String): DataFrame =
+    RcoPipeline.fullLog(s, dir, P)
+      .filter(col("MACHINE").endsWith(" M0"))
+      .join(
+        RcoPipeline.sessionized(s, dir, P)
+          .select(col("LINE"), col("downtime_id")).distinct()
+          .withColumn("CO_Event", lit(1)),
+        Seq("LINE", "downtime_id"), "left")
+      .na.fill(0, Seq("CO_Event"))
+
+  def gantt: Q = (s, dir) =>
+    GanttGenerate.ganttData(RcoPipeline.coAgg(s, dir, P),
+      RcoPipeline.fullLog(s, dir, P), consLog(s, dir))
+
+  def ganttEvents: Q = (s, dir) =>
+    GanttGenerate.eventLog(RcoPipeline.coAgg(s, dir, P),
+      RcoPipeline.fullLog(s, dir, P), consLog(s, dir))
+
+  private val ganttOracle: String = rcoWith(
+    s"""${GanttGenerateSql.ganttSql}
+    SELECT CO_Identifier, Line, Machine, seq, StartTime, Downtime_Status,
+           downtime_id
+    FROM gantt""")
+
+  private val ganttEventsOracle: String = rcoWith(
+    s"""${GanttGenerateSql.eventLogSql}
+    SELECT * FROM ev""")
+
   val queries: Map[String, Q] = Map(
+    "rco_gantt" -> gantt,
+    "rco_gantt_events" -> ganttEvents,
     "rco_sessionize" -> sessionize(P),
     "rco_sessionize_split" -> sessionize(Psplit),
     "rco_co_agg" -> coAgg,
@@ -145,6 +178,8 @@ object RcoQueries {
     "rco_brandcode_master" -> brandcodeMaster)
 
   val oracles: Map[String, String] = Map(
+    "rco_gantt" -> ganttOracle,
+    "rco_gantt_events" -> ganttEventsOracle,
     "rco_sessionize" -> sessionizeOracle(P),
     "rco_sessionize_split" -> sessionizeOracle(Psplit),
     "rco_co_agg" -> coAggOracle,
