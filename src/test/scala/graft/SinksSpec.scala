@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.ParquetSinks
+
+/** Sink semantics + the idempotency contract (run twice ⇒ same table). */
+class SinksSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sink").resolve("t").toString
+
+  private def rows(path: String): Set[String] =
+    spark.read.parquet(path).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("appendAligned reorders, null-fills missing, drops extra columns") {
+    val path = tmp()
+    ParquetSinks.appendAligned(spark,
+      Seq((1L, "a")).toDF("id", "name"), path)
+    // incoming has different order, an extra column, and misses `name`
+    ParquetSinks.appendAligned(spark,
+      Seq((99, 2L)).toDF("extra", "id"), path)
+    val out = spark.read.parquet(path)
+    assert(out.columns.toSeq == Seq("id", "name"))
+    assert(rows(path) == Set("1|a", "2|null"))
+  }
+
+  test("upsertWindow deletes the overlapping window per key, is idempotent") {
+    val path = tmp()
+    val initial = Seq(
+      ("L1", 10.0, "old-a"), ("L1", 50.0, "old-b"), ("L1", 90.0, "old-c"),
+      ("L2", 10.0, "keep")).toDF("LINE", "t", "v")
+    ParquetSinks.upsertWindow(spark, initial, path, "LINE", "t")
+    // re-extract for L1 from t=50: threshold 40 deletes old-b/old-c
+    val incoming = Seq(("L1", 50.0, "new-b"), ("L1", 120.0, "new-d"))
+      .toDF("LINE", "t", "v")
+    ParquetSinks.upsertWindow(spark, incoming, path, "LINE", "t")
+    val expected = Set("10.0|old-a|L1", "50.0|new-b|L1", "120.0|new-d|L1",
+      "10.0|keep|L2")
+    assert(rows(path) == expected)
+    ParquetSinks.upsertWindow(spark, incoming, path, "LINE", "t")
+    assert(rows(path) == expected, "second identical load must be a no-op")
+  }
+
+  test("replaceDedup keeps only non-superseded stored keys, is idempotent") {
+    val path = tmp()
+    ParquetSinks.replaceDedup(spark,
+      Seq(("B1", "v1"), ("B2", "v2")).toDF("BRANDCODE", "v"), path,
+      "BRANDCODE")
+    val incoming = Seq(("B2", "v2x"), ("B3", "v3")).toDF("BRANDCODE", "v")
+    ParquetSinks.replaceDedup(spark, incoming, path, "BRANDCODE")
+    val expected = Set("B1|v1", "B2|v2x", "B3|v3")
+    assert(rows(path) == expected)
+    ParquetSinks.replaceDedup(spark, incoming, path, "BRANDCODE")
+    assert(rows(path) == expected)
+  }
+
+  test("upsertByKey merges by composite key, is idempotent") {
+    val path = tmp()
+    ParquetSinks.upsertByKey(spark,
+      Seq(("S1", "L1", 1L), ("S1", "L2", 2L)).toDF("Server", "Line", "n"),
+      path, Seq("Server", "Line"))
+    val incoming = Seq(("S1", "L2", 20L), ("S1", "L3", 3L))
+      .toDF("Server", "Line", "n")
+    ParquetSinks.upsertByKey(spark, incoming, path, Seq("Server", "Line"))
+    val expected = Set("S1|L1|1", "S1|L2|20", "S1|L3|3")
+    assert(rows(path) == expected)
+    ParquetSinks.upsertByKey(spark, incoming, path, Seq("Server", "Line"))
+    assert(rows(path) == expected)
+  }
+}
