@@ -24,7 +24,8 @@ object LlmQueries {
     "llm_fingerprint" -> ((s, d) => LlmText.fingerprint(docs(s, d))),
     "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
     "llm_knn" -> ((s, d) => LlmSim.knnBrute(embs(s, d))),
-    "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))))
+    "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))),
+    "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -33,5 +34,6 @@ object LlmQueries {
     "llm_fingerprint" -> LlmTextSql.fingerprintSql,
     "llm_textstats" -> LlmTextSql.textStatsSql,
     "llm_knn" -> LlmSimSql.knnBruteSql,
-    "llm_knn_ivf" -> LlmSimSql.knnIvfSql)
+    "llm_knn_ivf" -> LlmSimSql.knnIvfSql,
+    "llm_multimodal" -> MultimodalSql.mediaStatsSql)
 }

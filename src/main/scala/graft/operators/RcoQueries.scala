@@ -163,7 +163,42 @@ object RcoQueries {
     s"""${GanttGenerateSql.eventLogSql}
     SELECT * FROM ev""")
 
+  /** F8: every catalog predicate evaluated over the canonical log —
+    * one row per site with its matching-event count. */
+  def sitePredicates: Q = (s, dir) => {
+    val dt = RcoPipeline.fullLog(s, dir, P)
+    SitePredicates.catalog.toSeq.sortBy(_._1)
+      .map { case (site, pred) =>
+        Rco.coFilter(dt, pred)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(site).as("site"), col("n_rows"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  private val sitePredicatesOracle: String = {
+    val selects = SitePredicates.catalog.toSeq.sortBy(_._1)
+      .map { case (site, pred) =>
+        s"SELECT '$site' AS site, count(*) AS n_rows FROM dt WHERE $pred"
+      }
+      .mkString(" UNION ALL ")
+    s"""${RcoSql.dtCte}
+    $selects"""
+  }
+
+  def constraintFilter: Q = (s, dir) =>
+    SitePredicates
+      .constraintFilter(RcoPipeline.fullLog(s, dir, P), Seq("M0", "M2"))
+      .select(col("downtime_id"), col("LINE"), col("MACHINE"))
+
+  private val constraintFilterOracle: String =
+    s"""${RcoSql.dtCte}
+    SELECT downtime_id, LINE, MACHINE FROM dt
+    WHERE MACHINE = LINE || ' M0' OR MACHINE = LINE || ' M2'"""
+
   val queries: Map[String, Q] = Map(
+    "rco_site_predicates" -> sitePredicates,
+    "rco_constraint_filter" -> constraintFilter,
     "rco_gantt" -> gantt,
     "rco_gantt_events" -> ganttEvents,
     "rco_sessionize" -> sessionize(P),
@@ -178,6 +213,8 @@ object RcoQueries {
     "rco_brandcode_master" -> brandcodeMaster)
 
   val oracles: Map[String, String] = Map(
+    "rco_site_predicates" -> sitePredicatesOracle,
+    "rco_constraint_filter" -> constraintFilterOracle,
     "rco_gantt" -> ganttOracle,
     "rco_gantt_events" -> ganttEventsOracle,
     "rco_sessionize" -> sessionizeOracle(P),
