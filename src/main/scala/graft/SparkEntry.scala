@@ -13,9 +13,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The flagship is the defining computation of the engine:
+    * the sessionize → CO-aggregate spine. */
   def entry(spark: SparkSession): DataFrame =
-    ClassicQueries.pricingSummary(spark, "/root/testdata/sf0.001")
+    RcoQueries.coAgg(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -51,6 +51,12 @@ object Rco {
         concat(lit("B"), (col("k") % 7).cast("string")).as("BRANDCODE"),
         concat(lit("L"), col("user_id").cast("string"), lit(" M"),
           (col("event_id") % 3).cast("string")).as("MACHINE"),
+        // comments carry literal CR/LF so the CO-event-log scrub
+        // (`ref/RCO_MES_ETL.R:274-275`) has something to clean
+        when(col("k") % 3 === 1, concat(lit("c\nnl "), col("k")))
+          .when(col("k") % 3 === 2, concat(lit("c\r\ncrlf "), col("k")))
+          .otherwise(concat(lit("c "), col("k")))
+          .as("OPERATOR_COMMENT"),
         when(col("event_type") === "signup", 1).otherwise(0)
           .as("Planned_Stop_Check"),
         when(col("event_type") === "view" && col("k") % 2 === 0, 1).otherwise(0)
@@ -142,6 +148,9 @@ object RcoSql {
              'B' || CAST(k % 7 AS VARCHAR) AS BRANDCODE,
              'L' || CAST(user_id AS VARCHAR) || ' M' ||
                CAST(event_id % 3 AS VARCHAR) AS MACHINE,
+             CASE WHEN k % 3 = 1 THEN 'c' || chr(10) || 'nl ' || k
+                  WHEN k % 3 = 2 THEN 'c' || chr(13) || chr(10) || 'crlf ' || k
+                  ELSE 'c ' || k END AS OPERATOR_COMMENT,
              CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END
                AS Planned_Stop_Check,
              CASE WHEN event_type = 'view' AND k % 2 = 0 THEN 1 ELSE 0 END

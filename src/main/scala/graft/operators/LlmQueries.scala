@@ -25,6 +25,7 @@ object LlmQueries {
     "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
     "llm_knn" -> ((s, d) => LlmSim.knnBrute(embs(s, d))),
     "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))),
+    "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
@@ -35,5 +36,6 @@ object LlmQueries {
     "llm_textstats" -> LlmTextSql.textStatsSql,
     "llm_knn" -> LlmSimSql.knnBruteSql,
     "llm_knn_ivf" -> LlmSimSql.knnIvfSql,
+    "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     "llm_multimodal" -> MultimodalSql.mediaStatsSql)
 }

@@ -71,6 +71,27 @@ object LlmSim {
     concat((1 to IvfDims).map(i =>
       when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
 
+  /** Embedding-cosine near-dup pairs, cell-bucketed: candidate pairs
+    * come from the same quantizer cell (equi-join — the scale path, no
+    * all-pairs), verified by exact cosine ≥ [[EmbedDupThreshold]].
+    * The threshold is calibrated to the synthetic embeddings (max
+    * pairwise cosine ≈ 0.51); a production corpus would use ~0.99. */
+  val EmbedDupThreshold = 0.4
+
+  def dedupEmbed(embeddings: DataFrame): DataFrame = {
+    val e = withVec(embeddings).withColumn("cell", cell(col("v")))
+    val a = e.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("cell"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= EmbedDupThreshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** IVF(nprobe=1) top-k: candidates share the query's quantizer cell. */
   def knnIvf(embeddings: DataFrame): DataFrame = {
     val e = withVec(embeddings).withColumn("cell", cell(col("v")))
@@ -122,6 +143,15 @@ object LlmSimSql {
 
   private val cellExpr = (1 to IvfDims).map(i =>
     s"CASE WHEN v[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val dedupEmbedSql: String =
+    s"""WITH $eCte,
+    ec AS (SELECT *, $cellExpr AS cell FROM e),
+    pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) AS cosine
+      FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM pairs
+    WHERE cosine >= ${LlmSim.EmbedDupThreshold}"""
 
   val knnIvfSql: String =
     s"""WITH $eCte,

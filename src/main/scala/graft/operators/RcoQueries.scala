@@ -196,7 +196,37 @@ object RcoQueries {
     SELECT downtime_id, LINE, MACHINE FROM dt
     WHERE MACHINE = LINE || ' M0' OR MACHINE = LINE || ' M2'"""
 
+  /** CO_Event_Log output (`ref/RCO_MES_ETL.R:246-276`): sessionized
+    * events restricted to COs surviving aggregation (J8 left-semi — a
+    * no-op by construction here but kept as the reference's consistency
+    * contract), comment CR/LF scrub, null-line drop. */
+  def coEventLog: Q = (s, dir) =>
+    RcoPipeline.sessionized(s, dir, P)
+      .join(RcoPipeline.coAgg(s, dir, P).select(col("CO_Identifier")),
+        Seq("CO_Identifier"), "left_semi")
+      .filter(col("LINE").isNotNull)
+      .select(col("CO_Identifier"), col("LINE"),
+        col("CAUSE_LEVELS_1_NAME"), col("CAUSE_LEVELS_2_NAME"),
+        col("CAUSE_LEVELS_3_NAME"), col("START_TIME"), col("UPTIME"),
+        col("DOWNTIME"), col("BRANDCODE"),
+        regexp_replace(regexp_replace(col("OPERATOR_COMMENT"),
+          "\\r\\n", " "), "\\n", " ").as("OPERATOR_COMMENT"),
+        col("CO_Trigger_Column"), col("END_EPOCH"), col("downtime_id"))
+
+  private val coEventLogOracle: String = rcoWith(
+    """evlog AS (
+      SELECT s.CO_Identifier, s.LINE, s.CAUSE_LEVELS_1_NAME,
+        s.CAUSE_LEVELS_2_NAME, s.CAUSE_LEVELS_3_NAME, s.START_TIME,
+        s.UPTIME, s.DOWNTIME, s.BRANDCODE,
+        regexp_replace(regexp_replace(s.OPERATOR_COMMENT,
+          '\r\n', ' ', 'g'), '\n', ' ', 'g') AS OPERATOR_COMMENT,
+        s.CO_Trigger_Column, s.END_EPOCH, s.downtime_id
+      FROM ses s SEMI JOIN agg a ON s.CO_Identifier = a.CO_Identifier
+      WHERE s.LINE IS NOT NULL)
+    SELECT * FROM evlog""")
+
   val queries: Map[String, Q] = Map(
+    "rco_co_event_log" -> coEventLog,
     "rco_site_predicates" -> sitePredicates,
     "rco_constraint_filter" -> constraintFilter,
     "rco_gantt" -> gantt,
@@ -213,6 +243,7 @@ object RcoQueries {
     "rco_brandcode_master" -> brandcodeMaster)
 
   val oracles: Map[String, String] = Map(
+    "rco_co_event_log" -> coEventLogOracle,
     "rco_site_predicates" -> sitePredicatesOracle,
     "rco_constraint_filter" -> constraintFilterOracle,
     "rco_gantt" -> ganttOracle,
