@@ -130,7 +130,13 @@ object GanttGenerate {
     val grp = ranked.groupBy(col("CO_Identifier"), col("LINE"),
       col("MACHINE"), col("max_t"))
       .agg(max(col("rn")).as("max_rn"),
-        max_by(col("own_time"), col("rn")).as("last_final"))
+        // FILTER matters: the group's last event may emit no points
+        // (own_time null — downtime ≤1s and uptime <2s); the last
+        // emitted time then comes from an earlier event. A bare max_by
+        // would return null and silently drop the closing pair
+        // (caught by GanttPropertySpec's differential transcription).
+        expr("max_by(own_time, rn) FILTER (WHERE own_time IS NOT NULL)")
+          .as("last_final"))
     val closing = grp.filter(col("last_final") <= col("max_t"))
       .select(col("CO_Identifier"), col("LINE"), col("MACHINE"),
         col("max_t"),
