@@ -39,7 +39,7 @@ object FirstStopAfterCo {
   val ThirtyDaysSec = 30 * 86400
 
   /** CO bound rows: coAgg + win_hi + the next CO's first-event uptime. */
-  private def bounds(coAgg: DataFrame): DataFrame = {
+  private[operators] def bounds(coAgg: DataFrame): DataFrame = {
     val wLine = Window.partitionBy("LINE").orderBy("CO_Start_EPOCH")
     coAgg
       .select("CO_Identifier", "LINE", "CO_Start_EPOCH", "CO_End_EPOCH",
@@ -91,10 +91,13 @@ object FirstStopAfterCo {
   }
 
   /** First_Stop_after_CO_Data: one row per CO that has an unplanned,
-    * non-idle, non-excluded stop in its window. */
-  def firstStops(coAgg: DataFrame, fullLog: DataFrame): DataFrame = {
+    * non-idle, non-excluded stop in its window.
+    * @param assigned optionally a pre-materialized [[assignedStops]]
+    *                 (both outputs share it; see RcoPipeline). */
+  def firstStops(coAgg: DataFrame, fullLog: DataFrame,
+      assigned: Option[DataFrame] = None): DataFrame = {
     val wCo = Window.partitionBy("co_id").orderBy(col("t"), col("dtid"))
-    assignedStops(coAgg, fullLog)
+    assigned.getOrElse(assignedStops(coAgg, fullLog))
       .filter(col("Planned_Stop_Check") === 0 && col("Idle_Check") === 0 &&
         !col("isExcluded"))
       .withColumn("__rn", row_number().over(wCo))
@@ -108,8 +111,9 @@ object FirstStopAfterCo {
   }
 
   /** Total_Uptime_till_Next_CO per CO (A9), joined back onto every CO. */
-  def uptimeTillNextCo(coAgg: DataFrame, fullLog: DataFrame): DataFrame = {
-    val winUptime = assignedStops(coAgg, fullLog)
+  def uptimeTillNextCo(coAgg: DataFrame, fullLog: DataFrame,
+      assigned: Option[DataFrame] = None): DataFrame = {
+    val winUptime = assigned.getOrElse(assignedStops(coAgg, fullLog))
       .groupBy(col("co_id").as("CO_Identifier"))
       .agg(sum(col("UPTIME")).as("__win_uptime"))
     bounds(coAgg)

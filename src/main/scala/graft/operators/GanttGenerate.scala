@@ -184,17 +184,34 @@ object GanttGenerate {
       .when(col("Idle_Check") === 0, 2.3)
       .otherwise(4.0)
 
+  /** Restrict the constraint log to single-constraint lines — the
+    * constraint pass and the G3 removal only apply there
+    * (`ref/RCO_subETL_Gantt_Data_generator.R:243,388-405`); a
+    * multi-constraint line keeps ALL its machines in the
+    * non-constraint pass. `constraintCounts` = (LINE,
+    * Number_of_Constraints); None ⇒ every line is single-constraint. */
+  private def singleConstraintLog(constraintLog: DataFrame,
+      constraintCounts: Option[DataFrame]): DataFrame =
+    constraintCounts match {
+      case None => constraintLog
+      case Some(cc) => constraintLog.join(
+        broadcast(cc.filter(col("Number_of_Constraints") === 1)
+          .select(col("LINE"))),
+        Seq("LINE"), "left_semi")
+    }
+
   /** Full Gantt_Data: non-constraint pass (status 2/3) over the machine
-    * log minus constraint machines (G3), plus the constraint pass
-    * (status 1/1.7/2.3/4) over the constraint log with the CO-event
-    * flag (J6). Every line here is single-constraint, so the G3
-    * anti-removal always applies to the constraint machine. */
+    * log minus single-constraint lines' constraint machines (G3), plus
+    * the constraint pass (status 1/1.7/2.3/4) over the constraint log
+    * with the CO-event flag (J6). */
   def ganttData(coAgg: DataFrame, machineLog: DataFrame,
-      constraintLog: DataFrame): DataFrame = {
+      constraintLog: DataFrame,
+      constraintCounts: Option[DataFrame] = None): DataFrame = {
+    val consLog = singleConstraintLog(constraintLog, constraintCounts)
     val nonC = points(assign(coAgg, machineLog), lit(2.0))
-    val cons = points(assign(coAgg, constraintLog), constraintStatus)
+    val cons = points(assign(coAgg, consLog), constraintStatus)
     // G3: drop the constraint machine's rows from the non-constraint set
-    val constraintMachines = constraintLog
+    val constraintMachines = consLog
       .select(col("LINE"), col("MACHINE")).distinct()
     val nonCKept = nonC.join(constraintMachines, Seq("LINE", "MACHINE"),
       "left_anti")
@@ -204,12 +221,14 @@ object GanttGenerate {
   /** Event_Log_for_Gantt (G4): every stop feeding the Gantt points,
     * tagged with its CO, non-constraint (minus G3) ∪ constraint. */
   def eventLog(coAgg: DataFrame, machineLog: DataFrame,
-      constraintLog: DataFrame): DataFrame = {
-    val constraintMachines = constraintLog
+      constraintLog: DataFrame,
+      constraintCounts: Option[DataFrame] = None): DataFrame = {
+    val consLog = singleConstraintLog(constraintLog, constraintCounts)
+    val constraintMachines = consLog
       .select(col("LINE"), col("MACHINE")).distinct()
     val nonC = assign(coAgg, machineLog)
       .join(constraintMachines, Seq("LINE", "MACHINE"), "left_anti")
-    val cons = assign(coAgg, constraintLog)
+    val cons = assign(coAgg, consLog)
     val cols = Seq("START_TIME", "DOWNTIME", "UPTIME",
       "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME", "CAUSE_LEVELS_3_NAME",
       "BRANDCODE", "LINE", "MACHINE", "downtime_id", "CO_Identifier")

@@ -49,4 +49,17 @@ object RcoPipeline {
     spine(s, dir, p)._2
   def coAgg(s: SparkSession, dir: String, p: Sessionize.Params): DataFrame =
     spine(s, dir, p)._3
+
+  private val fsMemo =
+    new ConcurrentHashMap[(SparkSession, String, Sessionize.Params),
+      DataFrame]()
+
+  /** First-stop window assignment with cumulative uptime — shared by
+    * the first-stop and uptime-till-next-CO outputs. */
+  def firstStopAssigned(s: SparkSession, dir: String,
+      p: Sessionize.Params): DataFrame =
+    fsMemo.computeIfAbsent((s, dir, p), { _ =>
+      FirstStopAfterCo.assignedStops(coAgg(s, dir, p), fullLog(s, dir, p))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
 }

@@ -73,11 +73,13 @@ object RcoQueries {
 
   def firstStop: Q = (s, dir) =>
     FirstStopAfterCo.firstStops(RcoPipeline.coAgg(s, dir, P),
-      RcoPipeline.fullLog(s, dir, P))
+      RcoPipeline.fullLog(s, dir, P),
+      Some(RcoPipeline.firstStopAssigned(s, dir, P)))
 
   def coUptime: Q = (s, dir) =>
     FirstStopAfterCo.uptimeTillNextCo(RcoPipeline.coAgg(s, dir, P),
-      RcoPipeline.fullLog(s, dir, P))
+      RcoPipeline.fullLog(s, dir, P),
+      Some(RcoPipeline.firstStopAssigned(s, dir, P)))
 
   private def rcoWith(tail: String): String =
     s"""${RcoSql.dtCte},
