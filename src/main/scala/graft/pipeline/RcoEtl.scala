@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sinks.ParquetSinks
+
+/** Per-site end-to-end orchestration — the engine-side equivalent of
+  * `site_server_overall_etl` (`App/etl/overall_etl.py:52-240`,
+  * `ref/RCO_Overall_orchestrator.R`) and `mes_etl_main`
+  * (`App/etl/transform/mes_etl.py:23-289`): one call computes every
+  * output table of the reference pipeline from a canonical downtime +
+  * production log, honoring the per-site analysis toggles
+  * (`App/rco_main.py:95-106`), and [[load]] writes them through the
+  * idempotent sinks.
+  *
+  * A user of the reference switches by supplying their site's
+  * [[SiteParams]] (CO predicate SQL, trigger parameter, toggles) and
+  * the two canonical logs; every downstream table then derives from
+  * one shared spine (computed once — the reference's single-pass
+  * structure, here made explicit).
+  */
+object RcoEtl {
+
+  /** Site configuration (Site_Config row, SURVEY §1.2). */
+  case class SiteParams(
+      server: String,
+      coPredicateSql: String,
+      triggerParam: Double = 120.0,
+      splitOnCause: Boolean = false,
+      changeoverFailureNoSplit: Boolean = false,
+      machineLevel: Boolean = true,
+      firstStop: Boolean = true,
+      multiConstraint: Boolean = false,
+      constraintMachineSuffixes: Seq[String] = Seq("M0"))
+
+  /** All output tables, keyed by their reference names. */
+  def run(fullLog: DataFrame, prodLog: DataFrame, p: SiteParams)
+      : Map[String, DataFrame] = {
+    val sesParams = Sessionize.Params(p.triggerParam, p.splitOnCause,
+      p.changeoverFailureNoSplit)
+    val coLog = graft.model.Rco.coFilter(fullLog, p.coPredicateSql)
+    val ses = Sessionize(coLog, sesParams)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = CoAggregate(ses)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val bc = BrandcodeResolve(agg, fullLog)
+    val coAggregated = agg
+      .join(bc.select("CO_Identifier", "Current_BRANDCODE",
+        "Next_BRANDCODE", "Brandcode_Status"), Seq("CO_Identifier"))
+      .join(
+        FirstStopAfterCo.uptimeTillNextCo(agg, fullLog)
+          .select("CO_Identifier", "Total_Uptime_till_Next_CO"),
+        Seq("CO_Identifier"))
+      .withColumn("Server", lit(p.server))
+
+    val eventLog = ses
+      .join(agg.select(col("CO_Identifier")), Seq("CO_Identifier"),
+        "left_semi")
+      .withColumn("OPERATOR_COMMENT",
+        regexp_replace(regexp_replace(col("OPERATOR_COMMENT"),
+          "\\r\\n", " "), "\\n", " "))
+      .filter(col("LINE").isNotNull)
+      .withColumn("Server", lit(p.server))
+
+    val base = Map(
+      "CO_Aggregated_Data" -> coAggregated,
+      "CO_Event_Log" -> eventLog,
+      "Runtime_per_Day_data" ->
+        ProdOps.runtimePerDay(fullLog).withColumn("Server", lit(p.server)),
+      "Day_Start" ->
+        ProdOps.dayStart(fullLog).withColumn("Server", lit(p.server)),
+      "BRANDCODE_data" -> ProdOps
+        .brandcodeMaster(prodLog.filter(col("LineStatus") === "In Production"))
+        .withColumn("Server", lit(p.server)))
+
+    val withFs = if (!p.firstStop) base
+      else base + ("First_Stop_after_CO_Data" ->
+        FirstStopAfterCo.firstStops(agg, fullLog)
+          .withColumn("Server", lit(p.server)))
+
+    if (!p.machineLevel) withFs
+    else {
+      val consLog = SitePredicates
+        .constraintFilter(fullLog, p.constraintMachineSuffixes)
+        .join(ses.select(col("LINE"), col("downtime_id")).distinct()
+          .withColumn("CO_Event", lit(1)),
+          Seq("LINE", "downtime_id"), "left")
+        .na.fill(0, Seq("CO_Event"))
+      withFs +
+        ("Gantt_Data" -> GanttGenerate.ganttData(agg, fullLog, consLog)
+          .withColumn("Server", lit(p.server))) +
+        ("Event_Log_for_Gantt" -> GanttGenerate
+          .eventLog(agg, fullLog, consLog)
+          .withColumn("Server", lit(p.server)))
+    }
+  }
+
+  /** Script_Data metadata row per line (A8/S11 stats,
+    * `App/etl/overall_etl.py:200-211`). */
+  def scriptData(coAggregated: DataFrame, server: String): DataFrame =
+    coAggregated.groupBy(col("LINE"))
+      .agg(min(col("CO_StartTime")).as("First_Available_Data_Point"),
+        max(col("CO_StartTime")).as("Last_Available_Data_Point"),
+        count(lit(1)).as("Number_of_COs"))
+      .withColumn("Server", lit(server))
+
+  /** Idempotent load (S8–S11): the windowed tables go through the
+    * delete+append upsert keyed on LINE, the brandcode master through
+    * full-replace-with-dedup, Script_Data through the keyed merge. */
+  def load(spark: SparkSession, outputs: Map[String, DataFrame],
+      baseDir: String, server: String): Unit = {
+    outputs.get("CO_Aggregated_Data").foreach { df =>
+      ParquetSinks.upsertWindow(spark, df, s"$baseDir/CO_Aggregated_Data",
+        "LINE", "CO_Start_EPOCH")
+      ParquetSinks.upsertByKey(spark, scriptData(df, server),
+        s"$baseDir/Script_Data", Seq("Server", "LINE"))
+    }
+    outputs.get("BRANDCODE_data").foreach(df =>
+      ParquetSinks.replaceDedup(spark, df, s"$baseDir/BRANDCODE_data",
+        "BRANDCODE"))
+    outputs.get("Runtime_per_Day_data").foreach(df =>
+      ParquetSinks.appendAligned(spark,
+        df.dropDuplicates("Date", "LINE"),
+        s"$baseDir/Runtime_per_Day_data"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model.Rco
+import graft.pipeline.RcoEtl
+import graft.sources.Tables
+
+/** End-to-end smoke of the per-site orchestration on sf0.001. */
+class RcoEtlSpec extends GraftSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("run produces every enabled output table with rows") {
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    val out = RcoEtl.run(full, prod,
+      RcoEtl.SiteParams("TestSite", Rco.testCoPredicate))
+    val expected = Set("CO_Aggregated_Data", "CO_Event_Log",
+      "Runtime_per_Day_data", "Day_Start", "BRANDCODE_data",
+      "First_Stop_after_CO_Data", "Gantt_Data", "Event_Log_for_Gantt")
+    assert(out.keySet == expected)
+    expected.foreach(t => assert(out(t).limit(1).count() == 1,
+      s"$t should have rows"))
+    // toggles prune the optional analyses
+    val minimal = RcoEtl.run(full, prod,
+      RcoEtl.SiteParams("TestSite", Rco.testCoPredicate,
+        machineLevel = false, firstStop = false))
+    assert(!minimal.contains("Gantt_Data") &&
+      !minimal.contains("First_Stop_after_CO_Data"))
+  }
+
+  test("load is idempotent end-to-end") {
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    val out = RcoEtl.run(full, prod,
+      RcoEtl.SiteParams("TestSite", Rco.testCoPredicate,
+        machineLevel = false, firstStop = false))
+    val base = Files.createTempDirectory("graft-etl").toString
+    RcoEtl.load(spark, out, base, "TestSite")
+    def counts = Seq("CO_Aggregated_Data", "Script_Data", "BRANDCODE_data")
+      .map(t => t -> spark.read.parquet(s"$base/$t").count()).toMap
+    val first = counts
+    RcoEtl.load(spark, out, base, "TestSite")
+    assert(counts == first, "second identical load must be a no-op")
+  }
+}
