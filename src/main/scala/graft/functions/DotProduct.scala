@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native dot product over two `array<double>` columns.
+  *
+  * The composable formulation — `aggregate(zip_with(a, b, (x,y)->x*y),
+  * 0.0, (acc,v)->acc+v)` — materializes an intermediate array per row
+  * and evaluates two lambda closures per element. For a similarity scan
+  * that touches every vector of a 100 TB corpus that's the hot path, so
+  * this is the one place the engine drops to a custom Catalyst
+  * `Expression` (SURVEY §2.12 ladder: built-ins → native Expression):
+  * a fused, allocation-free loop with whole-stage codegen.
+  *
+  * Accumulation is left-to-right starting at 0.0 — bit-identical to the
+  * fold it replaces, so DuckDB oracle parity is preserved (verified by
+  * DotProductSpec and the llm_knn gate).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      ${ev.value} = 0.0;
+      for (int $i = 0; $i < $n; $i++) {
+        ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(newLeft, newRight)
+}
+
+/** Registration of the engine's native functions via the public
+  * `SparkSessionExtensions` hook: session builders add
+  * `.withExtensions(GraftFunctions.install)`, after which
+  * `graft_dot(a, b)` resolves in SQL text and
+  * `functions.call_function("graft_dot", ...)` in the DataFrame API. */
+object GraftFunctions {
+  val dotProduct: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName,
+        "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
+
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(dotProduct)
+}

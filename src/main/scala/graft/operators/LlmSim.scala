@@ -34,9 +34,13 @@ object LlmSim {
   val IvfTopK = 3
   val IvfDims = 4
 
-  /** Left-to-right dot product of two double arrays. */
+  /** Left-to-right dot product via the native codegen'd
+    * [[graft.functions.DotProduct]] expression (bit-identical to the
+    * zip_with+aggregate fold it replaces — see DotProductSpec).
+    * Requires `GraftFunctions.install` on the session (all graft
+    * session builders do this). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   private def withVec(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
