@@ -16,12 +16,49 @@ object ProdOps {
   /** A3: per (day, line) summed uptime + the MSU proxy summed downtime.
     * The reference extracts the log twice and merges two single-agg
     * frames (`data_from_mdc.py:237-249`); one grouped aggregate produces
-    * the identical result with one shuffle. */
-  def runtimePerDay(fullDtLog: DataFrame): DataFrame =
-    fullDtLog
+    * the identical result with one shuffle.
+    * @param clampDay     F11: cap runtime at 1440 min/day
+    *                     (`ref/RCO_Maple_orchestrator.R:184`)
+    * @param dropFirstDay F11: drop each line's first (partial) date
+    *                     (`ref/RCO_Maple_orchestrator.R:179-183`) */
+  def runtimePerDay(fullDtLog: DataFrame, clampDay: Boolean = false,
+      dropFirstDay: Boolean = false): DataFrame = {
+    val agg = fullDtLog
       .groupBy(to_date(col("START_TIME")).as("Date"), col("LINE"))
       .agg(round(sum(col("UPTIME")), 4).as("Runtime"),
         round(sum(col("DOWNTIME")), 4).as("Production_MSU"))
+    val clamped =
+      if (!clampDay) agg
+      else agg.withColumn("Runtime", least(col("Runtime"), lit(1440.0)))
+    if (!dropFirstDay) clamped
+    else clamped
+      .withColumn("__min_date",
+        min(col("Date")).over(Window.partitionBy("LINE")))
+      .filter(col("Date") > col("__min_date"))
+      .drop("__min_date")
+  }
+
+  /** Adaptive decimal reduction
+    * (`ref/RCO_Overall_orchestrator.R:119-131`): round each listed
+    * double column to 1–5 places chosen from its mean |magnitude| —
+    * big-valued columns get coarse rounding. The magnitude probe is one
+    * driver-side aggregate over all columns (not a per-column pass). */
+  def roundAdaptive(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val magnitudes = df
+      .select(cols.map(c => avg(abs(col(c))).as(c)): _*)
+      .collect().headOption
+    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      val mean = magnitudes.map(r =>
+        if (r.isNullAt(i)) 0.0 else r.getDouble(i)).getOrElse(0.0)
+      val places =
+        if (mean >= 1000) 1
+        else if (mean >= 100) 2
+        else if (mean >= 10) 3
+        else if (mean >= 1) 4
+        else 5
+      d.withColumn(c, round(col(c), places))
+    }
+  }
 
   /** A6 + F12: detect each line's production-day start hour — the modal
     * (majority-filtered) first-event hour-of-day.
