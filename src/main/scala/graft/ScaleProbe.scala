@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Rco
+import graft.operators._
+import graft.sources.Tables
+
+/** Scale-up probe (not part of the driver contract): synthesizes K×
+  * the sf0.1 event log in two shapes and times the RCO spine +
+  * downstream operators on each, to test the claims in COVERAGE.md:
+  *
+  *  - `wide`:  K× more LINEs (new user_id ranges) — partition
+  *    parallelism should absorb this linearly;
+  *  - `dense`: K× more events per LINE (time-shifted copies) — the
+  *    stress case for the per-LINE window formulations, whose state is
+  *    a sort per partition, so this should also stay near-linear (and
+  *    NOT quadratic like the reference's per-CO loops).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=… sbt "runMain graft.ScaleProbe 10"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftFunctions.install)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.events(spark, sfDir)
+    def copyN(shift: Int => DataFrame => DataFrame): DataFrame =
+      (0 until k).map(i => shift(i)(base)).reduce(_ unionByName _)
+
+    val wide = copyN(i => df => df
+      .withColumn("user_id", col("user_id") + lit(i * 100000))
+      .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+    val dense = copyN(i => df => df
+      .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
+      .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+
+    def bench(tag: String, events: DataFrame): Unit = {
+      val dir = s"/tmp/graft_scale_$tag"
+      events.write.mode("overwrite").parquet(dir)
+      val ev = spark.read.parquet(dir)
+      val full = Rco.downtimeLogDeduped(ev)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ses = Sessionize(Rco.coFilter(full, Rco.testCoPredicate),
+        Sessionize.Params(120.0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val agg = CoAggregate(ses)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def time(name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"$tag%-6s $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      time("spine")(agg) // materializes full+ses+agg
+      time("brandcode")(BrandcodeResolve(agg, full))
+      time("first_stop")(FirstStopAfterCo.firstStops(agg, full))
+      time("gantt") {
+        val cons = full.filter(col("MACHINE").endsWith(" M0"))
+          .join(ses.select(col("LINE"), col("downtime_id")).distinct()
+            .withColumn("CO_Event", lit(1)),
+            Seq("LINE", "downtime_id"), "left")
+          .na.fill(0, Seq("CO_Event"))
+        GanttGenerate.ganttData(agg, full, cons)
+      }
+      println(s"$tag rows=${ev.count()} lines=" +
+        full.select("LINE").distinct().count())
+      Seq(full, ses, agg).foreach(_.unpersist())
+    }
+
+    bench("base1x", base)
+    bench("wide", wide)
+    bench("dense", dense)
+    spark.stop()
+  }
+}
