@@ -119,7 +119,10 @@ object BrandcodeResolve {
           .otherwise(lit("")))
       .select(col("CO_Identifier"), col("Current_BRANDCODE"))
 
+    // one row per CO; consumed by the Next stream AND the final join —
+    // persist so the Current pass (union + two window sorts) runs once
     val co = nbr.join(current, Seq("CO_Identifier"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- Next pass: stream keyed at event uptime-start / CO start.
     val nextStream = ev

@@ -91,6 +91,9 @@ object GanttGenerate {
       .withColumn("last_prev",
         last(col("own_time"), ignoreNulls = true)
           .over(wRn.rowsBetween(Window.unboundedPreceding, -1)))
+      // consumed twice (point explosion + closing-pair aggregate):
+      // persist so the assignment join + per-group sorts run once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def pt(t: Column, s: Column, pk: Column, seq: Column) =
       struct(t.as("t"), s.as("s"), pk.as("pk"), seq.cast("long").as("seq"))
