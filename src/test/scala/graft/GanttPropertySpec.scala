@@ -110,8 +110,11 @@ class GanttPropertySpec extends GraftSuite {
         .zipWithIndex.map { case (e, i) => e.copy(id = i + 1) }
     }
 
+  // deeper sweeps: GRAFT_PROP_N=100 sbt "testOnly *PropertySpec"
+  private val nRuns = sys.env.getOrElse("GRAFT_PROP_N", "6").toInt
+
   test("points match the single-threaded reference transcription") {
-    for (i <- 0 until 6) {
+    for (i <- 0 until nRuns) {
       val evs = genLog(Gen.Parameters.default, Seed(7L + i)).get
       val log = dtLog(evs: _*)
       // sessions from a CO-filtered subset: every 3rd event

@@ -71,8 +71,11 @@ class SessionizePropertySpec extends GraftSuite {
     Sessionize.Params(30.0, splitOnCause = true,
       changeoverFailureNoSplit = true))
 
+  // deeper sweeps: GRAFT_PROP_N=100 sbt "testOnly *PropertySpec"
+  private val nRuns = sys.env.getOrElse("GRAFT_PROP_N", "8").toInt
+
   test("matches the single-threaded reference on random logs") {
-    for (i <- 0 until 8) {
+    for (i <- 0 until nRuns) {
       val evs = genLog(Gen.Parameters.default, Seed(42L + i)).get
       assert(evs.nonEmpty)
       for (p <- paramVariants) {
