@@ -43,20 +43,25 @@ object Bench {
     // size; the min reflects the steady-state plan the judge should see.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
-      val times = (1 to 2).map { _ =>
+      // only SUCCESSFUL runs count toward the min — a fast failure must
+      // not masquerade as a fast query
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(name)
-        catch { case e: Throwable =>
-          if (!errors.contains(name)) errors += name
+        try {
+          run(name)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case _: Throwable =>
+            if (!errors.contains(name)) errors += name
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.minOption.getOrElse(-1.0)
     }
     def q(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED: $errors")
     spark.stop()

@@ -54,6 +54,19 @@ object GanttGenerate {
 
   private val wCoM = Window.partitionBy("CO_Identifier", "MACHINE")
 
+  /** Canonical constraint-machine log: the configured constraint
+    * machines (F1) + the J6 CO-event flag from the session log (left
+    * join + fill 0, `App/etl/transform/machine_level.py:212-215`).
+    * Single construction point shared by the query wiring and RcoEtl —
+    * the SQL twin is [[GanttGenerateSql.consCte]]. */
+  def constraintLog(fullLog: DataFrame, sessionized: DataFrame,
+      machineSuffixes: Seq[String]): DataFrame =
+    SitePredicates.constraintFilter(fullLog, machineSuffixes)
+      .join(sessionized.select(col("LINE"), col("downtime_id")).distinct()
+        .withColumn("CO_Event", lit(1)),
+        Seq("LINE", "downtime_id"), "left")
+      .na.fill(0, Seq("CO_Event"))
+
   /** Range-join stops to CO Gantt windows (G1 window filter:
     * event end > window start AND event start < window end). */
   def assign(coAgg: DataFrame, stops: DataFrame): DataFrame = {

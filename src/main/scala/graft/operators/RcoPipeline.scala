@@ -62,4 +62,20 @@ object RcoPipeline {
       FirstStopAfterCo.assignedStops(coAgg(s, dir, p), fullLog(s, dir, p))
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
+
+  /** Release every cached frame this session pinned (memoized spines
+    * and assigned streams). Long-lived sessions that run many sf-dirs
+    * or parameter sets should call this between batches — persisted
+    * blocks otherwise accumulate until eviction pressure. */
+  def clear(s: SparkSession): Unit = {
+    memo.forEach { (k, v) =>
+      if (k._1 eq s) {
+        Seq(v._1, v._2, v._3).foreach(_.unpersist())
+        memo.remove(k)
+      }
+    }
+    fsMemo.forEach { (k, v) =>
+      if (k._1 eq s) { v.unpersist(); fsMemo.remove(k) }
+    }
+  }
 }

@@ -134,18 +134,9 @@ object RcoQueries {
            StatFactor, tally
     FROM bm"""
 
-  /** Constraint-machine log: each line's " M0" machine + the J6 CO-event
-    * flag (left join + fill 0,
-    * `App/etl/transform/machine_level.py:212-215`). */
   private def consLog(s: SparkSession, dir: String): DataFrame =
-    RcoPipeline.fullLog(s, dir, P)
-      .filter(col("MACHINE").endsWith(" M0"))
-      .join(
-        RcoPipeline.sessionized(s, dir, P)
-          .select(col("LINE"), col("downtime_id")).distinct()
-          .withColumn("CO_Event", lit(1)),
-        Seq("LINE", "downtime_id"), "left")
-      .na.fill(0, Seq("CO_Event"))
+    GanttGenerate.constraintLog(RcoPipeline.fullLog(s, dir, P),
+      RcoPipeline.sessionized(s, dir, P), Seq("M0"))
 
   def gantt: Q = (s, dir) =>
     GanttGenerate.ganttData(RcoPipeline.coAgg(s, dir, P),

@@ -35,8 +35,11 @@ object RcoEtl {
       multiConstraint: Boolean = false,
       constraintMachineSuffixes: Seq[String] = Seq("M0"))
 
-  /** All output tables, keyed by their reference names. */
-  def run(fullLog: DataFrame, prodLog: DataFrame, p: SiteParams)
+  /** All output tables, keyed by their reference names.
+    * @param constraintCounts optional (LINE, Number_of_Constraints) —
+    *        multi-constraint lines skip the Gantt constraint pass */
+  def run(fullLog: DataFrame, prodLog: DataFrame, p: SiteParams,
+      constraintCounts: Option[DataFrame] = None)
       : Map[String, DataFrame] = {
     val sesParams = Sessionize.Params(p.triggerParam, p.splitOnCause,
       p.changeoverFailureNoSplit)
@@ -45,13 +48,21 @@ object RcoEtl {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val agg = CoAggregate(ses)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared by uptime-till-next-CO and first-stop (computed once)
+    val assigned = FirstStopAfterCo.assignedStops(agg, fullLog)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bc = BrandcodeResolve(agg, fullLog)
     val coAggregated = agg
+      // MultiConstraint sites report the prorated downtime
+      // (`App/etl/transform/mes_etl.py:225-230` divides in place)
+      .withColumn("CO_DOWNTIME",
+        if (p.multiConstraint) col("CO_DOWNTIME_prorated")
+        else col("CO_DOWNTIME"))
       .join(bc.select("CO_Identifier", "Current_BRANDCODE",
         "Next_BRANDCODE", "Brandcode_Status"), Seq("CO_Identifier"))
       .join(
-        FirstStopAfterCo.uptimeTillNextCo(agg, fullLog)
+        FirstStopAfterCo.uptimeTillNextCo(agg, fullLog, Some(assigned))
           .select("CO_Identifier", "Total_Uptime_till_Next_CO"),
         Seq("CO_Identifier"))
       .withColumn("Server", lit(p.server))
@@ -78,22 +89,19 @@ object RcoEtl {
 
     val withFs = if (!p.firstStop) base
       else base + ("First_Stop_after_CO_Data" ->
-        FirstStopAfterCo.firstStops(agg, fullLog)
+        FirstStopAfterCo.firstStops(agg, fullLog, Some(assigned))
           .withColumn("Server", lit(p.server)))
 
     if (!p.machineLevel) withFs
     else {
-      val consLog = SitePredicates
-        .constraintFilter(fullLog, p.constraintMachineSuffixes)
-        .join(ses.select(col("LINE"), col("downtime_id")).distinct()
-          .withColumn("CO_Event", lit(1)),
-          Seq("LINE", "downtime_id"), "left")
-        .na.fill(0, Seq("CO_Event"))
+      val consLog = GanttGenerate.constraintLog(fullLog, ses,
+        p.constraintMachineSuffixes)
       withFs +
-        ("Gantt_Data" -> GanttGenerate.ganttData(agg, fullLog, consLog)
+        ("Gantt_Data" -> GanttGenerate
+          .ganttData(agg, fullLog, consLog, constraintCounts)
           .withColumn("Server", lit(p.server))) +
         ("Event_Log_for_Gantt" -> GanttGenerate
-          .eventLog(agg, fullLog, consLog)
+          .eventLog(agg, fullLog, consLog, constraintCounts)
           .withColumn("Server", lit(p.server)))
     }
   }
@@ -121,9 +129,10 @@ object RcoEtl {
     outputs.get("BRANDCODE_data").foreach(df =>
       ParquetSinks.replaceDedup(spark, df, s"$baseDir/BRANDCODE_data",
         "BRANDCODE"))
+    // keyed merge, NOT a plain append — re-running the same load must
+    // not duplicate daily rows (the idempotency contract above)
     outputs.get("Runtime_per_Day_data").foreach(df =>
-      ParquetSinks.appendAligned(spark,
-        df.dropDuplicates("Date", "LINE"),
-        s"$baseDir/Runtime_per_Day_data"))
+      ParquetSinks.upsertByKey(spark, df,
+        s"$baseDir/Runtime_per_Day_data", Seq("Server", "Date", "LINE")))
   }
 }

@@ -22,8 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object ParquetSinks {
 
-  private def exists(spark: SparkSession, path: String): Boolean =
-    new java.io.File(path).exists()
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    // Hadoop FileSystem, not java.io.File: a non-local path (hdfs://,
+    // s3a://) would otherwise always read as "missing" and every sink
+    // would silently degrade to a blind append.
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** S8: schema-aligned append (`App/etl/overall_etl.py:12-43`,
     * `ref/RCO_Overall_orchestrator.R:134-165`): reorder to the live

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.time.{Instant, ZoneOffset}
+import java.time.{Instant, ZoneId}
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -64,21 +64,28 @@ object StreamingSessionize {
       else afterSplit
   }
 
-  private def dateOf(epoch: Double): String =
-    Instant.ofEpochSecond(epoch.toLong).atZone(ZoneOffset.UTC)
+  private def dateOf(epoch: Double, zone: ZoneId): String =
+    Instant.ofEpochSecond(epoch.toLong).atZone(zone)
       .toLocalDate.toString
 
-  def sessionId(line: String, e: EvIn): String =
-    s"$line - ${dateOf(e.START_EPOCH)} - ${e.downtime_id.take(10)}"
+  def sessionId(line: String, e: EvIn, zone: ZoneId): String =
+    s"$line - ${dateOf(e.START_EPOCH, zone)} - ${e.downtime_id.take(10)}"
 
-  /** One group-batch step: fold sorted events through the state. */
-  def processLine(p: Sessionize.Params)(line: String, it: Iterator[EvIn],
-      state: GroupState[LineState]): Iterator[EvOut] = {
+  /** One group-batch step: fold sorted events through the state.
+    * @param zoneId session timezone id — the batch operator renders the
+    *               id date via `cast(timestamp as string)`, which uses
+    *               `spark.sql.session.timeZone`; parity requires the
+    *               same zone here (captured at plan build, serialized
+    *               as a string to the executors). */
+  def processLine(p: Sessionize.Params, zoneId: String)(line: String,
+      it: Iterator[EvIn], state: GroupState[LineState])
+      : Iterator[EvOut] = {
+    val zone = ZoneId.of(zoneId)
     var st = state.getOption
     val out = it.toIndexedSeq.sortBy(e => (e.START_EPOCH, e.dtid)).map {
       e =>
         val trig = trigger(p, st, e)
-        val id = if (trig == 1) sessionId(line, e) else st.get.curId
+        val id = if (trig == 1) sessionId(line, e, zone) else st.get.curId
         st = Some(LineState(e.END_EPOCH, e.trigCol, e.BRANDCODE, id))
         EvOut(line, e.downtime_id, trig, id)
     }
@@ -92,8 +99,10 @@ object StreamingSessionize {
   def apply(events: Dataset[EvIn], p: Sessionize.Params)
       : Dataset[EvOut] = {
     import events.sparkSession.implicits._
+    val zoneId = events.sparkSession.conf
+      .get("spark.sql.session.timeZone", ZoneId.systemDefault().getId)
     events.groupByKey(_.LINE)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(processLine(p))
+        GroupStateTimeout.NoTimeout)(processLine(p, zoneId))
   }
 }

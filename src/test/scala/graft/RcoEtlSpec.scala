@@ -38,7 +38,8 @@ class RcoEtlSpec extends GraftSuite {
         machineLevel = false, firstStop = false))
     val base = Files.createTempDirectory("graft-etl").toString
     RcoEtl.load(spark, out, base, "TestSite")
-    def counts = Seq("CO_Aggregated_Data", "Script_Data", "BRANDCODE_data")
+    def counts = Seq("CO_Aggregated_Data", "Script_Data",
+      "BRANDCODE_data", "Runtime_per_Day_data")
       .map(t => t -> spark.read.parquet(s"$base/$t").count()).toMap
     val first = counts
     RcoEtl.load(spark, out, base, "TestSite")
