@@ -26,7 +26,8 @@ object LlmQueries {
     "llm_knn" -> ((s, d) => LlmSim.knnBrute(embs(s, d))),
     "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
-    "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))))
+    "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
+    "llm_curation" -> ((s, d) => LlmText.curate(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -37,5 +38,6 @@ object LlmQueries {
     "llm_knn" -> LlmSimSql.knnBruteSql,
     "llm_knn_ivf" -> LlmSimSql.knnIvfSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
-    "llm_multimodal" -> MultimodalSql.mediaStatsSql)
+    "llm_multimodal" -> MultimodalSql.mediaStatsSql,
+    "llm_curation" -> LlmTextSql.curateSql())
 }

@@ -103,6 +103,24 @@ object LlmText {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Training-set curation: the end-to-end composition a data pipeline
+    * actually runs — keep documents that (a) clear a quality bar,
+    * (b) look like the target language, and (c) are not near-duplicates
+    * of a kept lower-id document. Composes [[textStats]] and
+    * [[dedupNear]]; the dedup side stays a bucketed equi-join. */
+  def curate(documents: DataFrame, minQuality: Double = 0.5,
+      lang: String = "en"): DataFrame = {
+    val quality = textStats(documents)
+      .filter(col("quality_score") >= minQuality &&
+        col("lang_guess") === lang)
+      .select(col("doc_id"), col("quality_score"))
+    // drop the higher-id member of each near-dup pair (keep-min rule)
+    val dupLosers = dedupNear(documents)
+      .select(col("id_b").as("doc_id")).distinct()
+    quality.join(dupLosers, Seq("doc_id"), "left_anti")
+      .withColumn("kept", lit(1))
+  }
+
   /** 16-bit SimHash over all tokens (with multiplicity): bit p of the
     * fingerprint is the sign of Σ ±1 over tokens, where a token votes +1
     * iff the p-th hex nibble of its md5 has its high bit set. */
@@ -231,6 +249,14 @@ object LlmTextSql {
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver
     WHERE j >= $JaccardThreshold"""
   }
+
+  def curateSql(minQuality: Double = 0.5, lang: String = "en"): String =
+    s"""WITH stats AS (${LlmTextSql.textStatsSql}),
+    losers AS (SELECT DISTINCT id_b AS doc_id
+      FROM (${LlmTextSql.dedupNearSql}))
+    SELECT s.doc_id, s.quality_score, 1 AS kept
+    FROM stats s ANTI JOIN losers USING (doc_id)
+    WHERE s.quality_score >= $minQuality AND s.lang_guess = '$lang'"""
 
   val simhashSql: String = {
     val sums = (1 to 16).map(p =>
