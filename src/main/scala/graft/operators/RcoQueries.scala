@@ -22,17 +22,15 @@ object RcoQueries {
   val Psplit = Sessionize.Params(triggerParam = 120.0, splitOnCause = true,
     changeoverFailureNoSplit = true)
 
-  private def coLog(s: SparkSession, dir: String): DataFrame =
-    Rco.coFilter(Rco.downtimeLogDeduped(Tables.events(s, dir)),
-      Rco.testCoPredicate)
-
   private val sesCols = Seq("CO_Identifier", "LINE", "downtime_id",
     "START_TIME", "DOWNTIME", "UPTIME", "BRANDCODE", "CO_Trigger_Column",
     "CO_Trigger", "MinutesDifference")
 
   def sessionize(params: Sessionize.Params): Q = (s, dir) => {
     val ses = if (params == P) RcoPipeline.sessionized(s, dir, P)
-      else Sessionize(coLog(s, dir), params)
+      else Sessionize(
+        Rco.coFilter(RcoPipeline.fullLog(s, dir, P), Rco.testCoPredicate),
+        params)
     ses.select(sesCols.map(col): _*)
   }
 
