@@ -65,6 +65,26 @@ class SessionizeSpec extends GraftSuite {
     gapCase(44, 1)
   }
 
+  test("thresholds are strict: gaps exactly at 2P/3 and P split") {
+    // gap exactly 20 min (= 2P/3), different trio+brand: disjunct 4
+    // requires gap < 2P/3 strictly -> new session
+    val atTwoThirds = Sessionize(dtLog(
+      Ev("L1", 1000, 10, id = 1, c1 = "a", BRANDCODE = "B1"),
+      Ev("L1", 1600 + 20 * 60, 10, id = 2, c1 = "b", BRANDCODE = "B2")), P)
+    assert(triggers(atTwoThirds)("2") == 1)
+    // gap exactly 30 min (= P), same trio+brand: disjuncts 1/3 strict,
+    // but disjunct 2 (gap < 4P/3 with same trio AND brand) still joins
+    val atP = Sessionize(dtLog(
+      Ev("L1", 1000, 10, id = 1),
+      Ev("L1", 1600 + 30 * 60, 10, id = 2)), P)
+    assert(triggers(atP)("2") == 0)
+    // gap exactly P with same trio but different brand: all fail
+    val atPDiffBrand = Sessionize(dtLog(
+      Ev("L1", 1000, 10, id = 1, BRANDCODE = "B1"),
+      Ev("L1", 1600 + 30 * 60, 10, id = 2, BRANDCODE = "B2")), P)
+    assert(triggers(atPDiffBrand)("2") == 1)
+  }
+
   test("negative gap (overlapping events) joins the session") {
     val out = Sessionize(dtLog(
       Ev("L1", 1000, 60, id = 1, c1 = "a", BRANDCODE = "B1"),
