@@ -55,8 +55,10 @@ object RcoQueries {
     FROM agg"""
 
   def brandcode: Q = (s, dir) =>
-    BrandcodeResolve(RcoPipeline.coAgg(s, dir, P),
-      RcoPipeline.fullLog(s, dir, P))
+    RcoPipeline.memoized("brandcode", s, dir) {
+      BrandcodeResolve(RcoPipeline.coAgg(s, dir, P),
+        RcoPipeline.fullLog(s, dir, P))
+    }
 
   private val brandcodeOracle: String =
     s"""${RcoSql.dtCte},
@@ -136,13 +138,16 @@ object RcoQueries {
     GanttGenerate.constraintLog(RcoPipeline.fullLog(s, dir, P),
       RcoPipeline.sessionized(s, dir, P), Seq("M0"))
 
-  def gantt: Q = (s, dir) =>
+  def gantt: Q = (s, dir) => RcoPipeline.memoized("gantt", s, dir) {
     GanttGenerate.ganttData(RcoPipeline.coAgg(s, dir, P),
       RcoPipeline.fullLog(s, dir, P), consLog(s, dir))
+  }
 
   def ganttEvents: Q = (s, dir) =>
-    GanttGenerate.eventLog(RcoPipeline.coAgg(s, dir, P),
-      RcoPipeline.fullLog(s, dir, P), consLog(s, dir))
+    RcoPipeline.memoized("gantt_events", s, dir) {
+      GanttGenerate.eventLog(RcoPipeline.coAgg(s, dir, P),
+        RcoPipeline.fullLog(s, dir, P), consLog(s, dir))
+    }
 
   private val ganttOracle: String = rcoWith(
     s"""${GanttGenerateSql.ganttSql}
