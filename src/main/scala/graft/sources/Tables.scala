@@ -31,6 +31,11 @@ object Tables {
     * corrupt them). DuckDB reads the same column as TIMESTAMP_NS natively,
     * so both engines see identical µs/second truncations. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // The driver may hand us a session without this conf (it is a
+    // runtime-settable SQLConf); without it the ns-timestamp read
+    // throws [PARQUET_TYPE_ILLEGAL] before reaching the else-branch.
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     val raw = read(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
