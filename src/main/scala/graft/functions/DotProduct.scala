@@ -20,13 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Accumulation is left-to-right starting at 0.0 — bit-identical to the
   * fold it replaces, so DuckDB oracle parity is preserved (verified by
-  * DotProductSpec and the llm_knn gate).
+  * DotProductSpec and the llm_knn gate). The degenerate cases follow
+  * the fold too: mismatched lengths (zip_with pads with null → null
+  * product → null sum) and any null element both yield NULL, rather
+  * than silently truncating or reading undefined slots.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // the result can be null even for non-null inputs (length mismatch /
+  // null element), so nullability must not be inferred from the children
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -43,10 +49,12 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -59,10 +67,15 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-      int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      int $n = $a.numElements();
       ${ev.value} = 0.0;
-      for (int $i = 0; $i < $n; $i++) {
-        ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+      if ($n != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+        }
       }
       """
     })

@@ -9,13 +9,19 @@ object GanttGenerateSql {
   import GanttGenerate.{MinutesAfter, MinutesBefore}
 
   /** Constraint log: constraint machines of each line + J6 CO-event
-    * flag from the session log. */
-  val consCte: String =
-    """cons AS (SELECT d.*, CASE WHEN s.downtime_id IS NOT NULL
+    * flag from the session log. Generated from the same suffix list as
+    * the Spark side ([[GanttGenerate.constraintLog]]) with the same
+    * LINE-prefix equality — a LIKE '% M0' would also match a machine
+    * with that suffix belonging to a different line. */
+  def consCte(suffixes: Seq[String] = Seq("M0")): String = {
+    val pred = suffixes
+      .map(sfx => s"d.MACHINE = d.LINE || ' $sfx'").mkString(" OR ")
+    s"""cons AS (SELECT d.*, CASE WHEN s.downtime_id IS NOT NULL
           THEN 1 ELSE 0 END AS CO_Event
       FROM dt d LEFT JOIN (SELECT DISTINCT LINE, downtime_id FROM ses) s
         USING (LINE, downtime_id)
-      WHERE d.MACHINE LIKE '% M0')"""
+      WHERE $pred)"""
+  }
 
   val constraintStatusSql: String =
     """CASE WHEN CO_Event = 1 THEN 1.0
@@ -100,7 +106,7 @@ object GanttGenerateSql {
 
   /** Gantt_Data: both passes + G3 anti-removal + W11 correction. */
   val ganttSql: String =
-    s"""$consCte,
+    s"""${consCte()},
     ${kernelCtes("n", "dt", "2.0")},
     ${kernelCtes("c", "cons", constraintStatusSql)},
     consmach AS (SELECT DISTINCT LINE, MACHINE FROM cons),
@@ -128,7 +134,7 @@ object GanttGenerateSql {
       round(UPTIME * 60 / 60, 2) AS UPTIME, CAUSE_LEVELS_1_NAME,
       CAUSE_LEVELS_2_NAME, CAUSE_LEVELS_3_NAME, BRANDCODE, LINE, MACHINE,
       downtime_id, CO_Identifier"""
-    s"""$consCte,
+    s"""${consCte()},
     ${asgCte("en", "dt")},
     ${asgCte("ec", "cons")},
     consmach AS (SELECT DISTINCT LINE, MACHINE FROM cons),

@@ -64,17 +64,20 @@ object RcoPipeline {
     })
 
   private val outMemo =
-    new ConcurrentHashMap[(String, SparkSession, String), DataFrame]()
+    new ConcurrentHashMap[(String, SparkSession, String, Sessionize.Params),
+      DataFrame]()
 
-  /** Memoize a named output table per (session, sf-dir): operators that
-    * persist internal frames (Gantt's ranked stops, brandcode's CO
-    * frame) would otherwise pin a NEW set of cached blocks on every
-    * invocation of the same query — e.g. Bench's warmup + 2 timed runs
-    * tripled the Gantt cache footprint. One output table per run is
-    * also the reference's semantics. */
-  def memoized(name: String, s: SparkSession, dir: String)
-      (build: => DataFrame): DataFrame =
-    outMemo.computeIfAbsent((name, s, dir), _ => build)
+  /** Memoize a named output table per (session, sf-dir, site params):
+    * operators that persist internal frames (Gantt's ranked stops,
+    * brandcode's CO frame) would otherwise pin a NEW set of cached
+    * blocks on every invocation of the same query — e.g. Bench's warmup
+    * + 2 timed runs tripled the Gantt cache footprint. One output table
+    * per run is also the reference's semantics. Params are part of the
+    * key (mirroring spine/fsMemo) so two sites sharing a session never
+    * alias each other's outputs. */
+  def memoized(name: String, s: SparkSession, dir: String,
+      p: Sessionize.Params)(build: => DataFrame): DataFrame =
+    outMemo.computeIfAbsent((name, s, dir, p), _ => build)
 
   /** Release every cached frame this session pinned (memoized spines
     * and assigned streams). Long-lived sessions that run many sf-dirs

@@ -55,7 +55,7 @@ object RcoQueries {
     FROM agg"""
 
   def brandcode: Q = (s, dir) =>
-    RcoPipeline.memoized("brandcode", s, dir) {
+    RcoPipeline.memoized("brandcode", s, dir, P) {
       BrandcodeResolve(RcoPipeline.coAgg(s, dir, P),
         RcoPipeline.fullLog(s, dir, P))
     }
@@ -138,13 +138,13 @@ object RcoQueries {
     GanttGenerate.constraintLog(RcoPipeline.fullLog(s, dir, P),
       RcoPipeline.sessionized(s, dir, P), Seq("M0"))
 
-  def gantt: Q = (s, dir) => RcoPipeline.memoized("gantt", s, dir) {
+  def gantt: Q = (s, dir) => RcoPipeline.memoized("gantt", s, dir, P) {
     GanttGenerate.ganttData(RcoPipeline.coAgg(s, dir, P),
       RcoPipeline.fullLog(s, dir, P), consLog(s, dir))
   }
 
   def ganttEvents: Q = (s, dir) =>
-    RcoPipeline.memoized("gantt_events", s, dir) {
+    RcoPipeline.memoized("gantt_events", s, dir, P) {
       GanttGenerate.eventLog(RcoPipeline.coAgg(s, dir, P),
         RcoPipeline.fullLog(s, dir, P), consLog(s, dir))
     }

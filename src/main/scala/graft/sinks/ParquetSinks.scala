@@ -14,20 +14,51 @@ import org.apache.spark.sql.functions._
   * `ref/RCO_Overall_orchestrator.R:304-317`). SinksSpec asserts this.
   *
   * Scale notes: [[upsertWindow]] partitions the table by the upsert key
-  * and uses DYNAMIC partition overwrite, so a load rewrites only the
-  * partitions it touches — the parquet analogue of the reference's
-  * per-line windowed DELETE. Rewritten data is localCheckpoint-ed
-  * first because Spark (correctly) refuses plans that overwrite a path
-  * they are still reading.
+  * and rewrites only the partitions it touches — the parquet analogue
+  * of the reference's per-line windowed DELETE. Rewriting sinks never
+  * overwrite the path they are reading: output is staged to a sibling
+  * `__tmp` dir and swapped in by rename only after the write action has
+  * fully completed, so a mid-write failure leaves the original table
+  * intact (on a transactional table format this would be a MERGE /
+  * replaceWhere commit instead).
   */
 object ParquetSinks {
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     // Hadoop FileSystem, not java.io.File: a non-local path (hdfs://,
     // s3a://) would otherwise always read as "missing" and every sink
     // would silently degrade to a blind append.
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    fsOf(spark, path).exists(new Path(path))
+  }
+
+  /** Replace `dest` with `tmp` via rename, keeping `dest` as a backup
+    * until the new data is in place. Rewriting sinks stage their output
+    * to a sibling temp dir and swap it in here: the source table is
+    * only removed AFTER the replacement is fully written, so an
+    * executor loss / OOM mid-write can no longer destroy the table the
+    * way an in-place Overwrite (even a checkpointed one) could — the
+    * failure mode is a leftover `__tmp` dir, not data loss. */
+  private def swapDir(fs: FileSystem, tmp: Path, dest: Path): Unit = {
+    val backup = new Path(dest.getParent, dest.getName + "__old")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(dest) && !fs.rename(dest, backup))
+      sys.error(s"sink swap: could not move $dest aside")
+    if (!fs.rename(tmp, dest)) {
+      // restore the original so the table is never left missing
+      if (fs.exists(backup)) fs.rename(backup, dest)
+      sys.error(s"sink swap: could not move $tmp into place at $dest")
+    }
+    if (fs.exists(backup)) fs.delete(backup, true)
+  }
+
+  private def tmpPath(dest: String): Path = {
+    val d = new Path(dest)
+    new Path(d.getParent, d.getName + "__tmp")
   }
 
   /** S8: schema-aligned append (`App/etl/overall_etl.py:12-43`,
@@ -58,17 +89,24 @@ object ParquetSinks {
     }
     val bounds = newDf.groupBy(col(keyCol))
       .agg((min(col(timeCol)) - padSec).as("__threshold"))
-    // inner join keeps only touched keys; dynamic overwrite leaves the
-    // other partitions alone.
+    // inner join keeps only touched keys; only their partition dirs are
+    // rewritten (staged to a temp dir, then swapped in per partition).
     val keptOld = spark.read.parquet(path)
       .join(broadcast(bounds), Seq(keyCol))
       .filter(col(timeCol) < col("__threshold"))
       .drop("__threshold")
-      .localCheckpoint(true)
+    val tmp = tmpPath(path)
+    val fs = fsOf(spark, path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     keptOld.unionByName(newDf.select(keptOld.columns.map(col): _*))
       .write.partitionBy(keyCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode(SaveMode.Overwrite).parquet(path)
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Swap each touched `key=value` dir into the live table; untouched
+    // partitions are never read or rewritten.
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { st =>
+      swapDir(fs, st.getPath, new Path(path, st.getPath.getName))
+    }
+    fs.delete(tmp, true)
   }
 
   /** S10: full-replace-with-dedup
@@ -83,9 +121,12 @@ object ParquetSinks {
     }
     val kept = spark.read.parquet(path)
       .join(newDf.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .localCheckpoint(true)
+    val tmp = tmpPath(path)
+    val fs = fsOf(spark, path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     kept.unionByName(newDf.select(kept.columns.map(col): _*))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapDir(fs, tmp, new Path(path))
   }
 
   /** S11: metadata upsert (`App/etl/overall_etl.py:186-232`,
@@ -100,8 +141,11 @@ object ParquetSinks {
     val kept = spark.read.parquet(path)
       .join(newDf.select(keyCols.map(col): _*).distinct(), keyCols,
         "left_anti")
-      .localCheckpoint(true)
+    val tmp = tmpPath(path)
+    val fs = fsOf(spark, path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     kept.unionByName(newDf.select(kept.columns.map(col): _*))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapDir(fs, tmp, new Path(path))
   }
 }

@@ -44,6 +44,18 @@ class DotProductSpec extends GraftSuite {
     assert(r.getDouble(0) == 1.5 * 0.7 + -2.25 * 0.3 + 3.0 * -1.1 + 0.1 * 2.0)
   }
 
+  test("mismatched lengths and null elements match the fold: NULL") {
+    // zip_with pads the shorter array with null → null product → null
+    // sum; a null element does the same. The native expression must
+    // agree rather than truncate / read undefined slots.
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](2.0, 5.0)))
+      .toDF("a", "b")
+    val rows = df.select(nativeDot.as("n"), foldDot.as("f")).collect()
+    rows.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
+
   test("null inputs yield null; type mismatch is rejected") {
     val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
       .toDF("a", "b")

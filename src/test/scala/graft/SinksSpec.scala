@@ -14,9 +14,16 @@ class SinksSpec extends GraftSuite {
   private def tmp(): String =
     Files.createTempDirectory("graft-sink").resolve("t").toString
 
-  private def rows(path: String): Set[String] =
+  private def rows(path: String): Set[String] = {
+    // the atomic-swap staging dirs must never survive a completed load
+    val dirs = Seq(new java.io.File(path).getParentFile,
+      new java.io.File(path)) // table siblings + partition-level backups
+    val leftovers = dirs.flatMap(d => Option(d.list()).getOrElse(Array.empty))
+      .filter(n => n.endsWith("__tmp") || n.endsWith("__old"))
+    assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.toSeq}")
     spark.read.parquet(path).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+  }
 
   test("appendAligned reorders, null-fills missing, drops extra columns") {
     val path = tmp()
