@@ -25,6 +25,7 @@ object LlmQueries {
     "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
     "llm_knn" -> ((s, d) => LlmSim.knnBrute(embs(s, d))),
     "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))),
+    "llm_knn_ivf2" -> ((s, d) => LlmSim.knnIvfTrained(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
     "llm_curation" -> ((s, d) => LlmText.curate(docs(s, d))))
@@ -37,6 +38,7 @@ object LlmQueries {
     "llm_textstats" -> LlmTextSql.textStatsSql,
     "llm_knn" -> LlmSimSql.knnBruteSql,
     "llm_knn_ivf" -> LlmSimSql.knnIvfSql,
+    "llm_knn_ivf2" -> LlmSimSql.knnIvfTrainedSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     "llm_multimodal" -> MultimodalSql.mediaStatsSql,
     "llm_curation" -> LlmTextSql.curateSql())

@@ -108,6 +108,59 @@ object LlmSim {
         dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
     ranked(pairs, IvfTopK)
   }
+
+  val Nprobe = 2
+
+  /** IVF with a TRAINED codebook + multi-probe — the production ANN
+    * shape. Training is one Lloyd step seeded by the deterministic sign
+    * cells: centroid = dimension-wise mean of the cell's members. The
+    * corpus is inverted into its nearest centroid's list; each query
+    * probes its [[Nprobe]] nearest centroids, so recall recovers from
+    * boundary effects the single-cell variant misses while the plan
+    * stays an equi-join on cent_id with a ≤16-row broadcast codebook
+    * (no cross join; assignment is map-side against the broadcast).
+    *
+    * Determinism for the DuckDB gate: centroid sums fold in vec_id
+    * order (at production scale a plain `avg` suffices; order-exactness
+    * only matters for the bit-exact oracle), assignment/top-k rank on
+    * round(·,6) with id tie-breaks. Keep in sync with
+    * [[LlmSimSql.knnIvfTrainedSql]]. */
+  def knnIvfTrained(embeddings: DataFrame): DataFrame = {
+    val e = withVec(embeddings).withColumn("cell", cell(col("v")))
+    val dims = e.select(col("cell"), col("vec_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val sums = dims.groupBy(col("cell"), col("pos"))
+      .agg(
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("vec_id"), col("x")))),
+            s => s("x")),
+          lit(0.0), (acc, v) => acc + v).as("sum"),
+        count(lit(1)).as("n"))
+      .withColumn("c", col("sum") / col("n"))
+    val cents = sums.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s("c")).as("cv"))
+      .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
+      .select(col("cell").as("cent_id"), col("cv"), col("cnorm"))
+    val simw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim_r").desc, col("cent_id"))
+    val sims = e.crossJoin(broadcast(cents))
+      .withColumn("sim_r",
+        round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
+      .withColumn("nr", row_number().over(simw))
+    val corpus = sims.filter(col("nr") === 1)
+      .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
+    val probes = sims
+      .filter(col("vec_id") % QueryMod === 0 && col("nr") <= Nprobe)
+      .select(col("cent_id"), col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val pairs = probes.join(corpus, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    ranked(pairs, IvfTopK)
+  }
 }
 
 /** DuckDB twin of [[LlmSim]]. The dot product is spelled as the same
@@ -165,6 +218,41 @@ object LlmSimSql {
     pairs AS (SELECT qid, ec.vec_id,
       ${dot("qv", "v")} / (qnorm * norm) AS cos
       FROM q JOIN ec USING (cell) WHERE ec.vec_id <> qid),
+    rk AS (SELECT qid, vec_id, round(cos, 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank
+      FROM pairs)
+    SELECT qid, vec_id, cosine, rank FROM rk WHERE rank <= $IvfTopK"""
+
+  /** Twin of [[LlmSim.knnIvfTrained]]: same seed cells, same vec_id-
+    * ordered centroid fold, same round(·,6)+id tie-break ranking. */
+  val knnIvfTrainedSql: String =
+    s"""WITH $eCte,
+    ec AS (SELECT *, $cellExpr AS cell FROM e),
+    dims AS (SELECT cell, vec_id, t.i AS pos, v[t.i] AS x
+      FROM ec CROSS JOIN generate_series(1, 64) AS t(i)),
+    sums AS (SELECT cell, pos,
+      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        list(x ORDER BY vec_id)), (acc, y) -> acc + y) AS s,
+      count(*) AS n
+      FROM dims GROUP BY cell, pos),
+    cents AS (SELECT cell AS cent_id, list(s / n ORDER BY pos) AS cv
+      FROM sums GROUP BY cell),
+    centn AS (SELECT cent_id, cv, sqrt(${dot("cv", "cv")}) AS cnorm
+      FROM cents),
+    sims0 AS (SELECT ec.vec_id, ec.v, ec.norm, c.cent_id,
+      round(${dot("ec.v", "c.cv")} / (ec.norm * c.cnorm), 6) AS sim_r
+      FROM ec CROSS JOIN centn c),
+    sims AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY sim_r DESC, cent_id) AS nr
+      FROM sims0),
+    corpus AS (SELECT cent_id, vec_id, v, norm FROM sims WHERE nr = 1),
+    probes AS (SELECT cent_id, vec_id AS qid, v AS qv, norm AS qnorm
+      FROM sims WHERE vec_id % $QueryMod = 0 AND nr <= ${LlmSim.Nprobe}),
+    pairs AS (SELECT qid, corpus.vec_id,
+      ${dot("qv", "v")} / (qnorm * norm) AS cos
+      FROM probes JOIN corpus USING (cent_id)
+      WHERE corpus.vec_id <> qid),
     rk AS (SELECT qid, vec_id, round(cos, 6) AS cosine,
       CAST(row_number() OVER (PARTITION BY qid
         ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank
