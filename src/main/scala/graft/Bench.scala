@@ -46,6 +46,12 @@ object Bench {
       // only SUCCESSFUL runs count toward the min — a fast failure must
       // not masquerade as a fast query
       val times = (1 to 2).flatMap { _ =>
+        // Pay accumulated-garbage collection OUTSIDE the timed window:
+        // earlier queries' shuffle/broadcast/codegen debris otherwise
+        // lands as a GC pause inside whichever query runs next
+        // (observed 2-3x inflation of mid-bench queries vs isolated
+        // runs of the same plan).
+        System.gc()
         val t0 = System.nanoTime()
         try {
           run(name)
