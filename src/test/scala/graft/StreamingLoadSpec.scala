@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingLoad, StreamingRuntime}
+
+/** Stream → windowed aggregate → parquet upsert: updated windows must
+  * replace their stored rows (no duplicates), untouched windows must
+  * survive — the streaming T2 reconciliation contract. */
+class StreamingLoadSpec extends GraftSuite {
+  import spark.implicits._
+
+  case class E(START_TIME: java.sql.Timestamp, LINE: String,
+      UPTIME: Double, DOWNTIME: Double)
+
+  private def ts(hour: Int) =
+    java.sql.Timestamp.valueOf(f"2026-01-0${hour / 24 + 1}%d " +
+      f"${hour % 24}%02d:00:00")
+
+  test("micro-batches upsert windows; reopened windows don't duplicate") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sload")
+    val path = dir.resolve("rt").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[E]
+    val query = StreamingLoad.upsertTo(
+      StreamingRuntime(input.toDF()), path, ckpt)
+    try {
+      input.addData(E(ts(1), "L1", 10, 1), E(ts(3), "L2", 5, 0.5))
+      query.processAllAvailable()
+      // second batch REOPENS L1's day-1 window (inside lateness) —
+      // the stored L1 row must be replaced, not appended to
+      input.addData(E(ts(5), "L1", 20, 2))
+      query.processAllAvailable()
+      val out = spark.read.parquet(path)
+        .select(col("LINE"),
+          date_format(col("window_start"), "yyyy-MM-dd").as("d"),
+          col("Runtime"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      assert(out.length == 2, s"one row per (line, window): ${out.toSeq}")
+      assert(out.toSet == Set(("L1", "2026-01-01", 30.0),
+        ("L2", "2026-01-01", 5.0)))
+    } finally query.stop()
+  }
+}
