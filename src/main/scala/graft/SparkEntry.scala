@@ -46,5 +46,6 @@ object SparkEntry {
     "rco_gantt",
     "llm_dedup_near",
     "llm_knn",
+    "llm_knn_ivf2",
     "llm_textstats")
 }

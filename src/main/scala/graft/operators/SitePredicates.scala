@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   * optimizes and pushes it down like any built-in filter, which
   * subsumes the pandas-query grammar.
   *
-  * Each catalog entry re-expresses one reference site's rule shape over
-  * the canonical column model (equality, contains, case-variant
-  * contains, negation, null-guard, multi-column disjunction — every
-  * construct in the R catalog appears at least once). Sites whose rules
-  * hinge on columns outside the canonical model (LINE_SUBSTATE,
+  * The catalog carries ALL 24 server branches of the R dispatch, each
+  * re-expressing that site's rule shape over the canonical column model
+  * (equality, contains, case-variant contains, negation, null-guard,
+  * multi-column disjunction, IN-lists, shared branches). Sites whose
+  * rules hinge on columns outside the canonical model (LINE_SUBSTATE,
   * Reason*Category) are expressed over their canonical stand-ins.
   */
 object SitePredicates {
@@ -61,7 +61,83 @@ object SitePredicates {
     "Rakona LIQ" ->
       """CAUSE_LEVELS_1_NAME IN ('error', 'click')
          AND contains(CAUSE_LEVELS_2_NAME, 'K')
-         AND NOT contains(CAUSE_LEVELS_3_NAME, 'M2')""")
+         AND NOT contains(CAUSE_LEVELS_3_NAME, 'M2')""",
+    // 3-way substate disjunction × equality × (equality|contains)
+    // (`ref/RCO_MES_ETL.R:7-11`)
+    "Lima SUD" ->
+      """(contains(CAUSE_LEVELS_3_NAME, 'M0')
+          OR contains(CAUSE_LEVELS_3_NAME, 'M2')
+          OR contains(CAUSE_LEVELS_2_NAME, 'Changeover'))
+         AND CAUSE_LEVELS_1_NAME = 'error'
+         AND (CAUSE_LEVELS_2_NAME = 'K1'
+              OR contains(CAUSE_LEVELS_2_NAME, 'K3'))""",
+    // substate disjunction × bare equality (`ref/RCO_MES_ETL.R:17-19`)
+    "Rakona DL" ->
+      """(contains(CAUSE_LEVELS_3_NAME, 'M1')
+          OR contains(CAUSE_LEVELS_3_NAME, 'M2'))
+         AND CAUSE_LEVELS_2_NAME = 'K2'""",
+    // equality × (equality|contains) (`ref/RCO_MES_ETL.R:20-21`)
+    "Amiens SUD" ->
+      """CAUSE_LEVELS_1_NAME = 'purchase'
+         AND (CAUSE_LEVELS_2_NAME = 'K0'
+              OR contains(CAUSE_LEVELS_2_NAME, 'K'))""",
+    // shares the Alex SUD branch verbatim (`ref/RCO_MES_ETL.R:22`)
+    "Alex SUD Proficy" ->
+      """CAUSE_LEVELS_1_NAME = 'purchase'
+         AND (CAUSE_LEVELS_2_NAME = 'K2'
+              OR contains(CAUSE_LEVELS_2_NAME, 'K4'))
+         AND CAUSE_LEVELS_1_NAME IS NOT NULL""",
+    // server-name prefix group: (equality|contains) × contains × contains
+    // (`ref/RCO_MES_ETL.R:25-28`)
+    "Amiens FE" ->
+      """(CAUSE_LEVELS_3_NAME = 'M0'
+          OR contains(CAUSE_LEVELS_3_NAME, 'M'))
+         AND contains(CAUSE_LEVELS_1_NAME, 'err')
+         AND contains(CAUSE_LEVELS_2_NAME, 'K1')""",
+    // contains × contains × negated contains on aux reason columns
+    // (`ref/RCO_MES_ETL.R:29-30`)
+    "Novo" ->
+      """contains(CAUSE_LEVELS_3_NAME, 'M')
+         AND contains(CAUSE_LEVELS_2_NAME, 'K')
+         AND NOT contains(CAUSE_LEVELS_3_NAME, 'M2')""",
+    // equality × contains (`ref/RCO_MES_ETL.R:41-42`)
+    "Gattatico" ->
+      """CAUSE_LEVELS_1_NAME = 'click'
+         AND contains(CAUSE_LEVELS_2_NAME, 'Changeover')""",
+    // equality × leading-space contains (`ref/RCO_MES_ETL.R:43-44`)
+    "London HDW" ->
+      """CAUSE_LEVELS_1_NAME = 'error'
+         AND contains(CAUSE_LEVELS_2_NAME, 'Failure')""",
+    // 2-way equality disjunction × contains (`ref/RCO_MES_ETL.R:45-46`)
+    "Gebze HDW" ->
+      """(CAUSE_LEVELS_2_NAME = 'K0' OR CAUSE_LEVELS_2_NAME = 'K1')
+         AND contains(CAUSE_LEVELS_1_NAME, 'pur')""",
+    // equality-or-contains on one column (`ref/RCO_MES_ETL.R:54-55`)
+    "Lima LIQ" ->
+      """CAUSE_LEVELS_1_NAME = 'view'
+         OR contains(CAUSE_LEVELS_1_NAME, 'click')""",
+    // single contains on level 3 (`ref/RCO_MES_ETL.R:56-57`)
+    "Chengdu" -> "contains(CAUSE_LEVELS_3_NAME, 'M1')",
+    // (equality AND equality) OR equality (`ref/RCO_MES_ETL.R:58-60`)
+    "Binh Duong" ->
+      """(CAUSE_LEVELS_1_NAME = 'error' AND CAUSE_LEVELS_2_NAME = 'K1')
+         OR CAUSE_LEVELS_1_NAME = 'purchase'""",
+    // 3-way code contains (`ref/RCO_MES_ETL.R:61-62`)
+    "Gebze BabyCare" ->
+      """contains(CAUSE_LEVELS_2_NAME, 'K0')
+         OR contains(CAUSE_LEVELS_2_NAME, 'K1')
+         OR contains(CAUSE_LEVELS_2_NAME, 'K2')""",
+    // aux-category equality × upper-cased contains
+    // (`ref/RCO_MES_ETL.R:63-64`)
+    "Gebze FemCare" ->
+      """CAUSE_LEVELS_1_NAME = 'signup'
+         AND contains(upper(CAUSE_LEVELS_2_NAME), 'CHANGEOVER')""",
+    // single contains on level 1 (`ref/RCO_MES_ETL.R:65-66`)
+    "Alexandria HDL" -> "contains(CAUSE_LEVELS_1_NAME, 'chase')",
+    // equality × contains (`ref/RCO_MES_ETL.R:67-69`)
+    "Alexandria DL" ->
+      """CAUSE_LEVELS_1_NAME = 'click'
+         AND contains(CAUSE_LEVELS_2_NAME, 'K2')""")
 
   /** F1 (`App/etl/extract/data_from_mdc.py:62-69,89`): keep events of
     * the configured constraint machines, where the config ships machine
