@@ -116,7 +116,10 @@ object RcoEtl {
       .withColumn("Server", lit(server))
 
   /** Idempotent load (S8–S11): the windowed tables go through the
-    * delete+append upsert keyed on LINE, the brandcode master through
+    * delete+append upsert keyed on LINE — including the S9 CASCADE to
+    * the event-log / Gantt / first-stop tables with the reference's
+    * pads (`ref/RCO_Overall_orchestrator.R:302-499`: event log by event
+    * end, Gantt with a 20-minute pad) — the brandcode master through
     * full-replace-with-dedup, Script_Data through the keyed merge. */
   def load(spark: SparkSession, outputs: Map[String, DataFrame],
       baseDir: String, server: String): Unit = {
@@ -126,6 +129,19 @@ object RcoEtl {
       ParquetSinks.upsertByKey(spark, scriptData(df, server),
         s"$baseDir/Script_Data", Seq("Server", "LINE"))
     }
+    outputs.get("CO_Event_Log").foreach(df =>
+      ParquetSinks.upsertWindow(spark, df, s"$baseDir/CO_Event_Log",
+        "LINE", "END_EPOCH"))
+    outputs.get("First_Stop_after_CO_Data").foreach(df =>
+      ParquetSinks.upsertWindow(spark, df,
+        s"$baseDir/First_Stop_after_CO_Data", "LINE", "START_TIME"))
+    outputs.get("Gantt_Data").foreach(df =>
+      ParquetSinks.upsertWindow(spark, df, s"$baseDir/Gantt_Data",
+        "Line", "StartTime", padSec = 20 * 60.0))
+    outputs.get("Event_Log_for_Gantt").foreach(df =>
+      ParquetSinks.upsertWindow(spark, df,
+        s"$baseDir/Event_Log_for_Gantt", "LINE", "START_TIME",
+        padSec = 20 * 60.0))
     outputs.get("BRANDCODE_data").foreach(df =>
       ParquetSinks.replaceDedup(spark, df, s"$baseDir/BRANDCODE_data",
         "BRANDCODE"))

@@ -87,13 +87,15 @@ object ParquetSinks {
       newDf.write.partitionBy(keyCol).mode(SaveMode.Append).parquet(path)
       return
     }
+    // cast("double") lets the time axis be numeric epoch OR timestamp
+    // (timestamps cast to fractional epoch seconds)
     val bounds = newDf.groupBy(col(keyCol))
-      .agg((min(col(timeCol)) - padSec).as("__threshold"))
+      .agg((min(col(timeCol).cast("double")) - padSec).as("__threshold"))
     // inner join keeps only touched keys; only their partition dirs are
     // rewritten (staged to a temp dir, then swapped in per partition).
     val keptOld = spark.read.parquet(path)
       .join(broadcast(bounds), Seq(keyCol))
-      .filter(col(timeCol) < col("__threshold"))
+      .filter(col(timeCol).cast("double") < col("__threshold"))
       .drop("__threshold")
     val tmp = tmpPath(path)
     val fs = fsOf(spark, path)

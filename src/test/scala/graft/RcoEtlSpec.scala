@@ -30,18 +30,19 @@ class RcoEtlSpec extends GraftSuite {
       !minimal.contains("First_Stop_after_CO_Data"))
   }
 
-  test("load is idempotent end-to-end") {
+  test("load is idempotent end-to-end, including the S9 cascade") {
     val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
     val prod = Rco.productionLog(Tables.events(spark, dir))
     val out = RcoEtl.run(full, prod,
-      RcoEtl.SiteParams("TestSite", Rco.testCoPredicate,
-        machineLevel = false, firstStop = false))
+      RcoEtl.SiteParams("TestSite", Rco.testCoPredicate))
     val base = Files.createTempDirectory("graft-etl").toString
     RcoEtl.load(spark, out, base, "TestSite")
     def counts = Seq("CO_Aggregated_Data", "Script_Data",
-      "BRANDCODE_data", "Runtime_per_Day_data")
+      "BRANDCODE_data", "Runtime_per_Day_data", "CO_Event_Log",
+      "First_Stop_after_CO_Data", "Gantt_Data", "Event_Log_for_Gantt")
       .map(t => t -> spark.read.parquet(s"$base/$t").count()).toMap
     val first = counts
+    assert(first.values.forall(_ > 0), s"all tables written: $first")
     RcoEtl.load(spark, out, base, "TestSite")
     assert(counts == first, "second identical load must be a no-op")
   }
