@@ -106,6 +106,26 @@ object RcoEtl {
     }
   }
 
+  /** Entry-point-1 semantics (`App/rco_main.py:90-118`,
+    * `ref/RCO_Overall_orchestrator.R`): iterate the site-config rows,
+    * run+load each site independently, and capture a per-site status —
+    * one failing site must not abort the fleet (the reference's run log
+    * records `Success` / `Failure (reason)` per server and continues).
+    * Returns the run-log map in config order. */
+  def runSites(spark: SparkSession, sites: Seq[SiteParams],
+      fullLog: DataFrame, prodLog: DataFrame, baseDir: String)
+      : Map[String, String] =
+    sites.map { p =>
+      p.server -> (try {
+        load(spark, run(fullLog, prodLog, p), baseDir, p.server)
+        "Success"
+      } catch {
+        case e: Throwable => s"Failure (${e.getClass.getSimpleName}: " +
+          s"${Option(e.getMessage).getOrElse("").linesIterator.take(1)
+            .mkString})"
+      })
+    }.toMap
+
   /** Script_Data metadata row per line (A8/S11 stats,
     * `App/etl/overall_etl.py:200-211`). */
   def scriptData(coAggregated: DataFrame, server: String): DataFrame =

@@ -30,6 +30,22 @@ class RcoEtlSpec extends GraftSuite {
       !minimal.contains("First_Stop_after_CO_Data"))
   }
 
+  test("runSites isolates per-site failures and records the run log") {
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    val base = Files.createTempDirectory("graft-fleet").toString
+    val log = RcoEtl.runSites(spark, Seq(
+      RcoEtl.SiteParams("GoodSite", Rco.testCoPredicate,
+        machineLevel = false, firstStop = false),
+      RcoEtl.SiteParams("BadSite", "NO_SUCH_COLUMN = 'x'",
+        machineLevel = false, firstStop = false)),
+      full, prod, base)
+    assert(log("GoodSite") == "Success")
+    assert(log("BadSite").startsWith("Failure ("), log("BadSite"))
+    // the good site's tables landed despite the bad site
+    assert(spark.read.parquet(s"$base/CO_Aggregated_Data").count() > 0)
+  }
+
   test("load is idempotent end-to-end, including the S9 cascade") {
     val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
     val prod = Rco.productionLog(Tables.events(spark, dir))
