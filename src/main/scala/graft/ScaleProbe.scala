@@ -80,6 +80,32 @@ object ScaleProbe {
     bench("base1x", base)
     bench("wide", wide)
     bench("dense", dense)
+
+    // LLM path: K× the embeddings corpus (fresh vec_ids; dim content
+    // perturbed per copy via a deterministic shift so near-dup buckets
+    // don't explode artificially). Bucketed IVF should scale linearly
+    // in corpus size; knnBrute is the quadratic-ish baseline foil.
+    val embBase = Tables.embeddings(spark, sfDir)
+    val embK = (0 until k).map(i => embBase
+      .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(i * 0.01f))))
+      .reduce(_ unionByName _)
+    def timeEmb(tag: String, e: DataFrame): Unit = {
+      val dir = s"/tmp/graft_scale_emb_$tag"
+      e.write.mode("overwrite").parquet(dir)
+      val ev = spark.read.parquet(dir)
+      Seq("ivf2" -> (() => LlmSim.knnIvfTrained(ev)),
+          "ivf1" -> (() => LlmSim.knnIvf(ev)),
+          "brute" -> (() => LlmSim.knnBrute(ev))).foreach { case (n, f) =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        println(f"emb_$tag%-6s $n%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+          s" rows=${ev.count()}")
+      }
+    }
+    timeEmb("1x", embBase)
+    timeEmb(s"${k}x", embK)
     spark.stop()
   }
 }
