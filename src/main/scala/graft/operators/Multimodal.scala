@@ -79,6 +79,28 @@ object Multimodal {
     import spark.implicits._
     mediaTable(documents).as[MediaRecord]
   }
+
+  /** Resize stage: same partition-preserving typed shape as
+    * [[extractFeatures]]; the pixel resampling itself is the stub —
+    * a deterministic byte stride to `targetBytes` stands in for the
+    * codec's scaler, while the pipeline-visible contract (binary in,
+    * smaller binary out, metadata preserved, bounded output size) is
+    * real and asserted by MultimodalSpec. */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int)
+      : Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.content.length <= targetBytes) m
+        else {
+          val stride = m.content.length.toDouble / targetBytes
+          val out = Array.tabulate(targetBytes)(i =>
+            m.content((i * stride).toInt))
+          MediaRecord(m.doc_id, m.modality, out)
+        }
+      }
+    }
+  }
 }
 
 /** DuckDB twin of [[Multimodal.mediaStats]]. */

@@ -38,6 +38,19 @@ class MultimodalSpec extends GraftSuite {
     assert(again(2L) == feats(2L).histogram.toSeq)
   }
 
+  test("resize bounds content size, preserves metadata and small rows") {
+    val m = Multimodal.mediaDataset(spark, docs)
+    val out = Multimodal.resize(m, 8).collect().map(r => r.doc_id -> r).toMap
+    assert(out(0L).content.length == 8) // 12 bytes → resampled to 8
+    assert(out(1L).content.sameElements("zz".getBytes)) // under target
+    assert(out(2L).content.length == 8)
+    assert(out(0L).modality ==
+      Multimodal.mediaDataset(spark, docs).collect()
+        .find(_.doc_id == 0L).get.modality)
+    // deterministic stride: first byte survives
+    assert(out(2L).content(0) == 'h'.toByte)
+  }
+
   test("partition count is preserved (one decoder init per partition)") {
     val ds = Multimodal.mediaDataset(spark, docs).repartition(3)
     assert(Multimodal.extractFeatures(ds).rdd.getNumPartitions == 3)
