@@ -127,13 +127,37 @@ object RcoEtl {
     }.toMap
 
   /** Script_Data metadata row per line (A8/S11 stats,
-    * `App/etl/overall_etl.py:200-211`). */
-  def scriptData(coAggregated: DataFrame, server: String): DataFrame =
-    coAggregated.groupBy(col("LINE"))
+    * `App/etl/overall_etl.py:200-211`) enriched with the line's
+    * day-start hour and constraint count the way the reference
+    * orchestrator fills them (`ref/RCO_Overall_orchestrator.R:259-278`:
+    * Day_Start_hours from the Day_Start table, default 6; NA
+    * Number_of_Constraints → 1, raised by the multi-constraint
+    * config when larger). */
+  def scriptData(coAggregated: DataFrame, server: String,
+      dayStart: Option[DataFrame] = None,
+      constraintCounts: Option[DataFrame] = None): DataFrame = {
+    val base = coAggregated.groupBy(col("LINE"))
       .agg(min(col("CO_StartTime")).as("First_Available_Data_Point"),
         max(col("CO_StartTime")).as("Last_Available_Data_Point"),
         count(lit(1)).as("Number_of_COs"))
+    val withDs = dayStart match {
+      case Some(ds) => base.join(
+        broadcast(ds.select(col("LINE"), col("Day_Start_hours"))),
+        Seq("LINE"), "left")
+      case None =>
+        base.withColumn("Day_Start_hours", lit(null).cast("double"))
+    }
+    val withCc = constraintCounts match {
+      case Some(cc) => withDs.join(
+        broadcast(cc.select(col("LINE"), col("Number_of_Constraints"))),
+        Seq("LINE"), "left")
+      case None =>
+        withDs.withColumn("Number_of_Constraints", lit(null).cast("int"))
+    }
+    withCc
+      .na.fill(Map("Day_Start_hours" -> 6.0, "Number_of_Constraints" -> 1))
       .withColumn("Server", lit(server))
+  }
 
   /** Idempotent load (S8–S11): the windowed tables go through the
     * delete+append upsert keyed on LINE — including the S9 CASCADE to
@@ -146,7 +170,8 @@ object RcoEtl {
     outputs.get("CO_Aggregated_Data").foreach { df =>
       ParquetSinks.upsertWindow(spark, df, s"$baseDir/CO_Aggregated_Data",
         "LINE", "CO_Start_EPOCH")
-      ParquetSinks.upsertByKey(spark, scriptData(df, server),
+      ParquetSinks.upsertByKey(spark,
+        scriptData(df, server, outputs.get("Day_Start")),
         s"$baseDir/Script_Data", Seq("Server", "LINE"))
     }
     outputs.get("CO_Event_Log").foreach(df =>

@@ -46,6 +46,21 @@ class RcoEtlSpec extends GraftSuite {
     assert(spark.read.parquet(s"$base/CO_Aggregated_Data").count() > 0)
   }
 
+  test("scriptData fills day-start (default 6) and constraint count (1)") {
+    import spark.implicits._
+    val co = Seq(("CO1", "L1", java.sql.Timestamp.valueOf("2026-01-01 06:00:00")),
+      ("CO2", "L2", java.sql.Timestamp.valueOf("2026-01-02 07:00:00")))
+      .toDF("CO_Identifier", "LINE", "CO_StartTime")
+    val ds = Seq(("L1", 5.5)).toDF("LINE", "Day_Start_hours")
+    val cc = Seq(("L2", 3)).toDF("LINE", "Number_of_Constraints")
+    val rows = RcoEtl.scriptData(co, "S", Some(ds), Some(cc))
+      .collect().map(r => r.getAs[String]("LINE") ->
+        ((r.getAs[Double]("Day_Start_hours"),
+          r.getAs[Int]("Number_of_Constraints")))).toMap
+    assert(rows("L1") == ((5.5, 1)), "configured day-start, default count")
+    assert(rows("L2") == ((6.0, 3)), "default day-start, configured count")
+  }
+
   test("load is idempotent end-to-end, including the S9 cascade") {
     val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
     val prod = Rco.productionLog(Tables.events(spark, dir))
