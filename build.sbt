@@ -28,6 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // 32 local executor threads + persisted pipeline spines need headroom;
   // 8g forces full-GC thrash once the later bench queries run (observed
-  // 3-15x slowdowns for whichever queries run last). Box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 3-15x slowdowns for whichever queries run last), and at 32g the
+  // Gantt ranked-stops cache still gets evicted under a full bench
+  // (bimodal 2s/5s draws). Box has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
