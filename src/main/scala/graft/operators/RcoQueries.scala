@@ -21,6 +21,8 @@ object RcoQueries {
   val P = Sessionize.Params(triggerParam = 120.0)
   val Psplit = Sessionize.Params(triggerParam = 120.0, splitOnCause = true,
     changeoverFailureNoSplit = true)
+  /** The Python port's disjunct-4 factor (SURVEY §7.4a compat). */
+  val Ppy = Sessionize.Params(triggerParam = 120.0, pythonFactor4 = true)
 
   private val sesCols = Seq("CO_Identifier", "LINE", "downtime_id",
     "START_TIME", "DOWNTIME", "UPTIME", "BRANDCODE", "CO_Trigger_Column",
@@ -229,6 +231,7 @@ object RcoQueries {
     "rco_gantt_events" -> ganttEvents,
     "rco_sessionize" -> sessionize(P),
     "rco_sessionize_split" -> sessionize(Psplit),
+    "rco_sessionize_pyfork" -> sessionize(Ppy),
     "rco_co_agg" -> coAgg,
     "rco_brandcode" -> brandcode,
     "rco_first_stop" -> firstStop,
@@ -246,6 +249,7 @@ object RcoQueries {
     "rco_gantt_events" -> ganttEventsOracle,
     "rco_sessionize" -> sessionizeOracle(P),
     "rco_sessionize_split" -> sessionizeOracle(Psplit),
+    "rco_sessionize_pyfork" -> sessionizeOracle(Ppy),
     "rco_co_agg" -> coAggOracle,
     "rco_brandcode" -> brandcodeOracle,
     "rco_first_stop" -> firstStopOracle,

@@ -48,11 +48,18 @@ object Sessionize {
 
   /** @param triggerParam             site CO_Trigger_Parameter, minutes
     * @param splitOnCause             Split_COs_based_on_Cause_Model=="yes"
-    * @param changeoverFailureNoSplit Lima-SUD Changeover-Failure rule */
+    * @param changeoverFailureNoSplit Lima-SUD Changeover-Failure rule
+    * @param pythonFactor4            compat switch for the documented
+    *        R/Python fork in disjunct 4 (SURVEY §7.4a): false = the
+    *        R-authoritative `P/3*2` (`ref/RCO_MES_ETL.R:122`), true =
+    *        the Python port's `P*3/2`
+    *        (`App/etl/transform/mes_etl.py:106`) for users migrating
+    *        from the Python deployment */
   case class Params(
       triggerParam: Double = 30.0,
       splitOnCause: Boolean = false,
-      changeoverFailureNoSplit: Boolean = false)
+      changeoverFailureNoSplit: Boolean = false,
+      pythonFactor4: Boolean = false)
 
   val w = Window.partitionBy("LINE").orderBy(col("START_EPOCH"), col("dtid"))
   private val wFill = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -79,13 +86,15 @@ object Sessionize {
     val gap = col("MinutesDifference")
     val sameTrig = col("CO_Trigger_Column") === col("__prev_trig")
     val sameBrand = col("BRANDCODE") === col("__prev_brand")
-    // Threshold arithmetic mirrors R's literal shapes (P*4/3, P/3*2) so
-    // IEEE evaluation order — hence the doubles — matches the oracle.
+    // Threshold arithmetic mirrors the reference's literal shapes
+    // (P*4/3, P/3*2 resp. P*3/2) so IEEE evaluation order — hence the
+    // doubles — matches the oracle.
+    val factor4 = if (p.pythonFactor4) pr * 3 / 2 else pr / 3 * 2
     val sameCo =
       (gap < pr && sameTrig) ||
         (gap < pr * 4 / 3 && sameTrig && sameBrand) ||
         (gap < pr && sameBrand) ||
-        (gap < pr / 3 * 2)
+        (gap < factor4)
 
     val base = when(sameCo, 0).otherwise(1)
     val afterSplit =
@@ -122,12 +131,13 @@ object SessionizeSql {
     * CO_Trigger/CO_Identifier. */
   def sesCte(predicate: String, p: Sessionize.Params): String = {
     val pr = p.triggerParam
+    val f4 = if (p.pythonFactor4) s"$pr*3/2" else s"$pr/3*2"
     val base = s"""CASE WHEN
       (gap < $pr AND CO_Trigger_Column = prev_trig) OR
       (gap < $pr*4/3 AND CO_Trigger_Column = prev_trig
          AND BRANDCODE = prev_brand) OR
       (gap < $pr AND BRANDCODE = prev_brand) OR
-      (gap < $pr/3*2)
+      (gap < $f4)
       THEN 0 ELSE 1 END"""
     val afterSplit =
       if (!p.splitOnCause) base

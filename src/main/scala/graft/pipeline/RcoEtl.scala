@@ -30,6 +30,7 @@ object RcoEtl {
       triggerParam: Double = 120.0,
       splitOnCause: Boolean = false,
       changeoverFailureNoSplit: Boolean = false,
+      pythonFactor4: Boolean = false,
       machineLevel: Boolean = true,
       firstStop: Boolean = true,
       multiConstraint: Boolean = false,
@@ -42,7 +43,7 @@ object RcoEtl {
       constraintCounts: Option[DataFrame] = None)
       : Map[String, DataFrame] = {
     val sesParams = Sessionize.Params(p.triggerParam, p.splitOnCause,
-      p.changeoverFailureNoSplit)
+      p.changeoverFailureNoSplit, p.pythonFactor4)
     val coLog = graft.model.Rco.coFilter(fullLog, p.coPredicateSql)
     val ses = Sessionize(coLog, sesParams)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -53,10 +53,11 @@ object StreamingSessionize {
       val pr = p.triggerParam
       val sameTrig = e.trigCol == s.lastTrig
       val sameBrand = e.BRANDCODE == s.lastBrand
+      val factor4 = if (p.pythonFactor4) pr * 3 / 2 else pr / 3 * 2
       val sameCo = (gap < pr && sameTrig) ||
         (gap < pr * 4 / 3 && sameTrig && sameBrand) ||
         (gap < pr && sameBrand) ||
-        (gap < pr / 3 * 2)
+        (gap < factor4)
       val base = if (sameCo) 0 else 1
       val afterSplit = if (p.splitOnCause && !sameTrig) 1 else base
       if (p.changeoverFailureNoSplit && afterSplit == 1 &&

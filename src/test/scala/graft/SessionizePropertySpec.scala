@@ -29,10 +29,11 @@ class SessionizePropertySpec extends GraftSuite {
             val sameTrig = tc(e) == tc(q)
             val sameBrand = e.BRANDCODE == q.BRANDCODE
             val pr = p.triggerParam
+            val f4 = if (p.pythonFactor4) pr * 3 / 2 else pr / 3 * 2
             val sameCo = (gap < pr && sameTrig) ||
               (gap < pr * 4 / 3 && sameTrig && sameBrand) ||
               (gap < pr && sameBrand) ||
-              (gap < pr / 3 * 2)
+              (gap < f4)
             val base = if (sameCo) 0 else 1
             val afterSplit =
               if (p.splitOnCause && !sameTrig) 1 else base
@@ -69,7 +70,9 @@ class SessionizePropertySpec extends GraftSuite {
     Sessionize.Params(30.0, splitOnCause = true),
     Sessionize.Params(30.0, changeoverFailureNoSplit = true),
     Sessionize.Params(30.0, splitOnCause = true,
-      changeoverFailureNoSplit = true))
+      changeoverFailureNoSplit = true),
+    Sessionize.Params(30.0, pythonFactor4 = true),
+    Sessionize.Params(30.0, splitOnCause = true, pythonFactor4 = true))
 
   // deeper sweeps: GRAFT_PROP_N=100 sbt "testOnly *PropertySpec"
   private val nRuns = sys.env.getOrElse("GRAFT_PROP_N", "8").toInt
