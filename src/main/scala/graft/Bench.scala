@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   *  - failures are recorded per query (`"errors"`), never timed as -1.
   */
 object Bench {
+
+  val E2E = "rco_etl_e2e"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,20 +23,59 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // e2e writes ~1,500 `LINE=` partition dirs per table: v1's
+      // job-commit renames them sequentially on the driver; v2 commits
+      // during the tasks themselves (standard Hadoop knob)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // End-to-end pipeline timing (VERDICT r3 #5): RcoEtl.run + load of
+    // every output table for one site — the apples-to-apples comparand
+    // for BASELINE.md's per-site wall-time anchor (median 0.2 min).
+    // Fresh output dir per run so each timed run does identical work
+    // (create, not upsert); written under target/ (build scratch).
+    def runE2e(): Unit = {
+      val out = new org.apache.hadoop.fs.Path("target/bench_e2e")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true)
+      spark.catalog.clearCache() // RcoEtl.run persists per call, no memo
+      val events = graft.sources.Tables.events(spark, sfDir)
+      val p = pipeline.RcoEtl.SiteParams(
+        server = "BenchSite",
+        coPredicateSql = graft.model.Rco.testCoPredicate,
+        triggerParam = 120.0)
+      pipeline.RcoEtl.load(spark,
+        pipeline.RcoEtl.run(graft.model.Rco.downtimeLogDeduped(events),
+          graft.model.Rco.productionLog(events), p),
+        out.toString, p.server)
+    }
+
     def run(name: String): Unit =
-      SparkEntry.queries(name)(spark, sfDir)
+      if (name == E2E) runE2e()
+      else SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+
+    // Release every frame the previous query pinned (pipeline memos +
+    // operator-internal persists, which all register with the
+    // CacheManager): the bench must measure PLANS, not cache residency.
+    // With 16 queries sharing one session, accumulated persisted blocks
+    // put eviction pressure on whichever query runs mid-bench — r3's
+    // rco_gantt read 6.87s in-context vs 1.54s isolated from exactly
+    // this. Each query's own warm-up stays inside its min-of-2 below.
+    def clearState(): Unit = {
+      graft.operators.RcoPipeline.clear(spark)
+      spark.catalog.clearCache()
+    }
 
     // Optional subset filter for local investigation:
     //   SPARK_GRAFT_BENCH_QUERIES=llm_knn,llm_dedup_near
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(SparkEntry.benchQueries)
-      .filter(SparkEntry.queries.contains)
+      .filter(n => SparkEntry.queries.contains(n) || n == E2E)
     // Untimed warmup: JVM/classloader/codegen + parquet footer reads.
     try run(names.head) catch { case _: Throwable => () }
 
@@ -43,6 +85,7 @@ object Bench {
     // size; the min reflects the steady-state plan the judge should see.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>
+      clearState()
       // only SUCCESSFUL runs count toward the min — a fast failure must
       // not masquerade as a fast query
       val times = (1 to 2).flatMap { _ =>
@@ -67,7 +110,12 @@ object Bench {
     def q(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // The headline total stays the sum of the single-query set (the
+    // number comparable across rounds); the end-to-end pipeline run is
+    // its own entry — it re-executes the same operators and would
+    // double-count them into the total.
+    val total =
+      results.collect { case (n, v) if n != E2E && v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED: $errors")
     spark.stop()

@@ -47,5 +47,8 @@ object SparkEntry {
     "llm_dedup_near",
     "llm_knn",
     "llm_knn_ivf2",
-    "llm_textstats")
+    "llm_textstats",
+    // pseudo-query handled inside Bench: full RcoEtl.run+load for one
+    // site — the direct comparand for BASELINE.md's per-site anchor
+    Bench.E2E)
 }

@@ -42,9 +42,15 @@ object ParquetSinks {
     * only removed AFTER the replacement is fully written, so an
     * executor loss / OOM mid-write can no longer destroy the table the
     * way an in-place Overwrite (even a checkpointed one) could — the
-    * failure mode is a leftover `__tmp` dir, not data loss. */
+    * failure mode is a leftover staging dir, not data loss.
+    *
+    * The backup name carries a LEADING underscore: Hadoop partition
+    * discovery skips `_`-prefixed paths, so a crash between the two
+    * renames can never leave a backup dir that a reader parses as a
+    * legitimate partition and resurfaces as stale duplicate rows (a
+    * `NAME__old` sibling inside the table root would be exactly that). */
   private def swapDir(fs: FileSystem, tmp: Path, dest: Path): Unit = {
-    val backup = new Path(dest.getParent, dest.getName + "__old")
+    val backup = new Path(dest.getParent, "_bak_" + dest.getName)
     if (fs.exists(backup)) fs.delete(backup, true)
     if (fs.exists(dest) && !fs.rename(dest, backup))
       sys.error(s"sink swap: could not move $dest aside")
@@ -59,6 +65,28 @@ object ParquetSinks {
   private def tmpPath(dest: String): Path = {
     val d = new Path(dest)
     new Path(d.getParent, d.getName + "__tmp")
+  }
+
+  /** Partitioned write with the rows first clustered BY the partition
+    * key: without this every task carrying every key emits its own file
+    * per `key=value` dir — at 1,500 keys × 32 tasks that is ~48k tiny
+    * files and a 6-30s commit per table (measured at sf0.1). Clustering
+    * makes it exactly one file per partition dir while keeping all
+    * shuffle partitions busy (keys ≫ tasks).
+    *
+    * The partition count is pinned to the session's shuffle parallelism:
+    * a bare `repartition(col)` lets AQE coalesce the (tiny) shuffle to
+    * ONE task, which then pays the ~10 ms/file writer-init cost for
+    * every key sequentially — measured 20 s for a 7.5k-row table with
+    * 1,500 keys. An explicit count survives AQE, so the per-file cost
+    * spreads across all tasks. At cluster scale a single giant key
+    * would want an added salt column — keys here are production lines,
+    * bounded by line throughput. */
+  private def writePartitioned(df: DataFrame, keyCol: String,
+      mode: SaveMode, path: String): Unit = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, col(keyCol))
+      .write.partitionBy(keyCol).mode(mode).parquet(path)
   }
 
   /** S8: schema-aligned append (`App/etl/overall_etl.py:12-43`,
@@ -77,34 +105,65 @@ object ParquetSinks {
       aligned.write.mode(SaveMode.Append).parquet(path)
     }
 
+  /** Partition-dir column of the windowed-upsert tables: a hash BUCKET
+    * of the upsert key, not the key itself. The key (production LINE)
+    * is unbounded-cardinality — dir-per-key at 1,500 keys × 7 tables
+    * meant ~10k parquet files per load (~10 ms writer-init each, 30 s+
+    * table writes at sf0.1); 64 buckets bound the file count while the
+    * upsert still prunes to (and rewrites only) the buckets the
+    * incoming keys hash into. Readers see `graft_bucket` as an extra
+    * partition column — derived, deterministic housekeeping data. */
+  val BucketCol = "graft_bucket"
+
+  private def withBucket(df: DataFrame, keyCol: String,
+      numBuckets: Int): DataFrame =
+    // cast matches the int type partition discovery infers on read-back
+    df.withColumn(BucketCol,
+      pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
+
   /** S9: windowed delete-then-append upsert
-    * (`ref/RCO_Overall_orchestrator.R:286-499`): per partition key,
-    * delete stored rows with time >= min(incoming) − pad, then append
-    * the incoming rows. Untouched keys' partitions are not rewritten. */
+    * (`ref/RCO_Overall_orchestrator.R:286-499`): per upsert key, delete
+    * stored rows with time >= min(incoming) − pad, then append the
+    * incoming rows. Only the hash buckets containing touched keys are
+    * read back and rewritten; other buckets' dirs are never opened.
+    * @param numBuckets partition-dir count — scale with table size
+    *                   (64 ≈ tens of GB per bucket at 100 TB table
+    *                   scale; raise for bigger tables). Must be stable
+    *                   across loads of the same table. */
   def upsertWindow(spark: SparkSession, newDf: DataFrame, path: String,
-      keyCol: String, timeCol: String, padSec: Double = 10.0): Unit = {
+      keyCol: String, timeCol: String, padSec: Double = 10.0,
+      numBuckets: Int = 64): Unit = {
     if (!exists(spark, path)) {
-      newDf.write.partitionBy(keyCol).mode(SaveMode.Append).parquet(path)
+      writePartitioned(withBucket(newDf, keyCol, numBuckets), BucketCol,
+        SaveMode.Append, path)
       return
     }
     // cast("double") lets the time axis be numeric epoch OR timestamp
     // (timestamps cast to fractional epoch seconds)
     val bounds = newDf.groupBy(col(keyCol))
       .agg((min(col(timeCol).cast("double")) - padSec).as("__threshold"))
-    // inner join keeps only touched keys; only their partition dirs are
-    // rewritten (staged to a temp dir, then swapped in per partition).
+    // Buckets the incoming keys hash into: only these partition dirs
+    // are read (pruned scan) and rewritten (staged + swapped).
+    val touched = withBucket(bounds, keyCol, numBuckets)
+      .select(BucketCol).distinct().collect().map(_.getInt(0))
+    // Left join: unkeyed rows sharing a touched bucket survive as-is;
+    // touched keys keep only rows before their window threshold.
     val keptOld = spark.read.parquet(path)
-      .join(broadcast(bounds), Seq(keyCol))
-      .filter(col(timeCol).cast("double") < col("__threshold"))
+      .filter(col(BucketCol).isin(touched.toSeq: _*))
+      .join(broadcast(bounds), Seq(keyCol), "left")
+      .filter(col("__threshold").isNull ||
+        col(timeCol).cast("double") < col("__threshold"))
       .drop("__threshold")
     val tmp = tmpPath(path)
     val fs = fsOf(spark, path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    keptOld.unionByName(newDf.select(keptOld.columns.map(col): _*))
-      .write.partitionBy(keyCol)
-      .mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // Swap each touched `key=value` dir into the live table; untouched
-    // partitions are never read or rewritten.
+    writePartitioned(
+      keptOld.unionByName(
+        withBucket(newDf, keyCol, numBuckets)
+          .select(keptOld.columns.map(col): _*)),
+      BucketCol, SaveMode.Overwrite, tmp.toString)
+    // Swap each touched `graft_bucket=N` dir into the live table;
+    // untouched buckets are never read or rewritten.
     fs.listStatus(tmp).filter(_.isDirectory).foreach { st =>
       swapDir(fs, st.getPath, new Path(path, st.getPath.getName))
     }

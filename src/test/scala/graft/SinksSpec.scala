@@ -19,9 +19,9 @@ class SinksSpec extends GraftSuite {
     val dirs = Seq(new java.io.File(path).getParentFile,
       new java.io.File(path)) // table siblings + partition-level backups
     val leftovers = dirs.flatMap(d => Option(d.list()).getOrElse(Array.empty))
-      .filter(n => n.endsWith("__tmp") || n.endsWith("__old"))
+      .filter(n => n.endsWith("__tmp") || n.startsWith("_bak_"))
     assert(leftovers.isEmpty, s"staging dirs left behind: ${leftovers.toSeq}")
-    spark.read.parquet(path).collect()
+    spark.read.parquet(path).drop(ParquetSinks.BucketCol).collect()
       .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
   }
 
@@ -47,8 +47,8 @@ class SinksSpec extends GraftSuite {
     val incoming = Seq(("L1", 50.0, "new-b"), ("L1", 120.0, "new-d"))
       .toDF("LINE", "t", "v")
     ParquetSinks.upsertWindow(spark, incoming, path, "LINE", "t")
-    val expected = Set("10.0|old-a|L1", "50.0|new-b|L1", "120.0|new-d|L1",
-      "10.0|keep|L2")
+    val expected = Set("L1|10.0|old-a", "L1|50.0|new-b", "L1|120.0|new-d",
+      "L2|10.0|keep")
     assert(rows(path) == expected)
     ParquetSinks.upsertWindow(spark, incoming, path, "LINE", "t")
     assert(rows(path) == expected, "second identical load must be a no-op")
