@@ -95,7 +95,9 @@ object ScaleProbe {
       val dir = s"/tmp/graft_scale_emb_$tag"
       e.write.mode("overwrite").parquet(dir)
       val ev = spark.read.parquet(dir)
-      Seq("ivf2" -> (() => LlmSim.knnIvfTrained(ev)),
+      // exactFold=false: the production avg-centroid training path —
+      // the oracle-exact fold is only for the correctness gate
+      Seq("ivf2" -> (() => LlmSim.knnIvfTrained(ev, exactFold = false)),
           "ivf1" -> (() => LlmSim.knnIvf(ev)),
           "brute" -> (() => LlmSim.knnBrute(ev))).foreach { case (n, f) =>
         val t0 = System.nanoTime()

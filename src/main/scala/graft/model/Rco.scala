@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Mapping (deterministic, SQL-replicable on both engines):
   *   downtime_id = event_id          LINE       = 'L' + user_id
   *   START_TIME  = ts (sec-trunc)    DOWNTIME   = value (minutes)
-  *   CAUSE_1     = event_type        CAUSE_2/3  = from props "k" (k%5, k%3)
+  *   CAUSE_1     = event_type        CAUSE_2/3/4 = from props "k" (k%5/3/4)
   *   BRANDCODE   = 'B' + k%7         MACHINE    = LINE + ' M' + event_id%3
   * plus the reference's derived flags (`App/etl/extract/data_from_mdc.py:69-85`):
   * Planned_Stop_Check / Idle_Check / isExcluded / isStop.
@@ -48,6 +48,8 @@ object Rco {
           .as("CAUSE_LEVELS_2_NAME"),
         concat(lit("M"), (col("k") % 3).cast("string"))
           .as("CAUSE_LEVELS_3_NAME"),
+        concat(lit("N"), (col("k") % 4).cast("string"))
+          .as("CAUSE_LEVELS_4_NAME"),
         concat(lit("B"), (col("k") % 7).cast("string")).as("BRANDCODE"),
         concat(lit("L"), col("user_id").cast("string"), lit(" M"),
           (col("event_id") % 3).cast("string")).as("MACHINE"),
@@ -145,6 +147,7 @@ object RcoSql {
              CASE WHEN k % 5 = 4 THEN 'Changeover Failure'
                   ELSE 'K' || CAST(k % 5 AS VARCHAR) END AS CAUSE_LEVELS_2_NAME,
              'M' || CAST(k % 3 AS VARCHAR) AS CAUSE_LEVELS_3_NAME,
+             'N' || CAST(k % 4 AS VARCHAR) AS CAUSE_LEVELS_4_NAME,
              'B' || CAST(k % 7 AS VARCHAR) AS BRANDCODE,
              'L' || CAST(user_id AS VARCHAR) || ' M' ||
                CAST(event_id % 3 AS VARCHAR) AS MACHINE,

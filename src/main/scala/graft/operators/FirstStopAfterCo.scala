@@ -69,6 +69,7 @@ object FirstStopAfterCo {
           col("START_TIME"), col("DOWNTIME"), col("UPTIME"),
           col("BRANDCODE"), col("CAUSE_LEVELS_1_NAME"),
           col("CAUSE_LEVELS_2_NAME"), col("CAUSE_LEVELS_3_NAME"),
+          col("CAUSE_LEVELS_4_NAME"),
           col("Planned_Stop_Check"), col("Idle_Check"), col("isExcluded")),
         allowMissingColumns = true)
 
@@ -106,7 +107,8 @@ object FirstStopAfterCo {
         round(col("UPTIME"), 2).as("UPTIME"),
         round(col("Uptime_cumul"), 2).as("Uptime_cumul"),
         col("CAUSE_LEVELS_1_NAME"), col("CAUSE_LEVELS_2_NAME"),
-        col("CAUSE_LEVELS_3_NAME"), col("BRANDCODE"), col("LINE"),
+        col("CAUSE_LEVELS_3_NAME"), col("CAUSE_LEVELS_4_NAME"),
+        col("BRANDCODE"), col("LINE"),
         col("downtime_id"), col("co_id").as("CO_Identifier"))
   }
 
@@ -141,7 +143,8 @@ object FirstStopAfterCoSql {
       SELECT * FROM (
         SELECT d.START_TIME, d.DOWNTIME, d.UPTIME, d.BRANDCODE,
           d.CAUSE_LEVELS_1_NAME, d.CAUSE_LEVELS_2_NAME,
-          d.CAUSE_LEVELS_3_NAME, d.downtime_id, d.dtid, d.START_EPOCH,
+          d.CAUSE_LEVELS_3_NAME, d.CAUSE_LEVELS_4_NAME,
+          d.downtime_id, d.dtid, d.START_EPOCH,
           d.Planned_Stop_Check, d.Idle_Check, d.isExcluded,
           sum(d.UPTIME) OVER (ORDER BY d.START_EPOCH, d.dtid
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

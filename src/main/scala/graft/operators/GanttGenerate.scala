@@ -67,15 +67,40 @@ object GanttGenerate {
         Seq("LINE", "downtime_id"), "left")
       .na.fill(0, Seq("CO_Event"))
 
+  /** Coarse time-bucket width for [[assign]]'s join key (seconds). Gantt
+    * windows are minutes-to-hours wide (CO duration + 20 min of pads), so
+    * 6 h keeps the per-interval replication at ~1–2 buckets. */
+  val BucketSeconds = 21600L
+
   /** Range-join stops to CO Gantt windows (G1 window filter:
-    * event end > window start AND event start < window end). */
+    * event end > window start AND event start < window end).
+    *
+    * The join key is (LINE, coarse time bucket), not LINE alone: on a
+    * full-history log a per-LINE join pairs |COs| × |events| per line
+    * before the range filter — the history-length blowup, not a
+    * window-width one. Both sides replicate each interval to every
+    * `BucketSeconds` bucket it overlaps (`sequence` + `explode`; ~1–2
+    * buckets for these widths), and each qualifying (event, CO) pair is
+    * emitted exactly once: by the bucket containing the overlap's start
+    * `greatest(START_EPOCH, min_t)` — that instant lies inside both
+    * intervals, so exactly one replicated pair of copies matches the
+    * guard. Per-partition pairing is then bounded by window width per
+    * bucket, independent of history length. */
   def assign(coAgg: DataFrame, stops: DataFrame): DataFrame = {
+    val W = lit(BucketSeconds)
+    def buckets(lo: Column, hi: Column) =
+      explode(sequence(floor(lo / W), floor(hi / W)))
     val co = coAgg.select(col("CO_Identifier"), col("LINE"),
       (col("CO_Start_EPOCH") - MinutesBefore * 60).as("min_t"),
       (col("CO_End_EPOCH") + MinutesAfter * 60).as("max_t"))
-    stops.join(co, Seq("LINE"))
+      .withColumn("__bkt", buckets(col("min_t"), col("max_t")))
+    stops
+      .withColumn("__bkt", buckets(col("START_EPOCH"), col("END_EPOCH")))
+      .join(co, Seq("LINE", "__bkt"))
       .filter(col("END_EPOCH") > col("min_t") &&
-        col("START_EPOCH") < col("max_t"))
+        col("START_EPOCH") < col("max_t") &&
+        col("__bkt") === floor(greatest(col("START_EPOCH"), col("min_t")) / W))
+      .drop("__bkt")
   }
 
   /** Point-emission kernel shared by both passes.
@@ -247,6 +272,7 @@ object GanttGenerate {
     val cons = assign(coAgg, consLog)
     val cols = Seq("START_TIME", "DOWNTIME", "UPTIME",
       "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME", "CAUSE_LEVELS_3_NAME",
+      "CAUSE_LEVELS_4_NAME",
       "BRANDCODE", "LINE", "MACHINE", "downtime_id", "CO_Identifier")
     nonC.select(cols.map(col): _*)
       .unionByName(cons.select(cols.map(col): _*))

@@ -132,7 +132,8 @@ object GanttGenerateSql {
   val eventLogSql: String = {
     val cols = """START_TIME, round(DOWNTIME * 60 / 60, 2) AS DOWNTIME,
       round(UPTIME * 60 / 60, 2) AS UPTIME, CAUSE_LEVELS_1_NAME,
-      CAUSE_LEVELS_2_NAME, CAUSE_LEVELS_3_NAME, BRANDCODE, LINE, MACHINE,
+      CAUSE_LEVELS_2_NAME, CAUSE_LEVELS_3_NAME, CAUSE_LEVELS_4_NAME,
+      BRANDCODE, LINE, MACHINE,
       downtime_id, CO_Identifier"""
     s"""${consCte()},
     ${asgCte("en", "dt")},

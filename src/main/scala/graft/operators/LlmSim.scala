@@ -120,24 +120,32 @@ object LlmSim {
     * stays an equi-join on cent_id with a ≤16-row broadcast codebook
     * (no cross join; assignment is map-side against the broadcast).
     *
-    * Determinism for the DuckDB gate: centroid sums fold in vec_id
-    * order (at production scale a plain `avg` suffices; order-exactness
-    * only matters for the bit-exact oracle), assignment/top-k rank on
-    * round(·,6) with id tie-breaks. Keep in sync with
-    * [[LlmSimSql.knnIvfTrainedSql]]. */
-  def knnIvfTrained(embeddings: DataFrame): DataFrame = {
+    * Determinism for the DuckDB gate: with `exactFold` (the default,
+    * what the llm_knn_ivf2 oracle checks) centroid sums fold in vec_id
+    * order — bit-exact across engines but it materializes each cell's
+    * membership per dimension. `exactFold = false` is the PRODUCTION
+    * training path: a plain partial-aggregating `avg` per (cell, pos) —
+    * same algorithm, sum order unspecified (float noise ≪ the round(·,6)
+    * ranking granularity), map-side combined, no per-cell list build.
+    * Assignment/top-k rank on round(·,6) with id tie-breaks either way.
+    * Keep in sync with [[LlmSimSql.knnIvfTrainedSql]]. */
+  def knnIvfTrained(embeddings: DataFrame,
+      exactFold: Boolean = true): DataFrame = {
     val e = withVec(embeddings).withColumn("cell", cell(col("v")))
     val dims = e.select(col("cell"), col("vec_id"),
       posexplode(col("v")).as(Seq("pos", "x")))
-    val sums = dims.groupBy(col("cell"), col("pos"))
-      .agg(
-        aggregate(
-          transform(
-            array_sort(collect_list(struct(col("vec_id"), col("x")))),
-            s => s("x")),
-          lit(0.0), (acc, v) => acc + v).as("sum"),
-        count(lit(1)).as("n"))
-      .withColumn("c", col("sum") / col("n"))
+    val sums =
+      if (!exactFold)
+        dims.groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("c"))
+      else dims.groupBy(col("cell"), col("pos"))
+        .agg(
+          aggregate(
+            transform(
+              array_sort(collect_list(struct(col("vec_id"), col("x")))),
+              s => s("x")),
+            lit(0.0), (acc, v) => acc + v).as("sum"),
+          count(lit(1)).as("n"))
+        .withColumn("c", col("sum") / col("n"))
     val cents = sums.groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s("c")).as("cv"))

@@ -41,24 +41,37 @@ object ProdOps {
   /** Adaptive decimal reduction
     * (`ref/RCO_Overall_orchestrator.R:119-131`): round each listed
     * double column to 1–5 places chosen from its mean |magnitude| —
-    * big-valued columns get coarse rounding. The magnitude probe is one
-    * driver-side aggregate over all columns (not a per-column pass). */
+    * big-valued columns get coarse rounding. Thresholds and the
+    * NA/Inf-excluding mean match the reference's reducer exactly
+    * (`<0.1→5, <1→4, <10→3, <100→2, else→1`; an all-NA column means 0
+    * → 5 places). The magnitude probe is one driver-side aggregate
+    * over all columns (not a per-column pass). */
   def roundAdaptive(df: DataFrame, cols: Seq[String]): DataFrame = {
     val magnitudes = df
-      .select(cols.map(c => avg(abs(col(c))).as(c)): _*)
+      .select(cols.map { c =>
+        avg(when(!isnan(col(c)) &&
+          abs(col(c)) =!= Double.PositiveInfinity, abs(col(c)))).as(c)
+      }: _*)
       .collect().headOption
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val mean = magnitudes.map(r =>
         if (r.isNullAt(i)) 0.0 else r.getDouble(i)).getOrElse(0.0)
       val places =
-        if (mean >= 1000) 1
-        else if (mean >= 100) 2
-        else if (mean >= 10) 3
-        else if (mean >= 1) 4
-        else 5
+        if (mean < 0.1) 5
+        else if (mean < 1) 4
+        else if (mean < 10) 3
+        else if (mean < 100) 2
+        else 1
       d.withColumn(c, round(col(c), places))
     }
   }
+
+  /** [[roundAdaptive]] over every double column — the reference's
+    * reducer walks all numeric columns of the frame it is given. */
+  def roundAdaptiveAll(df: DataFrame): DataFrame =
+    roundAdaptive(df, df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+      .map(_.name).toSeq)
 
   /** A6 + F12: detect each line's production-day start hour — the modal
     * (majority-filtered) first-event hour-of-day.

@@ -94,7 +94,7 @@ object RcoQueries {
     SELECT START_TIME, round(DOWNTIME, 2) AS DOWNTIME,
            round(UPTIME, 2) AS UPTIME, round(Uptime_cumul, 2) AS Uptime_cumul,
            CAUSE_LEVELS_1_NAME, CAUSE_LEVELS_2_NAME, CAUSE_LEVELS_3_NAME,
-           BRANDCODE, LINE, downtime_id, CO_Identifier
+           CAUSE_LEVELS_4_NAME, BRANDCODE, LINE, downtime_id, CO_Identifier
     FROM fstop""")
 
   private val coUptimeOracle: String = rcoWith(
@@ -162,16 +162,20 @@ object RcoQueries {
     SELECT * FROM ev""")
 
   /** F8: every catalog predicate evaluated over the canonical log —
-    * one row per site with its matching-event count. */
+    * one row per site with its matching-event count. ONE scan: 24
+    * conditional counts in a single aggregate, unpivoted with `stack`
+    * (the 24-branch union ran 24 full-log scans). */
   def sitePredicates: Q = (s, dir) => {
     val dt = RcoPipeline.fullLog(s, dir, P)
-    SitePredicates.catalog.toSeq.sortBy(_._1)
-      .map { case (site, pred) =>
-        Rco.coFilter(dt, pred)
-          .agg(count(lit(1)).as("n_rows"))
-          .select(lit(site).as("site"), col("n_rows"))
-      }
-      .reduce(_ unionByName _)
+    val sites = SitePredicates.catalog.toSeq.sortBy(_._1)
+    val aggCols = sites.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(expr(pred), lit(1))).as(s"c$i")
+    }
+    val stacked = sites.zipWithIndex.map { case ((site, _), i) =>
+      s"'${site.replace("'", "''")}', c$i"
+    }.mkString(", ")
+    dt.agg(aggCols.head, aggCols.tail: _*)
+      .select(expr(s"stack(${sites.size}, $stacked) AS (site, n_rows)"))
   }
 
   private val sitePredicatesOracle: String = {
@@ -205,7 +209,8 @@ object RcoQueries {
       .filter(col("LINE").isNotNull)
       .select(col("CO_Identifier"), col("LINE"),
         col("CAUSE_LEVELS_1_NAME"), col("CAUSE_LEVELS_2_NAME"),
-        col("CAUSE_LEVELS_3_NAME"), col("START_TIME"), col("UPTIME"),
+        col("CAUSE_LEVELS_3_NAME"), col("CAUSE_LEVELS_4_NAME"),
+        col("START_TIME"), col("UPTIME"),
         col("DOWNTIME"), col("BRANDCODE"),
         regexp_replace(regexp_replace(col("OPERATOR_COMMENT"),
           "\\r\\n", " "), "\\n", " ").as("OPERATOR_COMMENT"),
@@ -214,7 +219,8 @@ object RcoQueries {
   private val coEventLogOracle: String = rcoWith(
     """evlog AS (
       SELECT s.CO_Identifier, s.LINE, s.CAUSE_LEVELS_1_NAME,
-        s.CAUSE_LEVELS_2_NAME, s.CAUSE_LEVELS_3_NAME, s.START_TIME,
+        s.CAUSE_LEVELS_2_NAME, s.CAUSE_LEVELS_3_NAME,
+        s.CAUSE_LEVELS_4_NAME, s.START_TIME,
         s.UPTIME, s.DOWNTIME, s.BRANDCODE,
         regexp_replace(regexp_replace(s.OPERATOR_COMMENT,
           '\r\n', ' ', 'g'), '\n', ' ', 'g') AS OPERATOR_COMMENT,

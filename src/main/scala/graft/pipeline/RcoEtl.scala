@@ -130,9 +130,13 @@ object RcoEtl {
         load(spark, run(fullLog, prodLog, p), baseDir, p.server)
         "Success"
       } catch {
-        case e: Throwable => s"Failure (${e.getClass.getSimpleName}: " +
-          s"${Option(e.getMessage).getOrElse("").linesIterator.take(1)
-            .mkString})"
+        // NonFatal only: an OutOfMemoryError/LinkageError means the JVM
+        // (and likely the SparkContext) is corrupt — recording it as a
+        // per-site Failure and continuing the fleet would be lying
+        case scala.util.control.NonFatal(e) =>
+          s"Failure (${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1)
+              .mkString})"
       })
     }.toMap
 
@@ -187,35 +191,55 @@ object RcoEtl {
   def load(spark: SparkSession, outputs: Map[String, DataFrame],
       baseDir: String, server: String): Unit = {
     outputs.get("CO_Aggregated_Data").foreach(df => { df.count(); () })
+    // Every write goes through the reference's adaptive decimal
+    // reduction first (`ref/RCO_Overall_orchestrator.R:119-131` — the
+    // reducer runs on each frame right before its SQL append). The
+    // magnitude probe is an extra action, so the frame is pinned for
+    // the probe+write pair and released after — without the persist
+    // each table's DAG would execute twice (probe, then write).
+    def rounded(df: DataFrame)(write: DataFrame => Unit): Unit = {
+      val alreadyCached = df.storageLevel.useMemory || df.storageLevel.useDisk
+      val p = if (alreadyCached) df
+        else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try write(graft.operators.ProdOps.roundAdaptiveAll(p))
+      finally if (!alreadyCached) { p.unpersist(); () }
+    }
     val writes: Seq[() => Unit] = Seq(
       outputs.get("CO_Aggregated_Data").map(df => () => {
-        ParquetSinks.upsertWindow(spark, df, s"$baseDir/CO_Aggregated_Data",
-          "LINE", "CO_Start_EPOCH")
-        ParquetSinks.upsertByKey(spark,
-          scriptData(df, server, outputs.get("Day_Start")),
-          s"$baseDir/Script_Data", Seq("Server", "LINE"))
+        rounded(df)(r =>
+          ParquetSinks.upsertWindow(spark, r, s"$baseDir/CO_Aggregated_Data",
+            "LINE", "CO_Start_EPOCH"))
+        rounded(scriptData(df, server, outputs.get("Day_Start")))(r =>
+          ParquetSinks.upsertByKey(spark, r,
+            s"$baseDir/Script_Data", Seq("Server", "LINE")))
       }),
       outputs.get("CO_Event_Log").map(df => () =>
-        ParquetSinks.upsertWindow(spark, df, s"$baseDir/CO_Event_Log",
-          "LINE", "END_EPOCH")),
+        rounded(df)(r =>
+          ParquetSinks.upsertWindow(spark, r, s"$baseDir/CO_Event_Log",
+            "LINE", "END_EPOCH"))),
       outputs.get("First_Stop_after_CO_Data").map(df => () =>
-        ParquetSinks.upsertWindow(spark, df,
-          s"$baseDir/First_Stop_after_CO_Data", "LINE", "START_TIME")),
+        rounded(df)(r =>
+          ParquetSinks.upsertWindow(spark, r,
+            s"$baseDir/First_Stop_after_CO_Data", "LINE", "START_TIME"))),
       outputs.get("Gantt_Data").map(df => () =>
-        ParquetSinks.upsertWindow(spark, df, s"$baseDir/Gantt_Data",
-          "Line", "StartTime", padSec = 20 * 60.0)),
+        rounded(df)(r =>
+          ParquetSinks.upsertWindow(spark, r, s"$baseDir/Gantt_Data",
+            "Line", "StartTime", padSec = 20 * 60.0))),
       outputs.get("Event_Log_for_Gantt").map(df => () =>
-        ParquetSinks.upsertWindow(spark, df,
-          s"$baseDir/Event_Log_for_Gantt", "LINE", "START_TIME",
-          padSec = 20 * 60.0)),
+        rounded(df)(r =>
+          ParquetSinks.upsertWindow(spark, r,
+            s"$baseDir/Event_Log_for_Gantt", "LINE", "START_TIME",
+            padSec = 20 * 60.0))),
       outputs.get("BRANDCODE_data").map(df => () =>
-        ParquetSinks.replaceDedup(spark, df, s"$baseDir/BRANDCODE_data",
-          "BRANDCODE")),
+        rounded(df)(r =>
+          ParquetSinks.replaceDedup(spark, r, s"$baseDir/BRANDCODE_data",
+            "BRANDCODE"))),
       // keyed merge, NOT a plain append — re-running the same load must
       // not duplicate daily rows (the idempotency contract above)
       outputs.get("Runtime_per_Day_data").map(df => () =>
-        ParquetSinks.upsertByKey(spark, df,
-          s"$baseDir/Runtime_per_Day_data", Seq("Server", "Date", "LINE")))
+        rounded(df)(r =>
+          ParquetSinks.upsertByKey(spark, r,
+            s"$baseDir/Runtime_per_Day_data", Seq("Server", "Date", "LINE"))))
     ).flatten
     if (writes.nonEmpty) {
       import scala.concurrent.{Await, ExecutionContext, Future}

@@ -39,19 +39,27 @@ object StreamingCoAggregate {
       first_ev_UPTIME: Double, Number_of_Machines: Long,
       CO_DOWNTIME_prorated: Double)
 
-  /** Open session partial aggregate + the trigger-rule context. */
+  /** Open session partial aggregate + the trigger-rule context.
+    * `machines` is a Set and EXCLUDES nulls — the batch side counts
+    * machines with `countDistinct`, which ignores null; a null-counting
+    * Seq.contains here diverged (and was O(n²) per session). */
   case class AggState(lastEnd: Double, lastTrig: String, lastBrand: String,
       id: String, startEpoch: Double, endEpoch: Double, downtime: Double,
       firstId: String, lastId: String, n: Long, firstUp: Double,
-      machines: Seq[String])
+      machines: Set[String])
 
   private def r4(d: Double) =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  private def close(line: String, s: AggState): CoRow =
+  private def close(line: String, s: AggState): CoRow = {
+    val m = s.machines.size
     CoRow(line, s.id, s.startEpoch, s.endEpoch,
       r4(s.downtime), s.firstId, s.lastId, s.n, s.firstUp,
-      s.machines.size.toLong, r4(s.downtime / s.machines.size))
+      m.toLong,
+      // all-null machines: mirror the batch double division (x/0 = Inf)
+      // instead of crashing BigDecimal on the rounding
+      if (m == 0) s.downtime / 0.0 else r4(s.downtime / m))
+  }
 
   def processLine(p: Sessionize.Params, zoneId: String)(line: String,
       it: Iterator[EvAgg], state: GroupState[AggState])
@@ -70,7 +78,7 @@ object StreamingCoAggregate {
         val id = StreamingSessionize.sessionId(line, ev, zone)
         AggState(e.END_EPOCH, e.trigCol, e.BRANDCODE, id, e.START_EPOCH,
           e.END_EPOCH, e.DOWNTIME, e.downtime_id, e.downtime_id, 1L,
-          e.UPTIME, Seq(e.MACHINE))
+          e.UPTIME, Option(e.MACHINE).toSet)
       } else {
         val s = st.get
         s.copy(lastEnd = e.END_EPOCH, lastTrig = e.trigCol,
@@ -81,8 +89,8 @@ object StreamingCoAggregate {
           // events arrive in (START_EPOCH, dtid) order, so the running
           // last id IS max_by(id, start); the first id never changes
           lastId = e.downtime_id, n = s.n + 1,
-          machines = if (s.machines.contains(e.MACHINE)) s.machines
-            else s.machines :+ e.MACHINE)
+          machines = if (e.MACHINE == null) s.machines
+            else s.machines + e.MACHINE)
       })
     }
     st.foreach(state.update)

@@ -8,35 +8,35 @@ import graft.sinks.ParquetSinks
 
 /** Continuous load: stream aggregates → the batch upsert sinks.
   *
-  * In Update mode each micro-batch emits the windows the batch
-  * CHANGED — exactly the delete-then-append shape of the reference's
-  * T2 reconciliation (`ref/RCO_Overall_orchestrator.R:304-317`), so
-  * each batch routes through [[ParquetSinks.upsertWindow]]: reopened
-  * windows replace their stored rows, untouched keys' partitions are
-  * never rewritten, and a replayed batch (checkpoint recovery) lands
-  * idempotently instead of duplicating. This is the streaming
-  * counterpart of the batch `RcoEtl.load` path — same sink, same
-  * idempotency contract, state bounded by the upstream watermark.
+  * In Update mode each micro-batch emits only the windows the batch
+  * CHANGED — so the sink must replace stored rows by EXACT window
+  * identity (`keyCol`, `window_start`) via [[ParquetSinks.upsertByKey]].
+  * The batch path's windowed delete (`time >= min(batch)`) would be
+  * wrong here: a batch that reopens only an older window (late data
+  * inside the watermark) would wipe the same key's LATER stored windows
+  * without re-supplying them — a batch recompute re-emits everything
+  * after the window start, an Update-mode micro-batch does not.
+  * Reopened windows replace their stored rows, untouched windows
+  * survive, and a replayed batch (checkpoint recovery) lands
+  * idempotently. This is the streaming counterpart of the batch
+  * `RcoEtl.load` path — same idempotency contract, state bounded by
+  * the upstream watermark.
   */
 object StreamingLoad {
 
-  /** Start a query that upserts each micro-batch of `agg` (a windowed
+  /** Start a query that merges each micro-batch of `agg` (a windowed
     * aggregate such as [[StreamingRuntime]]'s output, carrying
     * `window_start`) into the parquet table at `path`, keyed by
-    * `keyCol`. The sink's time axis is epoch seconds derived from
-    * `window_start` (the upsert window arithmetic is numeric). */
+    * (`keyCol`, `window_start`) — exact window identity, see above. */
   def upsertTo(agg: DataFrame, path: String, checkpoint: String,
       keyCol: String = "LINE"): StreamingQuery =
     agg.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch
-          .withColumn("window_epoch",
-            unix_timestamp(col("window_start")).cast("double"))
-        if (!rows.isEmpty)
-          ParquetSinks.upsertWindow(rows.sparkSession, rows, path,
-            keyCol, "window_epoch", padSec = 0.0)
+        if (!batch.isEmpty)
+          ParquetSinks.upsertByKey(batch.sparkSession, batch, path,
+            Seq(keyCol, "window_start"))
       }
       .start()
 }

@@ -84,4 +84,15 @@ class LlmSpec extends GraftSuite {
     val out = LlmSim.knnIvf(vecs).filter(col("qid") === 0).collect()
     assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(20L))
   }
+
+  test("trained IVF: production avg centroids match the oracle-exact fold") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(key(LlmSim.knnIvfTrained(emb, exactFold = false)) ==
+      key(LlmSim.knnIvfTrained(emb)),
+      "avg-trained centroids must yield the same top-k at round(·,6)")
+  }
 }

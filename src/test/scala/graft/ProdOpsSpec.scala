@@ -23,11 +23,15 @@ class ProdOpsSpec extends GraftSuite {
   }
 
   test("adaptive rounding picks places from mean magnitude") {
-    val df = Seq((12345.6789, 0.123456789), (2345.678901, 0.234567891))
-      .toDF("big", "small")
-    val out = ProdOps.roundAdaptive(df, Seq("big", "small"))
+    // means: big ≈ 7345 (≥100 → 1 place), mid ≈ 0.179 (<1 → 4 places),
+    // small ≈ 0.0179 (<0.1 → 5 places) — reference thresholds
+    val df = Seq((12345.6789, 0.123456789, 0.0123456789),
+        (2345.678901, 0.234567891, 0.0234567891))
+      .toDF("big", "mid", "small")
+    val out = ProdOps.roundAdaptive(df, Seq("big", "mid", "small"))
       .orderBy("big").collect()
-    assert(out.head.getAs[Double]("big") == 2345.7)   // 1 place
-    assert(out.head.getAs[Double]("small") == 0.23457) // 5 places
+    assert(out.head.getAs[Double]("big") == 2345.7)    // 1 place
+    assert(out.head.getAs[Double]("mid") == 0.2346)    // 4 places
+    assert(out.head.getAs[Double]("small") == 0.02346) // 5 places
   }
 }

@@ -77,4 +77,26 @@ class RcoEtlSpec extends GraftSuite {
     RcoEtl.load(spark, out, base, "TestSite")
     assert(counts == first, "second identical load must be a no-op")
   }
+
+  test("load applies the adaptive decimal reduction before each write") {
+    import org.apache.spark.sql.functions.col
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    val out = RcoEtl.run(full, prod,
+      RcoEtl.SiteParams("TestSite", Rco.testCoPredicate,
+        machineLevel = false, firstStop = false))
+    val base = Files.createTempDirectory("graft-round").toString
+    RcoEtl.load(spark, out, base, "TestSite")
+    // Runtime minutes average in the hundreds → reference reducer says
+    // 1 decimal place; the in-memory frame carries 4 (ProdOps rounds to
+    // 4 at the aggregate). Stored values must be the reduced ones.
+    val stored = spark.read.parquet(s"$base/Runtime_per_Day_data")
+      .select(col("Runtime")).collect().map(_.getDouble(0))
+    assert(stored.forall(v => math.abs(v * 10 - math.round(v * 10)) < 1e-9),
+      "stored Runtime should be rounded to 1 decimal place")
+    val inMem = out("Runtime_per_Day_data")
+      .select(col("Runtime")).collect().map(_.getDouble(0))
+    assert(inMem.exists(v => math.abs(v * 10 - math.round(v * 10)) > 1e-9),
+      "probe sanity: unrounded frame must have >1-decimal values")
+  }
 }

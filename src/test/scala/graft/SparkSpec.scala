@@ -31,6 +31,7 @@ case class Ev(
     c1: String = "c1",
     c2: String = "c2",
     c3: String = "c3",
+    c4: String = "c4",
     BRANDCODE: String = "B0",
     id: Long = 0,
     MACHINE: String = "M0",
@@ -59,6 +60,7 @@ abstract class GraftSuite extends AnyFunSuite {
         col("c1").as("CAUSE_LEVELS_1_NAME"),
         col("c2").as("CAUSE_LEVELS_2_NAME"),
         col("c3").as("CAUSE_LEVELS_3_NAME"),
+        col("c4").as("CAUSE_LEVELS_4_NAME"),
         col("BRANDCODE"), col("MACHINE"),
         col("planned").as("Planned_Stop_Check"),
         col("idle").as("Idle_Check"),

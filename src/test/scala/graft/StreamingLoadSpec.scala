@@ -45,4 +45,31 @@ class StreamingLoadSpec extends GraftSuite {
         ("L2", "2026-01-01", 5.0)))
     } finally query.stop()
   }
+
+  test("late data reopening an OLD window must not wipe later windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-sload2")
+    val path = dir.resolve("rt").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[E]
+    // lateness wide enough that day 1 stays open after day-2 data
+    val query = StreamingLoad.upsertTo(
+      StreamingRuntime(input.toDF(), lateness = "48 hours"), path, ckpt)
+    try {
+      // batch 1: L1 has TWO windows (day 1 and day 2)
+      input.addData(E(ts(1), "L1", 10, 1), E(ts(30), "L1", 7, 0.7))
+      query.processAllAvailable()
+      // batch 2: late data inside the watermark reopens ONLY day 1 —
+      // Update mode re-emits just that window; the stored day-2 row
+      // must survive (the windowed delete would wipe it silently)
+      input.addData(E(ts(2), "L1", 5, 0.5))
+      query.processAllAvailable()
+      val out = spark.read.parquet(path)
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("d"),
+          col("Runtime"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(out == Set(("2026-01-01", 15.0), ("2026-01-02", 7.0)),
+        s"day-2 window must survive the day-1 reopen: $out")
+    } finally query.stop()
+  }
 }
