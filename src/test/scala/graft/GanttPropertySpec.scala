@@ -143,4 +143,52 @@ class GanttPropertySpec extends GraftSuite {
       }
     }
   }
+
+  test("bucketed assign ≡ naive per-LINE range join across bucket edges") {
+    import spark.implicits._
+    val W = GanttGenerate.BucketSeconds.toDouble
+    for (i <- 0 until math.max(nRuns, 10)) {
+      val rnd = new scala.util.Random(900 + i)
+      // CO windows: sub-minute up to 3-bucket spans, some edge-aligned
+      val cos = (0 until 8).map { j =>
+        val line = "L" + (1 + rnd.nextInt(2))
+        val s0 = rnd.nextDouble() * 5 * W
+        val s = if (rnd.nextInt(4) == 0) math.floor(s0 / W) * W else s0
+        val dur = rnd.nextInt(4) match {
+          case 0 => 0.0
+          case 1 => rnd.nextDouble() * 60
+          case 2 => rnd.nextDouble() * W
+          case _ => rnd.nextDouble() * 3 * W
+        }
+        (s"CO$j", line, s, s + dur)
+      }
+      // events: zero-width up to ~2-bucket spans, some edge-aligned
+      val evs = (0 until 60).map { j =>
+        val line = "L" + (1 + rnd.nextInt(2))
+        val s0 = rnd.nextDouble() * 5 * W
+        val s = if (rnd.nextInt(4) == 0) math.floor(s0 / W) * W else s0
+        val dtMin = rnd.nextInt(3) match {
+          case 0 => 0.0
+          case 1 => rnd.nextDouble()
+          case _ => rnd.nextDouble() * 2 * W / 60
+        }
+        (j.toLong, line, s, s + dtMin * 60)
+      }
+      val coAgg = cos.toDF("CO_Identifier", "LINE", "CO_Start_EPOCH",
+        "CO_End_EPOCH")
+      val stops = evs.toDF("dtid", "LINE", "START_EPOCH", "END_EPOCH")
+      val got = GanttGenerate.assign(coAgg, stops)
+        .select("CO_Identifier", "dtid").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val expected = for {
+        (co, cl, cs, ce) <- cos
+        minT = cs - GanttGenerate.MinutesBefore * 60
+        maxT = ce + GanttGenerate.MinutesAfter * 60
+        (id, el, es, ee) <- evs
+        if el == cl && ee > minT && es < maxT
+      } yield (co, id)
+      // compare as multisets: replication must introduce NO duplicates
+      assert(got.sorted == expected.sorted, s"seed=${900 + i}")
+    }
+  }
 }
