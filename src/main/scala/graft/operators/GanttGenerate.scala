@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   * constraint pass 1=CO event, 1.7=planned, 2.3=unplanned, 4=idle.
   *
   * Spark-first reformulation of the reference's triple loop:
-  *  - (G1/G2) CO×event window assignment is a LINE equi-join with a
-  *    range filter — Gantt windows of adjacent COs can overlap, so the
-  *    disjoint-window as-of trick does not apply and an event may
-  *    legitimately appear under several COs (as in the reference). The
-  *    join is per-LINE with both sides pre-filtered; at cluster scale
-  *    add coarse time-bucket keys to bound the per-partition pairing.
+  *  - (G1/G2) CO×event window assignment is a (LINE, time-bucket)
+  *    equi-join with a range filter — Gantt windows of adjacent COs can
+  *    overlap, so the disjoint-window as-of trick does not apply and an
+  *    event may legitimately appear under several COs (as in the
+  *    reference). The coarse bucket key bounds per-partition pairing by
+  *    window width instead of history length — see [[assign]].
   *  - The "previous emitted point" recurrence collapses to a prefix
   *    scan: each event's LAST emitted point time is a pure function of
   *    the event row (`ownTime`), so "previous emitted time" =
