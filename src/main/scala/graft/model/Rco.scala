@@ -50,6 +50,28 @@ object Rco {
           .as("CAUSE_LEVELS_3_NAME"),
         concat(lit("N"), (col("k") % 4).cast("string"))
           .as("CAUSE_LEVELS_4_NAME"),
+        // source-carried attribution columns (SURVEY §1.2: Fault, TEAM,
+        // SHIFT, ProdDesc, ProcessOrder, Reason1..4Category ride every
+        // downtime row in the reference extract and surface unchanged in
+        // First_Stop / CO_Event_Log / Event_Log_for_Gantt)
+        concat(lit("FLT"), (col("k") % 11).cast("string")).as("Fault"),
+        concat(lit("T"), (col("k") % 4).cast("string")).as("TEAM"),
+        concat(lit("S"), (col("k") % 3).cast("string")).as("SHIFT"),
+        concat(lit("P"), (col("k") % 5).cast("string"), lit("-N"),
+          (col("k") % 9).cast("string")).as("ProdDesc"),
+        concat(lit("PO"), (col("k") % 17).cast("string"))
+          .as("ProcessOrder"),
+        // Reason1Category drives the reference's Proficy planned-stop
+        // rule — keep it coherent with Planned_Stop_Check (signup)
+        when(col("event_type") === "signup", lit("Planned Downtime"))
+          .otherwise(concat(lit("Unplanned-"), (col("k") % 3).cast("string")))
+          .as("Reason1Category"),
+        concat(lit("R2C-"), (col("k") % 3).cast("string"))
+          .as("Reason2Category"),
+        concat(lit("R3C-"), (col("k") % 5).cast("string"))
+          .as("Reason3Category"),
+        concat(lit("R4C-"), (col("k") % 7).cast("string"))
+          .as("Reason4Category"),
         concat(lit("B"), (col("k") % 7).cast("string")).as("BRANDCODE"),
         concat(lit("L"), col("user_id").cast("string"), lit(" M"),
           (col("event_id") % 3).cast("string")).as("MACHINE"),
@@ -148,6 +170,18 @@ object RcoSql {
                   ELSE 'K' || CAST(k % 5 AS VARCHAR) END AS CAUSE_LEVELS_2_NAME,
              'M' || CAST(k % 3 AS VARCHAR) AS CAUSE_LEVELS_3_NAME,
              'N' || CAST(k % 4 AS VARCHAR) AS CAUSE_LEVELS_4_NAME,
+             'FLT' || CAST(k % 11 AS VARCHAR) AS Fault,
+             'T' || CAST(k % 4 AS VARCHAR) AS TEAM,
+             'S' || CAST(k % 3 AS VARCHAR) AS SHIFT,
+             'P' || CAST(k % 5 AS VARCHAR) || '-N' ||
+               CAST(k % 9 AS VARCHAR) AS ProdDesc,
+             'PO' || CAST(k % 17 AS VARCHAR) AS ProcessOrder,
+             CASE WHEN event_type = 'signup' THEN 'Planned Downtime'
+                  ELSE 'Unplanned-' || CAST(k % 3 AS VARCHAR) END
+               AS Reason1Category,
+             'R2C-' || CAST(k % 3 AS VARCHAR) AS Reason2Category,
+             'R3C-' || CAST(k % 5 AS VARCHAR) AS Reason3Category,
+             'R4C-' || CAST(k % 7 AS VARCHAR) AS Reason4Category,
              'B' || CAST(k % 7 AS VARCHAR) AS BRANDCODE,
              'L' || CAST(user_id AS VARCHAR) || ' M' ||
                CAST(event_id % 3 AS VARCHAR) AS MACHINE,

@@ -69,7 +69,7 @@ object FirstStopAfterCo {
           col("START_TIME"), col("DOWNTIME"), col("UPTIME"),
           col("BRANDCODE"), col("CAUSE_LEVELS_1_NAME"),
           col("CAUSE_LEVELS_2_NAME"), col("CAUSE_LEVELS_3_NAME"),
-          col("CAUSE_LEVELS_4_NAME"),
+          col("CAUSE_LEVELS_4_NAME"), col("Fault"), col("OPERATOR_COMMENT"),
           col("Planned_Stop_Check"), col("Idle_Check"), col("isExcluded")),
         allowMissingColumns = true)
 
@@ -105,10 +105,10 @@ object FirstStopAfterCo {
       .filter(col("__rn") === 1)
       .select(col("START_TIME"), round(col("DOWNTIME"), 2).as("DOWNTIME"),
         round(col("UPTIME"), 2).as("UPTIME"),
-        round(col("Uptime_cumul"), 2).as("Uptime_cumul"),
+        round(col("Uptime_cumul"), 2).as("Uptime_cumul"), col("Fault"),
         col("CAUSE_LEVELS_1_NAME"), col("CAUSE_LEVELS_2_NAME"),
         col("CAUSE_LEVELS_3_NAME"), col("CAUSE_LEVELS_4_NAME"),
-        col("BRANDCODE"), col("LINE"),
+        col("BRANDCODE"), col("OPERATOR_COMMENT"), col("LINE"),
         col("downtime_id"), col("co_id").as("CO_Identifier"))
   }
 
@@ -144,6 +144,7 @@ object FirstStopAfterCoSql {
         SELECT d.START_TIME, d.DOWNTIME, d.UPTIME, d.BRANDCODE,
           d.CAUSE_LEVELS_1_NAME, d.CAUSE_LEVELS_2_NAME,
           d.CAUSE_LEVELS_3_NAME, d.CAUSE_LEVELS_4_NAME,
+          d.Fault, d.OPERATOR_COMMENT,
           d.downtime_id, d.dtid, d.START_EPOCH,
           d.Planned_Stop_Check, d.Idle_Check, d.isExcluded,
           sum(d.UPTIME) OVER (ORDER BY d.START_EPOCH, d.dtid

@@ -270,10 +270,10 @@ object GanttGenerate {
     val nonC = assign(coAgg, machineLog)
       .join(constraintMachines, Seq("LINE", "MACHINE"), "left_anti")
     val cons = assign(coAgg, consLog)
-    val cols = Seq("START_TIME", "DOWNTIME", "UPTIME",
+    val cols = Seq("START_TIME", "DOWNTIME", "UPTIME", "Fault",
       "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME", "CAUSE_LEVELS_3_NAME",
-      "CAUSE_LEVELS_4_NAME",
-      "BRANDCODE", "LINE", "MACHINE", "downtime_id", "CO_Identifier")
+      "CAUSE_LEVELS_4_NAME", "BRANDCODE", "OPERATOR_COMMENT",
+      "LINE", "MACHINE", "downtime_id", "CO_Identifier")
     nonC.select(cols.map(col): _*)
       .unionByName(cons.select(cols.map(col): _*))
       // reference round-trips minutes→seconds→minutes then rounds

@@ -131,9 +131,9 @@ object GanttGenerateSql {
   /** Event_Log_for_Gantt. */
   val eventLogSql: String = {
     val cols = """START_TIME, round(DOWNTIME * 60 / 60, 2) AS DOWNTIME,
-      round(UPTIME * 60 / 60, 2) AS UPTIME, CAUSE_LEVELS_1_NAME,
+      round(UPTIME * 60 / 60, 2) AS UPTIME, Fault, CAUSE_LEVELS_1_NAME,
       CAUSE_LEVELS_2_NAME, CAUSE_LEVELS_3_NAME, CAUSE_LEVELS_4_NAME,
-      BRANDCODE, LINE, MACHINE,
+      BRANDCODE, OPERATOR_COMMENT, LINE, MACHINE,
       downtime_id, CO_Identifier"""
     s"""${consCte()},
     ${asgCte("en", "dt")},

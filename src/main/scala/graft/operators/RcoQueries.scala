@@ -93,8 +93,9 @@ object RcoQueries {
     s"""${FirstStopAfterCoSql.fsCte}
     SELECT START_TIME, round(DOWNTIME, 2) AS DOWNTIME,
            round(UPTIME, 2) AS UPTIME, round(Uptime_cumul, 2) AS Uptime_cumul,
-           CAUSE_LEVELS_1_NAME, CAUSE_LEVELS_2_NAME, CAUSE_LEVELS_3_NAME,
-           CAUSE_LEVELS_4_NAME, BRANDCODE, LINE, downtime_id, CO_Identifier
+           Fault, CAUSE_LEVELS_1_NAME, CAUSE_LEVELS_2_NAME,
+           CAUSE_LEVELS_3_NAME, CAUSE_LEVELS_4_NAME, BRANDCODE,
+           OPERATOR_COMMENT, LINE, downtime_id, CO_Identifier
     FROM fstop""")
 
   private val coUptimeOracle: String = rcoWith(
@@ -211,20 +212,25 @@ object RcoQueries {
         col("CAUSE_LEVELS_1_NAME"), col("CAUSE_LEVELS_2_NAME"),
         col("CAUSE_LEVELS_3_NAME"), col("CAUSE_LEVELS_4_NAME"),
         col("START_TIME"), col("UPTIME"),
-        col("DOWNTIME"), col("BRANDCODE"),
+        col("DOWNTIME"), col("BRANDCODE"), col("TEAM"), col("SHIFT"),
         regexp_replace(regexp_replace(col("OPERATOR_COMMENT"),
           "\\r\\n", " "), "\\n", " ").as("OPERATOR_COMMENT"),
-        col("CO_Trigger_Column"), col("END_EPOCH"), col("downtime_id"))
+        col("CO_Trigger_Column"), col("END_EPOCH"), col("downtime_id"),
+        col("Reason1Category"), col("Reason2Category"),
+        col("Reason3Category"), col("Reason4Category"),
+        col("ProdDesc"), col("ProcessOrder"))
 
   private val coEventLogOracle: String = rcoWith(
     """evlog AS (
       SELECT s.CO_Identifier, s.LINE, s.CAUSE_LEVELS_1_NAME,
         s.CAUSE_LEVELS_2_NAME, s.CAUSE_LEVELS_3_NAME,
         s.CAUSE_LEVELS_4_NAME, s.START_TIME,
-        s.UPTIME, s.DOWNTIME, s.BRANDCODE,
+        s.UPTIME, s.DOWNTIME, s.BRANDCODE, s.TEAM, s.SHIFT,
         regexp_replace(regexp_replace(s.OPERATOR_COMMENT,
           '\r\n', ' ', 'g'), '\n', ' ', 'g') AS OPERATOR_COMMENT,
-        s.CO_Trigger_Column, s.END_EPOCH, s.downtime_id
+        s.CO_Trigger_Column, s.END_EPOCH, s.downtime_id,
+        s.Reason1Category, s.Reason2Category, s.Reason3Category,
+        s.Reason4Category, s.ProdDesc, s.ProcessOrder
       FROM ses s SEMI JOIN agg a ON s.CO_Identifier = a.CO_Identifier
       WHERE s.LINE IS NOT NULL)
     SELECT * FROM evlog""")

@@ -32,6 +32,8 @@ case class Ev(
     c2: String = "c2",
     c3: String = "c3",
     c4: String = "c4",
+    fault: String = "f0",
+    comment: String = "cm0",
     BRANDCODE: String = "B0",
     id: Long = 0,
     MACHINE: String = "M0",
@@ -61,6 +63,8 @@ abstract class GraftSuite extends AnyFunSuite {
         col("c2").as("CAUSE_LEVELS_2_NAME"),
         col("c3").as("CAUSE_LEVELS_3_NAME"),
         col("c4").as("CAUSE_LEVELS_4_NAME"),
+        col("fault").as("Fault"),
+        col("comment").as("OPERATOR_COMMENT"),
         col("BRANDCODE"), col("MACHINE"),
         col("planned").as("Planned_Stop_Check"),
         col("idle").as("Idle_Check"),
