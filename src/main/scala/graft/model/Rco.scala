@@ -95,15 +95,26 @@ object Rco {
     * the smallest downtime_id (`App/etl/extract/data_from_mdc.py:91-94`;
     * the reference's keep='first' depends on input order — we define a
     * total order, SURVEY §7.4), then the UPTIME-since-previous-event
-    * derivation (minutes, 0 for the first event per line, clamped >= 0). */
+    * derivation (minutes, 0 for the first event per line, clamped >= 0).
+    *
+    * Both steps ride ONE exchange+sort: within [[lineWindow]]'s
+    * (START_EPOCH, dtid) order, a (LINE, START_EPOCH) duplicate group is
+    * consecutive with the smallest dtid first, so "keep first per group"
+    * is `START_EPOCH != lag(START_EPOCH)` — same partitioning as the
+    * UPTIME lag that follows, so Catalyst plans a single shuffle of the
+    * log instead of two (a partitionBy(LINE, START_EPOCH) row_number
+    * would re-hash the full log a second time). The DuckDB twin keeps
+    * the row_number formulation — an independent spelling of the same
+    * semantics is exactly what the oracle should be. */
   def downtimeLogDeduped(events: DataFrame): DataFrame = {
-    val wDedup = Window.partitionBy("LINE", "START_EPOCH").orderBy(dtid)
+    val prevEpoch = lag(col("START_EPOCH"), 1).over(lineWindow)
     val gap =
       (col("START_EPOCH") - lag(col("END_EPOCH"), 1).over(lineWindow)) / 60.0
     downtimeLog(events)
-      .withColumn("__rn", row_number().over(wDedup))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .withColumn("__prev_epoch", prevEpoch)
+      .filter(col("__prev_epoch").isNull ||
+        col("__prev_epoch") =!= col("START_EPOCH"))
+      .drop("__prev_epoch")
       .withColumn("UPTIME",
         when(gap.isNull || gap < 0, lit(0.0)).otherwise(gap))
   }

@@ -110,6 +110,14 @@ object GanttGenerate {
     val wRn = wCoM.orderBy(col("START_EPOCH"), col("dtid"))
     val ranked = assigned
       .withColumn("st", statusCol.cast("double"))
+      // project BEFORE the per-(CO, machine) sort + persist: the
+      // assigned stream carries every log column (comments, causes,
+      // attribution strings) but the point kernel needs only these —
+      // the cache and the window sort otherwise pay the full row width
+      .select(col("CO_Identifier"), col("LINE"), col("MACHINE"),
+        col("min_t"), col("max_t"), col("START_EPOCH"), col("END_EPOCH"),
+        col("DOWNTIME"), col("UPTIME"), col("dtid"), col("downtime_id"),
+        col("st"))
       .withColumn("rn", row_number().over(wRn))
       .withColumn("dt_sec", col("DOWNTIME") * 60)
       .withColumn("up_sec", col("UPTIME") * 60)
