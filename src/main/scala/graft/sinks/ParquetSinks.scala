@@ -190,9 +190,48 @@ object ParquetSinks {
     swapDir(fs, tmp, new Path(path))
   }
 
+  /** [[upsertByKey]] at scale: the same keyed MERGE, but the table is
+    * laid out in hash buckets of `bucketCol` (one of the key columns)
+    * and only the buckets the incoming keys land in are read back and
+    * rewritten — the full-table rewrite of the flat variant is O(table)
+    * per call, which a per-micro-batch streaming sink or a big daily
+    * merge cannot afford. Layout matches [[upsertWindow]]. */
+  def upsertByKeyBucketed(spark: SparkSession, newDf: DataFrame,
+      path: String, keyCols: Seq[String], bucketCol: String,
+      numBuckets: Int = 64): Unit = {
+    require(keyCols.contains(bucketCol),
+      s"bucketCol $bucketCol must be one of the merge keys $keyCols")
+    if (!exists(spark, path)) {
+      writePartitioned(withBucket(newDf, bucketCol, numBuckets), BucketCol,
+        SaveMode.Append, path)
+      return
+    }
+    val touched = withBucket(newDf.select(bucketCol).distinct(), bucketCol,
+      numBuckets).select(BucketCol).distinct().collect().map(_.getInt(0))
+    val keptOld = spark.read.parquet(path)
+      .filter(col(BucketCol).isin(touched.toSeq: _*))
+      .join(newDf.select(keyCols.map(col): _*).distinct(), keyCols,
+        "left_anti")
+    val tmp = tmpPath(path)
+    val fs = fsOf(spark, path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writePartitioned(
+      keptOld.unionByName(
+        withBucket(newDf, bucketCol, numBuckets)
+          .select(keptOld.columns.map(col): _*)),
+      BucketCol, SaveMode.Overwrite, tmp.toString)
+    fs.listStatus(tmp).filter(_.isDirectory).foreach { st =>
+      swapDir(fs, st.getPath, new Path(path, st.getPath.getName))
+    }
+    fs.delete(tmp, true)
+  }
+
   /** S11: metadata upsert (`App/etl/overall_etl.py:186-232`,
     * `ref/RCO_Overall_orchestrator.R:236-281,502-546`): MERGE by key —
-    * incoming rows update-or-insert, other keys' rows survive. */
+    * incoming rows update-or-insert, other keys' rows survive. Flat
+    * layout, full rewrite: right for small metadata tables
+    * (Script_Data); use [[upsertByKeyBucketed]] for anything that
+    * grows with the data. */
   def upsertByKey(spark: SparkSession, newDf: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
     if (!exists(spark, path)) {
