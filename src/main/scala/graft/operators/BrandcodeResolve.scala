@@ -121,8 +121,7 @@ object BrandcodeResolve {
 
     // one row per CO; consumed by the Next stream AND the final join —
     // persist so the Current pass (union + two window sorts) runs once
-    val co = nbr.join(current, Seq("CO_Identifier"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val co = CacheScope.pin(nbr.join(current, Seq("CO_Identifier")))
 
     // ---- Next pass: stream keyed at event uptime-start / CO start.
     val nextStream = ev

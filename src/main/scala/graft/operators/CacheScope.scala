@@ -1,0 +1,49 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tracked persists. Operators that cache an internal frame (a per-CO
+  * spine consumed by two passes, a ranked-stops frame consumed by two
+  * aggregates) call [[pin]] instead of `persist` directly. With no
+  * scope open it IS `persist(MEMORY_AND_DISK)` — single-query callers
+  * keep the warm cache they want. Inside [[collect]] every pin is also
+  * recorded, so an orchestrator that loops (a fleet run over N sites)
+  * can release each iteration's frames instead of accumulating O(N)
+  * dead cache entries whose eviction pressure lands on whoever runs
+  * last — the exact pathology the bench's clearState works around,
+  * which production loops otherwise had no handle for.
+  *
+  * Thread-local: plan construction (where persist() calls happen) is
+  * single-threaded per pipeline run; the concurrent table WRITES only
+  * consume already-pinned frames and never pin.
+  */
+object CacheScope {
+
+  private val active = new ThreadLocal[ArrayBuffer[DataFrame]]()
+
+  /** Persist `df` (MEMORY_AND_DISK); register it with the open scope,
+    * if any, for later release. */
+  def pin(df: DataFrame): DataFrame = {
+    val c = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val buf = active.get()
+    if (buf != null) buf += c
+    c
+  }
+
+  /** Run `body` with a scope open; returns its result plus a release
+    * handle that unpersists every frame pinned during the call (double
+    * release is harmless). Nested scopes stack: the inner scope's pins
+    * belong to the inner handle only. */
+  def collect[T](body: => T): (T, () => Unit) = {
+    val outer = active.get()
+    val buf = ArrayBuffer.empty[DataFrame]
+    active.set(buf)
+    val result =
+      try body
+      finally active.set(outer)
+    (result, () => buf.foreach(df => { df.unpersist(); () }))
+  }
+}

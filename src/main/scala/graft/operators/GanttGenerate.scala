@@ -108,7 +108,7 @@ object GanttGenerate {
     *                  1/1.7/2.3/4 for the constraint pass) */
   def points(assigned: DataFrame, statusCol: Column): DataFrame = {
     val wRn = wCoM.orderBy(col("START_EPOCH"), col("dtid"))
-    val ranked = assigned
+    val ranked = CacheScope.pin(assigned
       .withColumn("st", statusCol.cast("double"))
       // project BEFORE the per-(CO, machine) sort + persist: the
       // assigned stream carries every log column (comments, causes,
@@ -138,8 +138,8 @@ object GanttGenerate {
         last(col("own_time"), ignoreNulls = true)
           .over(wRn.rowsBetween(Window.unboundedPreceding, -1)))
       // consumed twice (point explosion + closing-pair aggregate):
-      // persist so the assignment join + per-group sorts run once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pinned so the assignment join + per-group sorts run once
+      )
 
     def pt(t: Column, s: Column, pk: Column, seq: Column) =
       struct(t.as("t"), s.as("s"), pk.as("pk"), seq.cast("long").as("seq"))

@@ -41,27 +41,40 @@ object RcoEtl {
     *        multi-constraint lines skip the Gantt constraint pass */
   def run(fullLog0: DataFrame, prodLog: DataFrame, p: SiteParams,
       constraintCounts: Option[DataFrame] = None)
-      : Map[String, DataFrame] = {
+      : Map[String, DataFrame] =
+    runReleasable(fullLog0, prodLog, p, constraintCounts)._1
+
+  /** [[run]] plus a release handle that unpersists every frame pinned
+    * while building this site's plans — the five spine frames below
+    * AND the operator-internal caches (BrandcodeResolve's per-CO frame,
+    * the Gantt passes' ranked stops), captured via [[CacheScope]]. A
+    * single-site caller can ignore the handle (the session keeps one
+    * site's spine warm, which is what its queries want) — but anything
+    * that LOOPS sites must call it per site, or the cache accumulates
+    * O(sites) dead frames and eviction pressure lands on whichever
+    * site runs last (the exact pathology the bench had to work around
+    * with clearState). [[runSites]] does. */
+  def runReleasable(fullLog0: DataFrame, prodLog: DataFrame, p: SiteParams,
+      constraintCounts: Option[DataFrame] = None)
+      : (Map[String, DataFrame], () => Unit) = CacheScope.collect {
+    def pin(df: DataFrame): DataFrame = CacheScope.pin(df)
     // Every output table re-reads the canonical log (the Gantt passes
     // alone consume it four times); without a persist each consumer
     // re-executes the dedup + UPTIME windows from the source scan —
     // measured 2x+ on the end-to-end wall time. The reference computes
     // this frame once per site run (`App/etl/overall_etl.py:52-80`).
-    val fullLog = fullLog0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fullLog = pin(fullLog0)
     val sesParams = Sessionize.Params(p.triggerParam, p.splitOnCause,
       p.changeoverFailureNoSplit, p.pythonFactor4)
     val coLog = graft.model.Rco.coFilter(fullLog, p.coPredicateSql)
-    val ses = Sessionize(coLog, sesParams)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val agg = CoAggregate(ses)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ses = pin(Sessionize(coLog, sesParams))
+    val agg = pin(CoAggregate(ses))
     // shared by uptime-till-next-CO and first-stop (computed once)
-    val assigned = FirstStopAfterCo.assignedStops(agg, fullLog)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assigned = pin(FirstStopAfterCo.assignedStops(agg, fullLog))
 
     val bc = BrandcodeResolve(agg, fullLog)
-    val coAggregated = agg
+    // pinned: consumed twice by load (table write + Script_Data aggregate)
+    val coAggregated = pin(agg
       // MultiConstraint sites report the prorated downtime
       // (`App/etl/transform/mes_etl.py:225-230` divides in place)
       .withColumn("CO_DOWNTIME",
@@ -73,9 +86,7 @@ object RcoEtl {
         FirstStopAfterCo.uptimeTillNextCo(agg, fullLog, Some(assigned))
           .select("CO_Identifier", "Total_Uptime_till_Next_CO"),
         Seq("CO_Identifier"))
-      .withColumn("Server", lit(p.server))
-      // consumed twice by load (table write + Script_Data aggregate)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("Server", lit(p.server)))
 
     val eventLog = ses
       .join(agg.select(col("CO_Identifier")), Seq("CO_Identifier"),
@@ -127,7 +138,12 @@ object RcoEtl {
       : Map[String, String] =
     sites.map { p =>
       p.server -> (try {
-        load(spark, run(fullLog, prodLog, p), baseDir, p.server)
+        // releasable variant: a fleet run pins five spine frames PER
+        // SITE — without the per-site unpersist the Nth site computes
+        // under N-1 sites' dead cache (eviction pressure, phantom
+        // slowdowns; see the bench's clearState history)
+        val (outputs, release) = runReleasable(fullLog, prodLog, p)
+        try load(spark, outputs, baseDir, p.server) finally release()
         "Success"
       } catch {
         // NonFatal only: an OutOfMemoryError/LinkageError means the JVM
@@ -244,13 +260,21 @@ object RcoEtl {
     if (writes.nonEmpty) {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
+      import scala.util.{Failure, Try}
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(writes.size)
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
-      try Await.result(Future.sequence(writes.map(w => Future(w()))),
-        Duration.Inf)
+      // Each write is wrapped in Try so the sequence NEVER fails early:
+      // load() must not return (or throw) while sibling writes are
+      // still in flight — runSites starts the next site against the
+      // same table paths, and an in-flight write racing the next
+      // site's upsert could delete the other's staging dirs mid-swap.
+      // All writes finish, THEN the first failure (if any) is rethrown.
+      val results = try Await.result(
+        Future.sequence(writes.map(w => Future(Try(w())))), Duration.Inf)
       finally pool.shutdown()
+      results.collectFirst { case Failure(e) => e }.foreach(throw _)
     }
   }
 }

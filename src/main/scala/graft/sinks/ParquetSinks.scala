@@ -67,6 +67,39 @@ object ParquetSinks {
     new Path(d.getParent, d.getName + "__tmp")
   }
 
+  /** Early staged-rewrite versions of these sinks parked the previous
+    * table as a `NAME__old` sibling (no leading underscore); a crash
+    * between the two renames could leave one behind, and the current
+    * cleanup only sweeps `_bak_*`. Delete any such leftover so a table
+    * written by an older deployment doesn't carry a stale full copy of
+    * itself forever. */
+  private def cleanLegacyBackup(fs: FileSystem, dest: String): Unit = {
+    val d = new Path(dest)
+    val legacy = new Path(d.getParent, d.getName + "__old")
+    if (fs.exists(legacy)) { fs.delete(legacy, true); () }
+  }
+
+  /** The bucketed sinks filter the stored table on [[BucketCol]]; a
+    * table written by the previous layout (dir-per-key, or flat) lacks
+    * the column, so the very first incremental load after an upgrade
+    * would die with an AnalysisException. Detect that on read and
+    * migrate ONCE: rewrite the whole table into the bucketed layout
+    * (staged to `__tmp` and swapped in, the same crash safety as every
+    * other rewrite here). O(table), paid a single time per table — the
+    * alternative (failing with a message telling the operator to
+    * migrate by hand) just outsources this exact rewrite. */
+  private def ensureBucketed(spark: SparkSession, path: String,
+      keyCol: String, numBuckets: Int): Unit = {
+    if (spark.read.parquet(path).columns.contains(BucketCol)) return
+    val tmp = tmpPath(path)
+    val fs = fsOf(spark, path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writePartitioned(
+      withBucket(spark.read.parquet(path), keyCol, numBuckets), BucketCol,
+      SaveMode.Overwrite, tmp.toString)
+    swapDir(fs, tmp, new Path(path))
+  }
+
   /** Partitioned write with the rows first clustered BY the partition
     * key: without this every task carrying every key emits its own file
     * per `key=value` dir — at 1,500 keys × 32 tasks that is ~48k tiny
@@ -133,11 +166,13 @@ object ParquetSinks {
   def upsertWindow(spark: SparkSession, newDf: DataFrame, path: String,
       keyCol: String, timeCol: String, padSec: Double = 10.0,
       numBuckets: Int = 64): Unit = {
+    cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       writePartitioned(withBucket(newDf, keyCol, numBuckets), BucketCol,
         SaveMode.Append, path)
       return
     }
+    ensureBucketed(spark, path, keyCol, numBuckets)
     // cast("double") lets the time axis be numeric epoch OR timestamp
     // (timestamps cast to fractional epoch seconds)
     val bounds = newDf.groupBy(col(keyCol))
@@ -176,6 +211,7 @@ object ParquetSinks {
     * incoming rows win, table rewritten. */
   def replaceDedup(spark: SparkSession, newDf: DataFrame, path: String,
       keyCol: String): Unit = {
+    cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       newDf.write.mode(SaveMode.Append).parquet(path)
       return
@@ -201,11 +237,13 @@ object ParquetSinks {
       numBuckets: Int = 64): Unit = {
     require(keyCols.contains(bucketCol),
       s"bucketCol $bucketCol must be one of the merge keys $keyCols")
+    cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       writePartitioned(withBucket(newDf, bucketCol, numBuckets), BucketCol,
         SaveMode.Append, path)
       return
     }
+    ensureBucketed(spark, path, bucketCol, numBuckets)
     val touched = withBucket(newDf.select(bucketCol).distinct(), bucketCol,
       numBuckets).select(BucketCol).distinct().collect().map(_.getInt(0))
     val keptOld = spark.read.parquet(path)
@@ -234,6 +272,7 @@ object ParquetSinks {
     * grows with the data. */
   def upsertByKey(spark: SparkSession, newDf: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
+    cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       newDf.write.mode(SaveMode.Append).parquet(path)
       return

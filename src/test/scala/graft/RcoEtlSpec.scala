@@ -78,6 +78,47 @@ class RcoEtlSpec extends GraftSuite {
     assert(counts == first, "second identical load must be a no-op")
   }
 
+  test("a failed table write does not abort sibling writes mid-flight") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // slow sibling: ~2s of per-row sleep in one partition
+    val slow = udf((x: Double) => { Thread.sleep(20); x })
+    val runtime = (1 to 100).map(i => ("S", s"d$i", s"L$i", i.toDouble))
+      .toDF("Server", "Date", "LINE", "Runtime")
+      .repartition(1).withColumn("Runtime", slow(col("Runtime")))
+    val bad = Seq(1).toDF("x") // no LINE column → upsertWindow fails fast
+    val base = Files.createTempDirectory("graft-await").toString
+    intercept[Exception] {
+      RcoEtl.load(spark, Map(
+        "Runtime_per_Day_data" -> runtime, "CO_Event_Log" -> bad),
+        base, "S")
+    }
+    // load must rethrow only AFTER every sibling write finished — the
+    // slow table is fully on disk the moment load() surfaces the error
+    // (an early rethrow would let the in-flight write race the next
+    // site's upsert against the same path)
+    assert(spark.read.parquet(s"$base/Runtime_per_Day_data").count() == 100)
+  }
+
+  test("runReleasable's release() unpersists every spine frame") {
+    // start from a clean cache: earlier tests' run() calls leak pins of
+    // the SAME logical plans, so the CacheManager would dedupe ours and
+    // the counts below would measure their leftovers, not this run
+    spark.catalog.clearCache()
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (out, release) = RcoEtl.runReleasable(full, prod,
+      RcoEtl.SiteParams("TestSite", Rco.testCoPredicate,
+        machineLevel = false, firstStop = false))
+    assert(out("CO_Aggregated_Data").count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "materializing the outputs should register the pinned spine")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release must unpersist everything run pinned (fleet runs loop this)")
+  }
+
   test("load applies the adaptive decimal reduction before each write") {
     import org.apache.spark.sql.functions.col
     val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))

@@ -80,4 +80,30 @@ class SinksSpec extends GraftSuite {
     ParquetSinks.upsertByKey(spark, incoming, path, Seq("Server", "Line"))
     assert(rows(path) == expected)
   }
+
+  test("bucketed sinks migrate a legacy (pre-bucket) table layout once") {
+    val path = tmp()
+    // legacy layout: dir-per-key partitioning, no graft_bucket column —
+    // what these tables looked like before the hash-bucket layout; the
+    // first incremental load after the upgrade must not AnalysisException
+    Seq(("L1", 10.0, "old-a"), ("L1", 50.0, "old-b"), ("L2", 10.0, "keep"))
+      .toDF("LINE", "t", "v").write.partitionBy("LINE").parquet(path)
+    val incoming = Seq(("L1", 50.0, "new-b")).toDF("LINE", "t", "v")
+    ParquetSinks.upsertWindow(spark, incoming, path, "LINE", "t")
+    assert(spark.read.parquet(path).columns
+      .contains(ParquetSinks.BucketCol),
+      "table should have been rewritten into the bucketed layout")
+    assert(rows(path) == Set("L1|10.0|old-a", "L1|50.0|new-b",
+      "L2|10.0|keep"))
+  }
+
+  test("sinks sweep legacy NAME__old backup leftovers") {
+    val path = tmp()
+    Seq(1).toDF("junk").write.parquet(path + "__old")
+    ParquetSinks.upsertByKey(spark,
+      Seq(("k1", 1L)).toDF("k", "n"), path, Seq("k"))
+    assert(!new java.io.File(path + "__old").exists,
+      "pre-bucket-era __old backup dir should be deleted")
+    assert(rows(path) == Set("k1|1"))
+  }
 }

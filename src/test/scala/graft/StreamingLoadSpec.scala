@@ -43,6 +43,11 @@ class StreamingLoadSpec extends GraftSuite {
       assert(out.length == 2, s"one row per (line, window): ${out.toSeq}")
       assert(out.toSet == Set(("L1", "2026-01-01", 30.0),
         ("L2", "2026-01-01", 5.0)))
+      // the sink must use the BUCKETED merge — a per-trigger full-table
+      // rewrite would make trigger cost grow with table age
+      assert(spark.read.parquet(path).columns
+        .contains(graft.sinks.ParquetSinks.BucketCol),
+        "streaming table should be in the hash-bucket layout")
     } finally query.stop()
   }
 
