@@ -45,6 +45,7 @@ object SparkEntry {
     "rco_co_uptime",
     "rco_gantt",
     "llm_dedup_near",
+    "llm_dedup_ngram",
     "llm_knn",
     "llm_knn_ivf2",
     "llm_textstats",

@@ -20,6 +20,7 @@ object LlmQueries {
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, d) => LlmText.dedupExact(docs(s, d))),
     "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
+    "llm_dedup_ngram" -> ((s, d) => LlmText.dedupNgram(docs(s, d))),
     "llm_simhash" -> ((s, d) => LlmText.simhash(docs(s, d))),
     "llm_fingerprint" -> ((s, d) => LlmText.fingerprint(docs(s, d))),
     "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
@@ -33,6 +34,7 @@ object LlmQueries {
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
     "llm_dedup_near" -> LlmTextSql.dedupNearSql,
+    "llm_dedup_ngram" -> LlmTextSql.dedupNgramSql,
     "llm_simhash" -> LlmTextSql.simhashSql,
     "llm_fingerprint" -> LlmTextSql.fingerprintSql,
     "llm_textstats" -> LlmTextSql.textStatsSql,

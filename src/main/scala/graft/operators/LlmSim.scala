@@ -158,11 +158,10 @@ object LlmSim {
     // the materialized inverted index of a production deployment.
     // Re-invocations build an identical plan, which the CacheManager
     // dedups against the existing blocks.
-    val sims = e.crossJoin(broadcast(cents))
+    val sims = CacheScope.pin(e.crossJoin(broadcast(cents))
       .withColumn("sim_r",
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
-      .withColumn("nr", row_number().over(simw))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("nr", row_number().over(simw)))
     val corpus = sims.filter(col("nr") === 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
     val probes = sims

@@ -65,32 +65,10 @@ object LlmText {
       .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
   }
 
-  /** MinHash-LSH near-dup pairs: band-bucket equi-join for candidates,
-    * exact shingle-Jaccard verification on candidates only.
-    *
-    * The shingle and band frames are persisted: the self-join plus the
-    * two verify joins would otherwise re-tokenize and re-hash the corpus
-    * 4× (8.6s → ~2s at sf0.1). At cluster scale these are the signature
-    * tables a dedup pipeline checkpoints between stages. */
-  def dedupNear(documents: DataFrame): DataFrame = {
-    val sh = shingles(documents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhash(sh)
-    val bands = sig.select(col("doc_id"),
-      explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("b"),
-          concat_ws("|", col(s"h${BandRows * b}"),
-            col(s"h${BandRows * b + 1}")).as("key"))): _*)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.key").as("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-
+  /** Exact shingle-Jaccard over CANDIDATE pairs only (the verify tail
+    * both near-dup operators share): join the full shingle sets back
+    * and keep pairs at/above the threshold. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")),
         Seq("id_a"))
@@ -101,6 +79,75 @@ object LlmText {
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** MinHash-LSH near-dup pairs: band-bucket equi-join for candidates,
+    * exact shingle-Jaccard verification on candidates only.
+    *
+    * The shingle and band frames are pinned: the self-join plus the
+    * two verify joins would otherwise re-tokenize and re-hash the corpus
+    * 4× (8.6s → ~2s at sf0.1). At cluster scale these are the signature
+    * tables a dedup pipeline checkpoints between stages. */
+  def dedupNear(documents: DataFrame): DataFrame = {
+    val sh = CacheScope.pin(shingles(documents))
+    val sig = minhash(sh)
+    val bands = CacheScope.pin(sig.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("b"),
+          concat_ws("|", col(s"h${BandRows * b}"),
+            col(s"h${BandRows * b + 1}")).as("key"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"),
+        col("band.key").as("key")))
+
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(cand, sh)
+  }
+
+  /** Document frequency above which a shingle stops generating candidate
+    * pairs in [[dedupNgram]]: a gram shared by df docs emits O(df²)
+    * pairs, so unbounded df makes boilerplate phrases ("all rights
+    * reserved") quadratic hot keys. Near-duplicates at J ≥ 0.5 share
+    * many grams; losing the ubiquitous ones costs recall only for a
+    * pair whose EVERY shared gram is corpus-wide boilerplate — which at
+    * J ≥ 0.5 means the documents are boilerplate. */
+  val NgramDfCap = 20
+
+  /** n-gram Jaccard near-dup pairs WITHOUT signatures: the classic
+    * inverted-index layout. Post the distinct 3-gram shingles, drop
+    * grams with document frequency > [[NgramDfCap]] (quadratic hot
+    * keys, see above), self-join the postings on the gram for candidate
+    * pairs, verify with exact Jaccard on the full shingle sets.
+    *
+    * Scale shape vs [[dedupNear]]: no hashing pass and FULL recall on
+    * every pair sharing at least one sub-cap gram (LSH has band-miss
+    * false negatives), in exchange for a candidate join keyed on raw
+    * grams whose volume is Σ_gram df² — bounded here by the df cap, so
+    * per-key work is ≤ cap² and the plan stays a shuffle-bounded
+    * equi-join. The df filter is one window pass over the postings (a
+    * single shuffle on gram, no second scan or join). */
+  def dedupNgram(documents: DataFrame, dfCap: Int = NgramDfCap)
+      : DataFrame = {
+    val sh = CacheScope.pin(shingles(documents))
+    val rare = CacheScope.pin(
+      sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy(col("gram"))))
+        .filter(col("df") <= dfCap)
+        .select(col("doc_id"), col("gram")))
+
+    val cand = rare.as("x")
+      .join(rare.as("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(cand, sh)
   }
 
   /** Training-set curation: the end-to-end composition a data pipeline
@@ -240,6 +287,25 @@ object LlmTextSql {
     bands AS ($bandSelects),
     cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key
+        AND x.doc_id < y.doc_id),
+    ver AS (SELECT c.id_a, c.id_b,
+      CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b)
+    SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver
+    WHERE j >= $JaccardThreshold"""
+  }
+
+  val dedupNgramSql: String = {
+    s"""WITH $toksCte, $shCte,
+    posting AS (SELECT doc_id, g.gram
+      FROM sh, UNNEST(shingles) AS g(gram)),
+    rare AS (SELECT doc_id, gram FROM (
+      SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      FROM posting) WHERE df <= ${LlmText.NgramDfCap}),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM rare x JOIN rare y ON x.gram = y.gram
         AND x.doc_id < y.doc_id),
     ver AS (SELECT c.id_a, c.id_b,
       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)

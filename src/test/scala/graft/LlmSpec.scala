@@ -36,6 +36,34 @@ class LlmSpec extends GraftSuite {
     assert(math.abs(r.getAs[Double]("jaccard") - 28.0 / 29.0) < 1e-6)
   }
 
+  test("ngram dedup: finds the shifted copy, dominates LSH recall, caps df") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shifted = (0 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, shifted),
+      (3L, (100 to 130).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = LlmText.dedupNgram(docs).collect()
+    assert(pairs.length == 1)
+    val r = pairs.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 28.0 / 29.0) < 1e-6)
+    // recall dominance: the inverted index catches every pair LSH does
+    // (LSH has band-miss false negatives, ngram candidates don't)
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = ids(LlmText.dedupNear(corpus))
+    val ng = ids(LlmText.dedupNgram(corpus))
+    assert(lsh.subsetOf(ng), s"ngram must catch LSH's pairs: ${lsh -- ng}")
+    // df cap: a gram in > NgramDfCap docs generates no candidates — 21
+    // identical docs produce NO pairs (exact-dup boilerplate is
+    // dedupExact's job; unbounded df would be a quadratic hot key)
+    val boiler = (1L to 21L).map(i => (i, "same three words"))
+      .toDF("doc_id", "text")
+    assert(LlmText.dedupNgram(boiler).isEmpty)
+  }
+
   test("identical texts get identical simhash and fingerprint") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
