@@ -189,6 +189,47 @@ object RcoQueries {
     $selects"""
   }
 
+  /** Fleet configuration under the oracle gate: three sites with
+    * DIFFERENTIATED SiteParams — different CO-predicate catalog
+    * entries, trigger parameters and split toggles — the heterogeneity
+    * `RcoEtl.runSites` iterates over (`App/rco_main.py:95-106` reads
+    * these per site from Site_Config). */
+  val fleetSites: Seq[(String, String, Sessionize.Params)] = Seq(
+    ("SiteA", Rco.testCoPredicate, P),
+    ("SiteB", SitePredicates.catalog("StLouis Proficy"),
+      Sessionize.Params(triggerParam = 60.0, splitOnCause = true,
+        changeoverFailureNoSplit = true)),
+    ("SiteC", SitePredicates.catalog("Cabuyao"),
+      Sessionize.Params(triggerParam = 240.0, pythonFactor4 = true)))
+
+  /** Per-site spines computed with each site's OWN params over the same
+    * canonical log, unioned with the Server tag — what a fleet run
+    * writes, minus the sinks. One full-log scan feeds all three plans
+    * (shared memoized frame); each site's sessionize/aggregate shuffles
+    * only its own filtered slice. */
+  def multisite: Q = (s, dir) => {
+    val full = RcoPipeline.fullLog(s, dir, P)
+    fleetSites.map { case (server, pred, params) =>
+      CoAggregate(Sessionize(Rco.coFilter(full, pred), params))
+        .withColumn("Server", lit(server))
+    }.reduce(_.unionByName(_))
+  }
+
+  private val multisiteOracle: String =
+    // each site's CTE chain in a parenthesized query expression (DuckDB
+    // rejects WITH directly inside a FROM subquery)
+    fleetSites.map { case (server, pred, params) =>
+      s"""(${RcoSql.dtCte},
+           ${SessionizeSql.sesCte(pred, params)},
+           ${CoAggregateSql.aggCte}
+         SELECT CO_Identifier, LINE, CO_StartTime, CO_Start_EPOCH,
+             CO_End_EPOCH, CO_DOWNTIME, downtime_id_of_First_CO_Event,
+             downtime_id_of_Last_CO_Event, n_events, first_ev_UPTIME,
+             Number_of_Machines, CO_DOWNTIME_prorated,
+             '$server' AS Server
+         FROM agg)"""
+    }.mkString(" UNION ALL ")
+
   def constraintFilter: Q = (s, dir) =>
     SitePredicates
       .constraintFilter(RcoPipeline.fullLog(s, dir, P), Seq("M0", "M2"))
@@ -245,6 +286,7 @@ object RcoQueries {
     "rco_sessionize_split" -> sessionize(Psplit),
     "rco_sessionize_pyfork" -> sessionize(Ppy),
     "rco_co_agg" -> coAgg,
+    "rco_multisite" -> multisite,
     "rco_brandcode" -> brandcode,
     "rco_first_stop" -> firstStop,
     "rco_co_uptime" -> coUptime,
@@ -263,6 +305,7 @@ object RcoQueries {
     "rco_sessionize_split" -> sessionizeOracle(Psplit),
     "rco_sessionize_pyfork" -> sessionizeOracle(Ppy),
     "rco_co_agg" -> coAggOracle,
+    "rco_multisite" -> multisiteOracle,
     "rco_brandcode" -> brandcodeOracle,
     "rco_first_stop" -> firstStopOracle,
     "rco_co_uptime" -> coUptimeOracle,
