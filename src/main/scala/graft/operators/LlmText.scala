@@ -117,21 +117,35 @@ object LlmText {
     * J ≥ 0.5 means the documents are boilerplate. */
   val NgramDfCap = 20
 
+  /** Minimum sub-cap grams a pair must share to become a candidate in
+    * [[dedupNgram]] (the standard multi-seed requirement). One shared
+    * gram is mostly coincidence: at sf0.1 it admits ~1.1M candidate
+    * pairs of which 256 are real, and the exact-Jaccard verify on the
+    * full shingle arrays then dominates the query (~7s). Requiring 3
+    * drops candidates ~100× while true pairs are untouched by a wide
+    * margin — at J ≥ 0.5 the intersection is ≥ ⅓ of the combined
+    * shingle count (~35 grams for typical documents), so a true pair
+    * below the bar would need all but two of its shared grams to be
+    * corpus-wide boilerplate. */
+  val NgramMinShared = 3
+
   /** n-gram Jaccard near-dup pairs WITHOUT signatures: the classic
     * inverted-index layout. Post the distinct 3-gram shingles, drop
     * grams with document frequency > [[NgramDfCap]] (quadratic hot
-    * keys, see above), self-join the postings on the gram for candidate
-    * pairs, verify with exact Jaccard on the full shingle sets.
+    * keys, see above), self-join the postings on the gram, keep pairs
+    * sharing ≥ [[NgramMinShared]] grams, verify those with exact
+    * Jaccard on the full shingle sets.
     *
-    * Scale shape vs [[dedupNear]]: no hashing pass and FULL recall on
-    * every pair sharing at least one sub-cap gram (LSH has band-miss
-    * false negatives), in exchange for a candidate join keyed on raw
-    * grams whose volume is Σ_gram df² — bounded here by the df cap, so
-    * per-key work is ≤ cap² and the plan stays a shuffle-bounded
-    * equi-join. The df filter is one window pass over the postings (a
+    * Scale shape vs [[dedupNear]]: no hashing pass and full recall on
+    * every pair sharing [[NgramMinShared]] sub-cap grams (LSH has
+    * band-miss false negatives), in exchange for a candidate join keyed
+    * on raw grams whose volume is Σ_gram df² — bounded by the df cap,
+    * so per-key work is ≤ cap² and the plan stays a shuffle-bounded
+    * equi-join. The pair count is a partial-aggregate (map-side
+    * combine), the df filter one window pass over the postings (a
     * single shuffle on gram, no second scan or join). */
-  def dedupNgram(documents: DataFrame, dfCap: Int = NgramDfCap)
-      : DataFrame = {
+  def dedupNgram(documents: DataFrame, dfCap: Int = NgramDfCap,
+      minShared: Int = NgramMinShared): DataFrame = {
     val sh = CacheScope.pin(shingles(documents))
     val rare = CacheScope.pin(
       sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
@@ -145,7 +159,10 @@ object LlmText {
         col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
 
     verifyJaccard(cand, sh)
   }
@@ -304,9 +321,10 @@ object LlmTextSql {
     rare AS (SELECT doc_id, gram FROM (
       SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
       FROM posting) WHERE df <= ${LlmText.NgramDfCap}),
-    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
       FROM rare x JOIN rare y ON x.gram = y.gram
-        AND x.doc_id < y.doc_id),
+        AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= ${LlmText.NgramMinShared}),
     ver AS (SELECT c.id_a, c.id_b,
       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
