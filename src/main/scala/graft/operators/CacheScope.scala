@@ -36,13 +36,23 @@ object CacheScope {
   /** Run `body` with a scope open; returns its result plus a release
     * handle that unpersists every frame pinned during the call (double
     * release is harmless). Nested scopes stack: the inner scope's pins
-    * belong to the inner handle only. */
+    * belong to the inner handle only.
+    *
+    * If `body` throws, everything pinned so far is unpersisted before
+    * the rethrow — the caller never receives the release handle on that
+    * path, so a site whose plan construction fails mid-build must not
+    * leave its pins registered for the rest of a fleet loop. */
   def collect[T](body: => T): (T, () => Unit) = {
     val outer = active.get()
     val buf = ArrayBuffer.empty[DataFrame]
     active.set(buf)
     val result =
       try body
+      catch {
+        case e: Throwable =>
+          buf.foreach(df => { df.unpersist(); () })
+          throw e
+      }
       finally active.set(outer)
     (result, () => buf.foreach(df => { df.unpersist(); () }))
   }

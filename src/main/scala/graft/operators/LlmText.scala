@@ -126,7 +126,15 @@ object LlmText {
     * margin — at J ≥ 0.5 the intersection is ≥ ⅓ of the combined
     * shingle count (~35 grams for typical documents), so a true pair
     * below the bar would need all but two of its shared grams to be
-    * corpus-wide boilerplate. */
+    * corpus-wide boilerplate.
+    *
+    * SHORT documents break that arithmetic: a doc with < 3·minShared
+    * shingles can sit at J ≥ 0.5 while sharing only ⌈n/3⌉ < minShared
+    * grams. [[dedupNgram]] therefore gates each pair on
+    * `least(minShared, ceil(min(|sa|,|sb|)/3))` — the J ≥ 0.5 recall
+    * floor (intersection ≥ ⅓ of the smaller set) holds for every
+    * document length, so the candidate bar can never drop a pair the
+    * exact-Jaccard verify would keep. */
   val NgramMinShared = 3
 
   /** n-gram Jaccard near-dup pairs WITHOUT signatures: the classic
@@ -154,6 +162,10 @@ object LlmText {
         .filter(col("df") <= dfCap)
         .select(col("doc_id"), col("gram")))
 
+    // Per-doc shingle counts feed the short-doc gate below: one row per
+    // doc, equi-joined onto the (already aggregated) candidate pairs —
+    // far cheaper than joining the full shingle arrays pre-bar.
+    val counts = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     val cand = rare.as("x")
       .join(rare.as("y"),
         col("x.gram") === col("y.gram") &&
@@ -161,7 +173,14 @@ object LlmText {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= minShared)
+      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")),
+        Seq("id_a"))
+      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")),
+        Seq("id_b"))
+      // ceil(min/3): the J >= 0.5 bar a pair of this length can actually
+      // owe — see [[NgramMinShared]]'s short-document note
+      .filter(col("shared") >= least(lit(minShared.toLong),
+        ceil(least(col("na"), col("nb")).cast("double") / 3.0)))
       .select(col("id_a"), col("id_b"))
 
     verifyJaccard(cand, sh)
@@ -321,10 +340,18 @@ object LlmTextSql {
     rare AS (SELECT doc_id, gram FROM (
       SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
       FROM posting) WHERE df <= ${LlmText.NgramDfCap}),
-    cand AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+    cnt AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        count(*) AS n_shared
       FROM rare x JOIN rare y ON x.gram = y.gram
         AND x.doc_id < y.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= ${LlmText.NgramMinShared}),
+      GROUP BY 1, 2),
+    cand AS (SELECT s.id_a, s.id_b FROM shared s
+      JOIN cnt ca ON ca.doc_id = s.id_a
+      JOIN cnt cb ON cb.doc_id = s.id_b
+      WHERE s.n_shared >= least(${LlmText.NgramMinShared},
+        CAST(ceil(CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE) / 3.0)
+          AS BIGINT))),
     ver AS (SELECT c.id_a, c.id_b,
       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j

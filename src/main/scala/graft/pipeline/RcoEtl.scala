@@ -274,7 +274,14 @@ object RcoEtl {
       val results = try Await.result(
         Future.sequence(writes.map(w => Future(Try(w())))), Duration.Inf)
       finally pool.shutdown()
-      results.collectFirst { case Failure(e) => e }.foreach(throw _)
+      // Rethrow the first failure with any siblings attached as
+      // suppressed — several tables failing in one site run is one
+      // diagnosis, not writes.size - 1 silently dropped stack traces.
+      val failures = results.collect { case Failure(e) => e }
+      failures.headOption.foreach { first =>
+        failures.drop(1).foreach(first.addSuppressed)
+        throw first
+      }
     }
   }
 }

@@ -72,11 +72,19 @@ object ParquetSinks {
     * between the two renames could leave one behind, and the current
     * cleanup only sweeps `_bak_*`. Delete any such leftover so a table
     * written by an older deployment doesn't carry a stale full copy of
-    * itself forever. */
+    * itself forever — but ONLY when the live table exists. The legacy
+    * swap renamed dest aside BEFORE renaming tmp into place, so a crash
+    * between those two renames leaves `__old` as the SOLE copy of the
+    * table; deleting it then would silently re-create the table from
+    * just the incoming batch. Restore it instead. */
   private def cleanLegacyBackup(fs: FileSystem, dest: String): Unit = {
     val d = new Path(dest)
     val legacy = new Path(d.getParent, d.getName + "__old")
-    if (fs.exists(legacy)) { fs.delete(legacy, true); () }
+    if (fs.exists(legacy)) {
+      if (fs.exists(d)) { fs.delete(legacy, true); () }
+      else if (!fs.rename(legacy, d))
+        sys.error(s"sink: could not restore legacy backup $legacy to $d")
+    }
   }
 
   /** The bucketed sinks filter the stored table on [[BucketCol]]; a

@@ -119,6 +119,23 @@ class RcoEtlSpec extends GraftSuite {
       "release must unpersist everything run pinned (fleet runs loop this)")
   }
 
+  test("CacheScope.collect unpersists pins when the body throws") {
+    import graft.operators.CacheScope
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    intercept[RuntimeException] {
+      CacheScope.collect {
+        val pinned = CacheScope.pin(Seq(1, 2, 3).toDF("x"))
+        pinned.count() // materialize so the pin registers an RDD
+        sys.error("plan construction failed mid-site")
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "a throwing body must not leak its pins (fleet loops never get " +
+        "the release handle on that path)")
+  }
+
   test("load applies the adaptive decimal reduction before each write") {
     import org.apache.spark.sql.functions.col
     val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))

@@ -99,11 +99,26 @@ class SinksSpec extends GraftSuite {
 
   test("sinks sweep legacy NAME__old backup leftovers") {
     val path = tmp()
+    Seq(("k0", 9L)).toDF("k", "n").write.parquet(path)
     Seq(1).toDF("junk").write.parquet(path + "__old")
     ParquetSinks.upsertByKey(spark,
       Seq(("k1", 1L)).toDF("k", "n"), path, Seq("k"))
     assert(!new java.io.File(path + "__old").exists,
       "pre-bucket-era __old backup dir should be deleted")
-    assert(rows(path) == Set("k1|1"))
+    assert(rows(path) == Set("k0|9", "k1|1"))
+  }
+
+  test("orphaned NAME__old (no live table) is restored, not deleted") {
+    // The legacy swap renamed dest aside BEFORE renaming tmp in: a crash
+    // between the renames leaves __old as the ONLY copy. The sink must
+    // bring it back as the live table and merge into it — sweeping it
+    // would silently re-create the table from just the incoming batch.
+    val path = tmp()
+    Seq(("k0", 9L)).toDF("k", "n").write.parquet(path + "__old")
+    ParquetSinks.upsertByKey(spark,
+      Seq(("k1", 1L)).toDF("k", "n"), path, Seq("k"))
+    assert(!new java.io.File(path + "__old").exists)
+    assert(rows(path) == Set("k0|9", "k1|1"),
+      "the restored backup's history must survive the upsert")
   }
 }
