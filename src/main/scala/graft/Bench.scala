@@ -9,10 +9,54 @@ import org.apache.spark.sql.SparkSession
   *    Catalyst eliminate sorts and skip column decode, understating cost;
   *  - one untimed warmup query absorbs JVM/Spark session startup;
   *  - failures are recorded per query (`"errors"`), never timed as -1.
-  */
+  *
+  * The end-to-end pipeline entry runs in a FRESH CHILD JVM (VERDICT r5
+  * "what's wrong" #1): clearState releases the Spark cache, but 17
+  * preceding queries still leave JVM residue — heap fragmentation,
+  * codegen caches, shuffle dirs, GC pressure — that inflated the
+  * recorded e2e 25.96s vs 17.4s isolated (and r3's rco_gantt before
+  * it). A child process is isolation by construction: same classpath
+  * and JVM flags as this process (sbt's forked run provides real
+  * values for both), `SPARK_GRAFT_BENCH_QUERIES` narrowed to the e2e
+  * entry, child's JSON line parsed from its captured stdout so the
+  * parent still prints exactly one line. */
 object Bench {
 
   val E2E = "rco_etl_e2e"
+
+  /** Set in the forked child so it never re-forks. */
+  val ChildEnv = "SPARK_GRAFT_BENCH_CHILD"
+
+  /** Run the E2E entry in a fresh JVM; returns its min-of-2 time, or
+    * None if the child failed (caller falls back to in-process). */
+  def forkE2e(): Option[Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java")
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      // debug/profiler agents would collide on ports in a second JVM
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cp = sys.props("java.class.path")
+    if (!javaBin.isFile || cp == null || cp.isEmpty) return None
+    val cmd = Seq(javaBin.getAbsolutePath) ++ jvmArgs ++
+      Seq("-cp", cp, "graft.Bench")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put(ChildEnv, "1")
+    pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", E2E)
+    // child stderr joins ours (progress/warnings stay visible); stdout
+    // is captured — the driver must see ONE JSON line, the parent's
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val exit = proc.waitFor()
+    if (exit != 0) { System.err.println(s"[bench] e2e child exit $exit"); None }
+    else {
+      val m = java.util.regex.Pattern
+        .compile("\"" + E2E + "\":([-0-9.eE]+)").matcher(out)
+      if (m.find()) Some(m.group(1).toDouble).filter(_ >= 0) else None
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,15 +120,21 @@ object Bench {
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(SparkEntry.benchQueries)
       .filter(n => SparkEntry.queries.contains(n) || n == E2E)
+    // The e2e entry is measured in a fresh child JVM (see forkE2e)
+    // unless this process IS the child.
+    val (forkNames, inProcNames) =
+      if (sys.env.contains(ChildEnv)) (Seq.empty[String], names)
+      else names.partition(_ == E2E)
     // Untimed warmup: JVM/classloader/codegen + parquet footer reads.
-    try run(names.head) catch { case _: Throwable => () }
+    inProcNames.headOption.foreach(n =>
+      try run(n) catch { case _: Throwable => () })
 
     // min of 2 timed runs per query: the first execution of a plan pays
     // one-off costs (janino codegen compile, shuffle-file creation,
     // scheduler warm-up) that showed 3-10x run-to-run noise at this data
     // size; the min reflects the steady-state plan the judge should see.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = names.map { name =>
+    def timeInProc(name: String): Double = {
       clearState()
       // only SUCCESSFUL runs count toward the min — a fast failure must
       // not masquerade as a fast query
@@ -105,8 +155,15 @@ object Bench {
             None
         }
       }
-      name -> times.minOption.getOrElse(-1.0)
+      times.minOption.getOrElse(-1.0)
     }
+    val results = inProcNames.map(n => n -> timeInProc(n)) ++
+      forkNames.map { n =>
+        // child JVM measures the steady-state e2e plan in isolation;
+        // if forking itself fails, fall back to in-process (no worse
+        // than the pre-fork bench)
+        n -> forkE2e().getOrElse(timeInProc(n))
+      }
     def q(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")
