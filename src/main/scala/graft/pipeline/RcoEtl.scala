@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -157,15 +157,25 @@ object RcoEtl {
     }.toMap
 
   /** Script_Data metadata row per line (A8/S11 stats,
-    * `App/etl/overall_etl.py:200-211`) enriched with the line's
-    * day-start hour and constraint count the way the reference
-    * orchestrator fills them (`ref/RCO_Overall_orchestrator.R:259-278`:
-    * Day_Start_hours from the Day_Start table, default 6; NA
-    * Number_of_Constraints → 1, raised by the multi-constraint
-    * config when larger). */
+    * `App/etl/overall_etl.py:200-211`) with the reference's full column
+    * set (`ref/RCO_Overall_orchestrator.R:236-281,502-546`): System and
+    * BU are Line_Input_Data config passthroughs (System defaults to the
+    * line name, BU to "FHC" exactly as the reference hardcodes it),
+    * MES_Line_Name IS the line name, Data_Update_Time is the run
+    * timestamp the NEXT incremental run reads back as its T1 watermark
+    * (`ref/RCO_Overall_orchestrator.R:68-72`;
+    * [[graft.sources.ConfigOps.scriptDataWatermark]] is the read side).
+    * Day_Start_hours comes from the Day_Start table (default 6); NA
+    * Number_of_Constraints → 1, raised by the multi-constraint config
+    * when larger. Number_of_COs is this engine's A8 surplus stat.
+    * @param lineConfig optional (LINE, System[, BU]) config rows —
+    *        the Line_Input_Data stand-in */
   def scriptData(coAggregated: DataFrame, server: String,
       dayStart: Option[DataFrame] = None,
-      constraintCounts: Option[DataFrame] = None): DataFrame = {
+      constraintCounts: Option[DataFrame] = None,
+      updateTime: Option[java.sql.Timestamp] = None,
+      lineConfig: Option[DataFrame] = None,
+      bu: String = "FHC"): DataFrame = {
     val base = coAggregated.groupBy(col("LINE"))
       .agg(min(col("CO_StartTime")).as("First_Available_Data_Point"),
         max(col("CO_StartTime")).as("Last_Available_Data_Point"),
@@ -184,9 +194,30 @@ object RcoEtl {
       case None =>
         withDs.withColumn("Number_of_Constraints", lit(null).cast("int"))
     }
-    withCc
+    val withCfg = lineConfig match {
+      case Some(cfg) => withCc.join(
+        broadcast(cfg.select(
+          (Seq("LINE") ++ Seq("System", "BU").filter(cfg.columns.contains))
+            .map(col): _*)),
+        Seq("LINE"), "left")
+      case None => withCc
+    }
+    def defaulted(df: DataFrame, name: String, dflt: Column): DataFrame =
+      if (df.columns.contains(name))
+        df.withColumn(name, coalesce(col(name), dflt))
+      else df.withColumn(name, dflt)
+    defaulted(defaulted(withCfg, "System", col("LINE")), "BU", lit(bu))
       .na.fill(Map("Day_Start_hours" -> 6.0, "Number_of_Constraints" -> 1))
       .withColumn("Server", lit(server))
+      .withColumn("Data_Update_Time",
+        updateTime.map(t => lit(t)).getOrElse(current_timestamp())
+          .cast("timestamp"))
+      .withColumnRenamed("LINE", "MES_Line_Name")
+      .select(col("System"), col("Data_Update_Time"),
+        col("First_Available_Data_Point"),
+        col("Last_Available_Data_Point"), col("MES_Line_Name"),
+        col("Server"), col("Day_Start_hours"), col("BU"),
+        col("Number_of_Constraints"), col("Number_of_COs"))
   }
 
   /** Idempotent load (S8–S11): the windowed tables go through the
@@ -205,7 +236,12 @@ object RcoEtl {
     * cluster idle through each job's commit phase (~2x end-to-end wall
     * measured at sf0.1). */
   def load(spark: SparkSession, outputs: Map[String, DataFrame],
-      baseDir: String, server: String): Unit = {
+      baseDir: String, server: String,
+      updateTime: Option[java.sql.Timestamp] = None): Unit = {
+    // One run timestamp for every Script_Data row of this load — the
+    // watermark the next incremental run reads back (T1 round-trip).
+    val runTime = updateTime.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
     outputs.get("CO_Aggregated_Data").foreach(df => { df.count(); () })
     // Every write goes through the reference's adaptive decimal
     // reduction first (`ref/RCO_Overall_orchestrator.R:119-131` — the
@@ -225,9 +261,10 @@ object RcoEtl {
         rounded(df)(r =>
           ParquetSinks.upsertWindow(spark, r, s"$baseDir/CO_Aggregated_Data",
             "LINE", "CO_Start_EPOCH"))
-        rounded(scriptData(df, server, outputs.get("Day_Start")))(r =>
+        rounded(scriptData(df, server, outputs.get("Day_Start"),
+          updateTime = Some(runTime)))(r =>
           ParquetSinks.upsertByKey(spark, r,
-            s"$baseDir/Script_Data", Seq("Server", "LINE")))
+            s"$baseDir/Script_Data", Seq("Server", "MES_Line_Name")))
       }),
       outputs.get("CO_Event_Log").map(df => () =>
         rounded(df)(r =>

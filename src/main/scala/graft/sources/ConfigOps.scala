@@ -2,7 +2,8 @@ package graft.sources
 
 import java.time.LocalDateTime
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 
 /** Config/schema-drift helpers and the incremental-window rule
   * (SURVEY §2.2 P4/P7, §2.10 T1).
@@ -45,4 +46,31 @@ object ConfigOps {
       : (LocalDateTime, LocalDateTime) =
     (watermark.minusDays(lookbackDays(now.getHour).toLong),
       now.plusDays(1))
+
+  /** S7/T1 read side of the watermark round-trip
+    * (`ref/RCO_Overall_orchestrator.R:68-72`: `SELECT
+    * max(Data_Update_Time) FROM Script_Data WHERE Server=...`): the
+    * Data_Update_Time each load stamps into Script_Data is what the
+    * NEXT incremental run anchors its extraction window on. None when
+    * the table doesn't exist yet or has no rows for this server —
+    * first-ever run, caller falls back to a full extract. */
+  def scriptDataWatermark(spark: SparkSession, baseDir: String,
+      server: String): Option[java.sql.Timestamp] = {
+    val path = new org.apache.hadoop.fs.Path(s"$baseDir/Script_Data")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else spark.read.parquet(path.toString)
+      .filter(col("Server") === server)
+      .agg(max(col("Data_Update_Time"))).collect().headOption
+      .flatMap(r => Option(r.getTimestamp(0)))
+  }
+
+  /** The full stored-state T1 rule: stored watermark → concrete
+    * analysis window for a run starting at `now`. None on the
+    * first-ever run (no stored watermark). */
+  def analysisWindowFromStore(spark: SparkSession, baseDir: String,
+      server: String, now: LocalDateTime)
+      : Option[(LocalDateTime, LocalDateTime)] =
+    scriptDataWatermark(spark, baseDir, server)
+      .map(w => analysisWindow(w.toLocalDateTime, now))
 }

@@ -58,10 +58,24 @@ class IncrementalEtlSpec extends GraftSuite {
 
     RcoEtl.load(spark, RcoEtl.run(full, prod, params), dirFull, params.server)
 
+    // batch 1 stamps its extraction horizon (t2) as Data_Update_Time —
+    // the T1 watermark the reference's next run reads back
     val batch1 = full.filter(col("START_EPOCH") < t2)
     RcoEtl.load(spark, RcoEtl.run(batch1, prod, params), dirInc,
-      params.server)
-    val batch2 = full.filter(col("START_EPOCH") >= t1)
+      params.server,
+      updateTime = Some(new java.sql.Timestamp((t2 * 1000).toLong)))
+
+    // The ROUND-TRIP: batch 2's extraction start comes from the STORED
+    // watermark (ref/RCO_Overall_orchestrator.R:68-72), not a constant —
+    // watermark minus the lookback span, exactly the reference rule.
+    val wm = graft.sources.ConfigOps
+      .scriptDataWatermark(spark, dirInc, params.server)
+      .getOrElse(fail("watermark must be stored by the first load"))
+    val wmEpoch = wm.getTime / 1000.0
+    assert(math.abs(wmEpoch - t2) < 1.0,
+      "stored watermark should be batch 1's horizon")
+    val lookbackSec = t2 - t1 + 1.0 // +1s absorbs the ms truncation
+    val batch2 = full.filter(col("START_EPOCH") >= wmEpoch - lookbackSec)
     val out2 = RcoEtl.run(batch2, prod, params)
       // the reference loads only rows inside the replacement window;
       // rows before it (boundary-damaged context) are discarded

@@ -54,11 +54,41 @@ class RcoEtlSpec extends GraftSuite {
     val ds = Seq(("L1", 5.5)).toDF("LINE", "Day_Start_hours")
     val cc = Seq(("L2", 3)).toDF("LINE", "Number_of_Constraints")
     val rows = RcoEtl.scriptData(co, "S", Some(ds), Some(cc))
-      .collect().map(r => r.getAs[String]("LINE") ->
+      .collect().map(r => r.getAs[String]("MES_Line_Name") ->
         ((r.getAs[Double]("Day_Start_hours"),
           r.getAs[Int]("Number_of_Constraints")))).toMap
     assert(rows("L1") == ((5.5, 1)), "configured day-start, default count")
     assert(rows("L2") == ((6.0, 3)), "default day-start, configured count")
+  }
+
+  test("scriptData emits the reference's full Script_Data row") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 06:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-02 07:00:00")
+    val co = Seq(("CO1", "L1", t0), ("CO2", "L1", t1))
+      .toDF("CO_Identifier", "LINE", "CO_StartTime")
+    val run = java.sql.Timestamp.valueOf("2026-02-01 03:00:00")
+    val cfg = Seq(("L1", "SYS-7")).toDF("LINE", "System")
+    val out = RcoEtl.scriptData(co, "S", updateTime = Some(run),
+      lineConfig = Some(cfg))
+    // the reference's 9 Script_Data columns, in its order
+    // (`ref/RCO_Overall_orchestrator.R:236-281`), plus the engine's
+    // Number_of_COs surplus stat
+    assert(out.columns.toSeq == Seq("System", "Data_Update_Time",
+      "First_Available_Data_Point", "Last_Available_Data_Point",
+      "MES_Line_Name", "Server", "Day_Start_hours", "BU",
+      "Number_of_Constraints", "Number_of_COs"))
+    val r = out.collect().head
+    assert(r.getAs[String]("System") == "SYS-7", "config passthrough")
+    assert(r.getAs[java.sql.Timestamp]("Data_Update_Time") == run)
+    assert(r.getAs[java.sql.Timestamp]("First_Available_Data_Point") == t0)
+    assert(r.getAs[java.sql.Timestamp]("Last_Available_Data_Point") == t1)
+    assert(r.getAs[String]("BU") == "FHC")
+    assert(r.getAs[Long]("Number_of_COs") == 2L)
+    // no config → System defaults to the line name
+    val noCfg = RcoEtl.scriptData(co, "S", updateTime = Some(run))
+      .collect().head
+    assert(noCfg.getAs[String]("System") == "L1")
   }
 
   test("load is idempotent end-to-end, including the S9 cascade") {
