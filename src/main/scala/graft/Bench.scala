@@ -23,13 +23,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   val E2E = "rco_etl_e2e"
+  val Fleet = "rco_fleet_e2e"
+
+  /** Pipeline pseudo-entries: not SparkEntry queries, and each is
+    * measured in its own fresh child JVM. */
+  val Pseudo: Set[String] = Set(E2E, Fleet)
 
   /** Set in the forked child so it never re-forks. */
   val ChildEnv = "SPARK_GRAFT_BENCH_CHILD"
 
-  /** Run the E2E entry in a fresh JVM; returns its min-of-2 time, or
-    * None if the child failed (caller falls back to in-process). */
-  def forkE2e(): Option[Double] = {
+  /** Run one pseudo-entry in a fresh JVM; returns its time, or None if
+    * the child failed (caller falls back to in-process). */
+  def forkEntry(name: String): Option[Double] = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java")
@@ -43,17 +48,18 @@ object Bench {
       Seq("-cp", cp, "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put(ChildEnv, "1")
-    pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", E2E)
+    pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", name)
     // child stderr joins ours (progress/warnings stay visible); stdout
     // is captured — the driver must see ONE JSON line, the parent's
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val exit = proc.waitFor()
-    if (exit != 0) { System.err.println(s"[bench] e2e child exit $exit"); None }
-    else {
+    if (exit != 0) {
+      System.err.println(s"[bench] $name child exit $exit"); None
+    } else {
       val m = java.util.regex.Pattern
-        .compile("\"" + E2E + "\":([-0-9.eE]+)").matcher(out)
+        .compile("\"" + name + "\":([-0-9.eE]+)").matcher(out)
       if (m.find()) Some(m.group(1).toDouble).filter(_ >= 0) else None
     }
   }
@@ -97,8 +103,27 @@ object Bench {
         out.toString, p.server)
     }
 
+    // Fleet timing: runSites over the 3 heterogeneous fleetSites — the
+    // production entry point (entry-point-1 semantics: per-site
+    // run+load, per-site cache release). Expected ≈ 3× the single-site
+    // e2e (linear in sites; CacheScope keeps it slope-free).
+    def runFleet(): Unit = {
+      val out = new org.apache.hadoop.fs.Path("target/bench_fleet")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(out)) fs.delete(out, true)
+      spark.catalog.clearCache()
+      val events = graft.sources.Tables.events(spark, sfDir)
+      val log = pipeline.RcoEtl.runSites(spark,
+        pipeline.RcoEtl.fleetSiteParams,
+        graft.model.Rco.downtimeLogDeduped(events),
+        graft.model.Rco.productionLog(events), out.toString)
+      // a silently failed site must not time as a fast fleet
+      require(log.values.forall(_ == "Success"), s"fleet statuses: $log")
+    }
+
     def run(name: String): Unit =
       if (name == E2E) runE2e()
+      else if (name == Fleet) runFleet()
       else SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
@@ -119,14 +144,16 @@ object Bench {
     val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(SparkEntry.benchQueries)
-      .filter(n => SparkEntry.queries.contains(n) || n == E2E)
-    // The e2e entry is measured in a fresh child JVM (see forkE2e)
-    // unless this process IS the child.
+      .filter(n => SparkEntry.queries.contains(n) || Pseudo(n))
+    // Pseudo (pipeline) entries are each measured in a fresh child JVM
+    // (see forkEntry) unless this process IS the child.
     val (forkNames, inProcNames) =
       if (sys.env.contains(ChildEnv)) (Seq.empty[String], names)
-      else names.partition(_ == E2E)
+      else names.partition(Pseudo)
     // Untimed warmup: JVM/classloader/codegen + parquet footer reads.
-    inProcNames.headOption.foreach(n =>
+    // Pseudo entries skip it — min-of-2 absorbs their first-run codegen,
+    // and a third multi-minute pipeline run buys no extra signal.
+    inProcNames.filterNot(Pseudo).headOption.foreach(n =>
       try run(n) catch { case _: Throwable => () })
 
     // min of 2 timed runs per query: the first execution of a plan pays
@@ -148,7 +175,9 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           run(name)
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name rep: $dt%.2f s")
+          Some(dt)
         } catch {
           case _: Throwable =>
             if (!errors.contains(name)) errors += name
@@ -159,20 +188,20 @@ object Bench {
     }
     val results = inProcNames.map(n => n -> timeInProc(n)) ++
       forkNames.map { n =>
-        // child JVM measures the steady-state e2e plan in isolation;
-        // if forking itself fails, fall back to in-process (no worse
-        // than the pre-fork bench)
-        n -> forkE2e().getOrElse(timeInProc(n))
+        // child JVM measures the steady-state pipeline plan in
+        // isolation; if forking itself fails, fall back to in-process
+        // (no worse than the pre-fork bench)
+        n -> forkEntry(n).getOrElse(timeInProc(n))
       }
     def q(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")
     // The headline total stays the sum of the single-query set (the
-    // number comparable across rounds); the end-to-end pipeline run is
-    // its own entry — it re-executes the same operators and would
+    // number comparable across rounds); the pipeline runs are their
+    // own entries — they re-execute the same operators and would
     // double-count them into the total.
     val total =
-      results.collect { case (n, v) if n != E2E && v >= 0 => v }.sum
+      results.collect { case (n, v) if !Pseudo(n) && v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     if (errors.nonEmpty) System.err.println(s"[bench] FAILED: $errors")
     spark.stop()

@@ -108,6 +108,61 @@ object ScaleProbe {
     }
     timeEmb("1x", embBase)
     timeEmb(s"${k}x", embK)
+
+    // Text operators: K× corpus with per-copy token prefixes — DISJOINT
+    // gram spaces, because a 10× corpus at scale is new content, not 10
+    // copies of the same bytes. Candidate growth then measures the PLAN
+    // (the df-capped inverted index should stay ~linear in corpus size),
+    // not an artificial K² blowup of true duplicate pairs.
+    val docBase = Tables.documents(spark, sfDir)
+    val docK = (0 until k).map(i => docBase
+      .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+      .withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"c${i}_" + "$1")))
+      .reduce(_ unionByName _)
+    def timeText(tag: String, d0: DataFrame): Unit = {
+      val dir = s"/tmp/graft_scale_doc_$tag"
+      d0.write.mode("overwrite").parquet(dir)
+      val d = spark.read.parquet(dir)
+      val ((), release) = CacheScope.collect {
+        val sh = CacheScope.pin(LlmText.shingles(d))
+        val t0 = System.nanoTime()
+        val nCand = LlmText.ngramCandidates(sh).count()
+        println(f"doc_$tag%-8s ngram_cand  ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+          s" candidates=$nCand docs=${d.count()}")
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t1 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          println(f"doc_$tag%-8s $name%-12s ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+        }
+        time("dedup_ngram")(LlmText.dedupNgram(d))
+        time("curate")(LlmText.curate(d))
+      }
+      release()
+    }
+    timeText("1x", docBase)
+    timeText(s"${k}x", docK)
+
+    // Fleet spine at K× wide: runSites over the 3 heterogeneous sites
+    // (the production entry point, sinks included) — should be ~linear
+    // in data volume AND show no per-site slowdown slope (CacheScope
+    // releases each site's pins).
+    def timeFleet(tag: String): Unit = {
+      val ev = spark.read.parquet(s"/tmp/graft_scale_$tag")
+      val full = Rco.downtimeLogDeduped(ev)
+      val prodL = Rco.productionLog(ev)
+      val outDir = s"/tmp/graft_scale_fleet_$tag"
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(outPath)) fs.delete(outPath, true)
+      val t0 = System.nanoTime()
+      val log = graft.pipeline.RcoEtl.runSites(spark,
+        graft.pipeline.RcoEtl.fleetSiteParams, full, prodL, outDir)
+      println(f"fleet_$tag%-8s 3sites ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+        s" statuses=$log")
+    }
+    timeFleet("base1x")
+    timeFleet("wide")
     spark.stop()
   }
 }

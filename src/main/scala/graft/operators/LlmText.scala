@@ -152,9 +152,13 @@ object LlmText {
     * equi-join. The pair count is a partial-aggregate (map-side
     * combine), the df filter one window pass over the postings (a
     * single shuffle on gram, no second scan or join). */
-  def dedupNgram(documents: DataFrame, dfCap: Int = NgramDfCap,
-      minShared: Int = NgramMinShared): DataFrame = {
-    val sh = CacheScope.pin(shingles(documents))
+  /** The candidate stage of [[dedupNgram]], from a [[shingles]] frame:
+    * postings → df cap → gram self-join → shared-gram bar. Exposed
+    * package-private so the scale probe can count candidates without
+    * re-stating the plan. */
+  private[graft] def ngramCandidates(sh: DataFrame,
+      dfCap: Int = NgramDfCap, minShared: Int = NgramMinShared)
+      : DataFrame = {
     val rare = CacheScope.pin(
       sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
         .withColumn("df",
@@ -166,7 +170,7 @@ object LlmText {
     // doc, equi-joined onto the (already aggregated) candidate pairs —
     // far cheaper than joining the full shingle arrays pre-bar.
     val counts = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
-    val cand = rare.as("x")
+    rare.as("x")
       .join(rare.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -182,8 +186,12 @@ object LlmText {
       .filter(col("shared") >= least(lit(minShared.toLong),
         ceil(least(col("na"), col("nb")).cast("double") / 3.0)))
       .select(col("id_a"), col("id_b"))
+  }
 
-    verifyJaccard(cand, sh)
+  def dedupNgram(documents: DataFrame, dfCap: Int = NgramDfCap,
+      minShared: Int = NgramMinShared): DataFrame = {
+    val sh = CacheScope.pin(shingles(documents))
+    verifyJaccard(ngramCandidates(sh, dfCap, minShared), sh)
   }
 
   /** Training-set curation: the end-to-end composition a data pipeline

@@ -127,6 +127,16 @@ object RcoEtl {
     }
   }
 
+  /** The 3-site heterogeneous fleet configuration
+    * ([[graft.operators.RcoQueries.fleetSites]]) as full [[SiteParams]]
+    * — what the fleet bench entry and the scale probe drive through
+    * [[runSites]]. */
+  def fleetSiteParams: Seq[SiteParams] =
+    RcoQueries.fleetSites.map { case (server, pred, sp) =>
+      SiteParams(server, pred, sp.triggerParam, sp.splitOnCause,
+        sp.changeoverFailureNoSplit, sp.pythonFactor4)
+    }
+
   /** Entry-point-1 semantics (`App/rco_main.py:90-118`,
     * `ref/RCO_Overall_orchestrator.R`): iterate the site-config rows,
     * run+load each site independently, and capture a per-site status —

@@ -87,25 +87,39 @@ object ParquetSinks {
     }
   }
 
-  /** The bucketed sinks filter the stored table on [[BucketCol]]; a
-    * table written by the previous layout (dir-per-key, or flat) lacks
-    * the column, so the very first incremental load after an upgrade
-    * would die with an AnalysisException. Detect that on read and
-    * migrate ONCE: rewrite the whole table into the bucketed layout
-    * (staged to `__tmp` and swapped in, the same crash safety as every
-    * other rewrite here). O(table), paid a single time per table — the
-    * alternative (failing with a message telling the operator to
-    * migrate by hand) just outsources this exact rewrite. */
-  private def ensureBucketed(spark: SparkSession, path: String,
-      keyCol: String, numBuckets: Int): Unit = {
-    if (spark.read.parquet(path).columns.contains(BucketCol)) return
-    val tmp = tmpPath(path)
+  /** Resolve the bucket modulus of an EXISTING table: the stored
+    * [[BucketMarker]] when present. Otherwise the table predates some
+    * part of this layout: if it already has [[BucketCol]] it was
+    * written with the call sites' old fixed modulus — freeze
+    * `legacyDefault` into a marker; if not (dir-per-key or flat
+    * layout), the very first incremental load after an upgrade would
+    * die with an AnalysisException on the missing column, so migrate
+    * ONCE — rewrite the whole table into the bucketed layout sized by
+    * [[chooseBuckets]] (staged to `__tmp` and swapped in, the same
+    * crash safety as every other rewrite here). O(table), paid a
+    * single time per table — the alternative (failing with a message
+    * telling the operator to migrate by hand) just outsources this
+    * exact rewrite. */
+  private def resolveBuckets(spark: SparkSession, path: String,
+      keyCol: String, legacyDefault: Int): Int = {
     val fs = fsOf(spark, path)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    writePartitioned(
-      withBucket(spark.read.parquet(path), keyCol, numBuckets), BucketCol,
-      SaveMode.Overwrite, tmp.toString)
-    swapDir(fs, tmp, new Path(path))
+    val d = new Path(path)
+    readBucketMarker(fs, d).getOrElse {
+      val stored = spark.read.parquet(path)
+      if (stored.columns.contains(BucketCol)) {
+        writeBucketMarker(fs, d, legacyDefault)
+        legacyDefault
+      } else {
+        val n = chooseBuckets(stored.count())
+        val tmp = tmpPath(path)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+        writePartitioned(withBucket(stored, keyCol, n), BucketCol,
+          SaveMode.Overwrite, tmp.toString, numBuckets = n)
+        swapDir(fs, tmp, d)
+        writeBucketMarker(fs, d, n)
+        n
+      }
+    }
   }
 
   /** Partitioned write with the rows first clustered BY the partition
@@ -115,17 +129,20 @@ object ParquetSinks {
     * makes it exactly one file per partition dir while keeping all
     * shuffle partitions busy (keys ≫ tasks).
     *
-    * The partition count is pinned to the session's shuffle parallelism:
-    * a bare `repartition(col)` lets AQE coalesce the (tiny) shuffle to
-    * ONE task, which then pays the ~10 ms/file writer-init cost for
-    * every key sequentially — measured 20 s for a 7.5k-row table with
-    * 1,500 keys. An explicit count survives AQE, so the per-file cost
-    * spreads across all tasks. At cluster scale a single giant key
-    * would want an added salt column — keys here are production lines,
-    * bounded by line throughput. */
+    * The partition count is pinned explicitly: a bare
+    * `repartition(col)` lets AQE coalesce the (tiny) shuffle to ONE
+    * task, which then pays the ~10 ms/file writer-init cost for every
+    * key sequentially — measured 20 s for a 7.5k-row table with 1,500
+    * keys. The pinned count is the BUCKET MODULUS when the caller
+    * knows it (more tasks than buckets are guaranteed-empty: the hash
+    * of k distinct bucket values occupies at most k partitions),
+    * otherwise the session's shuffle parallelism. At cluster scale a
+    * single giant key would want an added salt column — keys here are
+    * production lines, bounded by line throughput. */
   private def writePartitioned(df: DataFrame, keyCol: String,
-      mode: SaveMode, path: String): Unit = {
-    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+      mode: SaveMode, path: String, numBuckets: Int = -1): Unit = {
+    val sess = df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = if (numBuckets > 0) math.min(numBuckets, sess) else sess
     df.repartition(n, col(keyCol))
       .write.partitionBy(keyCol).mode(mode).parquet(path)
   }
@@ -156,6 +173,52 @@ object ParquetSinks {
     * partition column — derived, deterministic housekeeping data. */
   val BucketCol = "graft_bucket"
 
+  /** Bucket layout sizing: one bucket per [[RowsPerBucket]] rows of the
+    * CREATING batch, clamped to [[MinBuckets]]..[[MaxBuckets]]. A
+    * bucket is the unit of upsert rewrite, so it wants to be big enough
+    * that per-file/per-dir overhead amortizes (a 35k-row sf0.1 table
+    * under the old fixed 64 paid 64 dirs of writer-init for kilobytes
+    * of data) and small enough that rewriting a touched bucket is not
+    * O(table) (~GB-scale per bucket at 100 TB: 8M rows × a few hundred
+    * bytes). The count is FIXED at table creation — a later load using
+    * a different modulus would route a key's new rows to a different
+    * dir than its stored ones and break delete-then-append — so it is
+    * persisted in a [[BucketMarker]] sidecar and read back by every
+    * subsequent load (the same rule as Hive/Spark bucketed tables:
+    * resizing means rewriting). */
+  val RowsPerBucket = 8000000L
+  val MinBuckets = 8
+  val MaxBuckets = 1024
+
+  private[graft] def chooseBuckets(rows: Long): Int =
+    math.max(MinBuckets.toLong,
+      math.min(MaxBuckets.toLong,
+        (rows + RowsPerBucket - 1) / RowsPerBucket)).toInt
+
+  /** Sidecar recording the table's bucket modulus (underscore-prefixed:
+    * invisible to partition discovery, like `_SUCCESS`). Absent on
+    * tables created before this sidecar existed — those were all
+    * written with the call sites' fixed default, which the caller
+    * passes as the fallback. */
+  private val BucketMarker = "_graft_nbuckets"
+
+  private def writeBucketMarker(fs: FileSystem, dir: Path, n: Int)
+      : Unit = {
+    val out = fs.create(new Path(dir, BucketMarker), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readBucketMarker(fs: FileSystem, dir: Path): Option[Int] = {
+    val p = new Path(dir, BucketMarker)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .trim.toInt)
+      finally in.close()
+    }
+  }
+
   private def withBucket(df: DataFrame, keyCol: String,
       numBuckets: Int): DataFrame =
     // cast matches the int type partition discovery infers on read-back
@@ -167,27 +230,33 @@ object ParquetSinks {
     * stored rows with time >= min(incoming) − pad, then append the
     * incoming rows. Only the hash buckets containing touched keys are
     * read back and rewritten; other buckets' dirs are never opened.
-    * @param numBuckets partition-dir count — scale with table size
-    *                   (64 ≈ tens of GB per bucket at 100 TB table
-    *                   scale; raise for bigger tables). Must be stable
-    *                   across loads of the same table. */
+    * @param numBuckets fallback modulus for tables written before the
+    *                   [[BucketMarker]] sidecar existed (those all
+    *                   used the fixed 64); new tables are sized by
+    *                   [[chooseBuckets]] at creation and the choice is
+    *                   persisted — it must be stable across loads of
+    *                   the same table. */
   def upsertWindow(spark: SparkSession, newDf: DataFrame, path: String,
       keyCol: String, timeCol: String, padSec: Double = 10.0,
       numBuckets: Int = 64): Unit = {
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
-      writePartitioned(withBucket(newDf, keyCol, numBuckets), BucketCol,
-        SaveMode.Append, path)
+      // count: one action against the (typically already-cached) batch
+      // to size the layout for the table's first write
+      val n = chooseBuckets(newDf.count())
+      writePartitioned(withBucket(newDf, keyCol, n), BucketCol,
+        SaveMode.Append, path, numBuckets = n)
+      writeBucketMarker(fsOf(spark, path), new Path(path), n)
       return
     }
-    ensureBucketed(spark, path, keyCol, numBuckets)
+    val n = resolveBuckets(spark, path, keyCol, numBuckets)
     // cast("double") lets the time axis be numeric epoch OR timestamp
     // (timestamps cast to fractional epoch seconds)
     val bounds = newDf.groupBy(col(keyCol))
       .agg((min(col(timeCol).cast("double")) - padSec).as("__threshold"))
     // Buckets the incoming keys hash into: only these partition dirs
     // are read (pruned scan) and rewritten (staged + swapped).
-    val touched = withBucket(bounds, keyCol, numBuckets)
+    val touched = withBucket(bounds, keyCol, n)
       .select(BucketCol).distinct().collect().map(_.getInt(0))
     // Left join: unkeyed rows sharing a touched bucket survive as-is;
     // touched keys keep only rows before their window threshold.
@@ -202,9 +271,9 @@ object ParquetSinks {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writePartitioned(
       keptOld.unionByName(
-        withBucket(newDf, keyCol, numBuckets)
+        withBucket(newDf, keyCol, n)
           .select(keptOld.columns.map(col): _*)),
-      BucketCol, SaveMode.Overwrite, tmp.toString)
+      BucketCol, SaveMode.Overwrite, tmp.toString, numBuckets = n)
     // Swap each touched `graft_bucket=N` dir into the live table;
     // untouched buckets are never read or rewritten.
     fs.listStatus(tmp).filter(_.isDirectory).foreach { st =>
@@ -247,13 +316,15 @@ object ParquetSinks {
       s"bucketCol $bucketCol must be one of the merge keys $keyCols")
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
-      writePartitioned(withBucket(newDf, bucketCol, numBuckets), BucketCol,
-        SaveMode.Append, path)
+      val n = chooseBuckets(newDf.count())
+      writePartitioned(withBucket(newDf, bucketCol, n), BucketCol,
+        SaveMode.Append, path, numBuckets = n)
+      writeBucketMarker(fsOf(spark, path), new Path(path), n)
       return
     }
-    ensureBucketed(spark, path, bucketCol, numBuckets)
+    val n = resolveBuckets(spark, path, bucketCol, numBuckets)
     val touched = withBucket(newDf.select(bucketCol).distinct(), bucketCol,
-      numBuckets).select(BucketCol).distinct().collect().map(_.getInt(0))
+      n).select(BucketCol).distinct().collect().map(_.getInt(0))
     val keptOld = spark.read.parquet(path)
       .filter(col(BucketCol).isin(touched.toSeq: _*))
       .join(newDf.select(keyCols.map(col): _*).distinct(), keyCols,
@@ -263,9 +334,9 @@ object ParquetSinks {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     writePartitioned(
       keptOld.unionByName(
-        withBucket(newDf, bucketCol, numBuckets)
+        withBucket(newDf, bucketCol, n)
           .select(keptOld.columns.map(col): _*)),
-      BucketCol, SaveMode.Overwrite, tmp.toString)
+      BucketCol, SaveMode.Overwrite, tmp.toString, numBuckets = n)
     fs.listStatus(tmp).filter(_.isDirectory).foreach { st =>
       swapDir(fs, st.getPath, new Path(path, st.getPath.getName))
     }

@@ -108,6 +108,35 @@ class SinksSpec extends GraftSuite {
     assert(rows(path) == Set("k0|9", "k1|1"))
   }
 
+  test("bucket modulus: sized at creation, persisted, stable on upsert") {
+    // sizing: floor for small tables, linear in rows, capped
+    assert(ParquetSinks.chooseBuckets(0) == ParquetSinks.MinBuckets)
+    assert(ParquetSinks.chooseBuckets(35000) == ParquetSinks.MinBuckets)
+    assert(ParquetSinks.chooseBuckets(100L * ParquetSinks.RowsPerBucket)
+      == 100)
+    assert(ParquetSinks.chooseBuckets(Long.MaxValue / 4)
+      == ParquetSinks.MaxBuckets)
+    val path = tmp()
+    ParquetSinks.upsertWindow(spark,
+      Seq(("L1", 10.0, "a")).toDF("LINE", "t", "v"), path, "LINE", "t")
+    def marker = {
+      val f = new java.io.File(path, "_graft_nbuckets")
+      assert(f.isFile, "creation must persist the chosen modulus")
+      scala.io.Source.fromFile(f).mkString.trim.toInt
+    }
+    assert(marker == ParquetSinks.MinBuckets)
+    // a later load must reuse the stored modulus (a mismatch would
+    // route a key's new rows to a different dir than its stored ones)
+    ParquetSinks.upsertWindow(spark,
+      Seq(("L9", 10.0, "b")).toDF("LINE", "t", "v"), path, "LINE", "t")
+    assert(marker == ParquetSinks.MinBuckets)
+    val buckets = spark.read.parquet(path)
+      .select(ParquetSinks.BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(buckets.forall(b => b >= 0 && b < ParquetSinks.MinBuckets))
+    assert(rows(path) == Set("L1|10.0|a", "L9|10.0|b"))
+  }
+
   test("orphaned NAME__old (no live table) is restored, not deleted") {
     // The legacy swap renamed dest aside BEFORE renaming tmp in: a crash
     // between the renames leaves __old as the ONLY copy. The sink must
