@@ -163,9 +163,15 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     def timeInProc(name: String): Double = {
       clearState()
+      // Pseudo entries run unwarmed, so their first rep always carries
+      // the one-off codegen/scheduler costs — two timed reps would
+      // leave a single steady-state sample. Three gives the min two.
+      // The fleet entry stays at two: it is ~3 sites long, so per-rep
+      // noise is already averaged down and a third run buys little.
+      val reps = if (name == E2E) 3 else 2
       // only SUCCESSFUL runs count toward the min — a fast failure must
       // not masquerade as a fast query
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to reps).flatMap { _ =>
         // Pay accumulated-garbage collection OUTSIDE the timed window:
         // earlier queries' shuffle/broadcast/codegen debris otherwise
         // lands as a GC pause inside whichever query runs next

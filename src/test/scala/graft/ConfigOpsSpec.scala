@@ -32,4 +32,25 @@ class ConfigOpsSpec extends GraftSuite {
     assert(lo == wm.minusDays(14))
     assert(hi == now.plusDays(1))
   }
+
+  test("stored watermark: None before the first load, per-server after") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-wm").toString
+    // first-ever run: no Script_Data table yet → full extract
+    assert(ConfigOps.scriptDataWatermark(spark, base, "S1").isEmpty)
+    assert(ConfigOps.analysisWindowFromStore(spark, base, "S1",
+      LocalDateTime.of(2026, 8, 12, 12, 0)).isEmpty)
+    val t1 = java.sql.Timestamp.valueOf("2026-08-01 06:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-08-05 06:00:00")
+    Seq(("S1", "L1", t1), ("S1", "L2", t2), ("S2", "L1", t2))
+      .toDF("Server", "MES_Line_Name", "Data_Update_Time")
+      .write.parquet(s"$base/Script_Data")
+    // max per server, other servers' rows invisible
+    assert(ConfigOps.scriptDataWatermark(spark, base, "S1").contains(t2))
+    assert(ConfigOps.scriptDataWatermark(spark, base, "S3").isEmpty)
+    val (lo, hi) = ConfigOps.analysisWindowFromStore(spark, base, "S1",
+      LocalDateTime.of(2026, 8, 12, 12, 0)).get
+    assert(lo == t2.toLocalDateTime.minusDays(3))
+    assert(hi == LocalDateTime.of(2026, 8, 13, 12, 0))
+  }
 }
