@@ -21,6 +21,7 @@ object LlmQueries {
     "llm_dedup_exact" -> ((s, d) => LlmText.dedupExact(docs(s, d))),
     "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
     "llm_dedup_ngram" -> ((s, d) => LlmText.dedupNgram(docs(s, d))),
+    "llm_dedup_cluster" -> ((s, d) => LlmText.dedupClusters(docs(s, d))),
     "llm_simhash" -> ((s, d) => LlmText.simhash(docs(s, d))),
     "llm_fingerprint" -> ((s, d) => LlmText.fingerprint(docs(s, d))),
     "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
@@ -35,6 +36,7 @@ object LlmQueries {
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
     "llm_dedup_near" -> LlmTextSql.dedupNearSql,
     "llm_dedup_ngram" -> LlmTextSql.dedupNgramSql,
+    "llm_dedup_cluster" -> LlmTextSql.dedupClustersSql,
     "llm_simhash" -> LlmTextSql.simhashSql,
     "llm_fingerprint" -> LlmTextSql.fingerprintSql,
     "llm_textstats" -> LlmTextSql.textStatsSql,

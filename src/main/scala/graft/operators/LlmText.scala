@@ -212,6 +212,63 @@ object LlmText {
       .withColumn("kept", lit(1))
   }
 
+  /** Transitive near-dup CLUSTERS from a pair set — what a production
+    * dedup actually keeps: one representative per connected component
+    * of the pair graph, not per pair (A~B and B~C must not keep both A
+    * and C). Distributed min-label propagation: every doc starts
+    * labeled with its own id; each round takes the min of its own and
+    * its neighbors' labels (two shuffle-bounded equi-joins on doc_id +
+    * one map-side-combined aggregate); fixpoint = each doc carries its
+    * component's min id. Rounds needed = the component DIAMETER —
+    * near-dup clusters are short chains in practice, so this converges
+    * in a handful of rounds at any corpus size (pathological
+    * high-diameter graphs would want the large-star/small-star
+    * alternation instead; the per-round plan here is the same shape).
+    * The driver-side loop holds only a changed-row COUNT per round —
+    * the iterative-graph idiom (Pregel-style), not a collect. */
+  private[graft] def clustersFromPairs(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val edges = CacheScope.pin(
+      pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
+        .unionByName(
+          pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr"))))
+    var labels = CacheScope.pin(
+      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      // a propagation round can never exceed |V| rounds; anything close
+      // means the loop is broken, not the data
+      if (rounds > 100) sys.error("clustersFromPairs: no convergence")
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("nbr"),
+          col("cluster_id").as("nbr_label")), Seq("nbr"))
+        .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
+      val next = CacheScope.pin(labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"),
+            coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) <
+            col("cluster_id")).cast("long").as("__chg")))
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L)))
+        .head().getLong(0)
+      labels.unpersist()
+      labels = next.drop("__chg")
+    }
+    labels
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("cluster_id")).cast("int"))
+  }
+
+  /** Near-dup components over the corpus: [[dedupNear]] pairs →
+    * [[clustersFromPairs]]. Every document appears; singletons are
+    * their own cluster. */
+  def dedupClusters(documents: DataFrame): DataFrame =
+    clustersFromPairs(dedupNear(documents),
+      documents.select(col("doc_id")))
+
   /** 16-bit SimHash over all tokens (with multiplicity): bit p of the
     * fingerprint is the sign of Σ ±1 over tokens, where a token votes +1
     * iff the p-th hex nibble of its md5 has its high bit set. */
@@ -368,6 +425,28 @@ object LlmTextSql {
     SELECT id_a, id_b, round(j, 6) AS jaccard FROM ver
     WHERE j >= $JaccardThreshold"""
   }
+
+  /** Exact transitive closure of the near-dup pair graph (recursive
+    * CTE): cluster id = min id reachable from a doc (including
+    * itself). The Spark side's min-label propagation fixpoint computes
+    * the identical quantity, so the gate compares the FULL clustering,
+    * not just the pair set. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE
+    pairs AS (SELECT id_a, id_b FROM ($dedupNearSql)),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS doc_id, min(dst) AS min_reach
+      FROM reach GROUP BY src)
+    SELECT d.doc_id,
+      coalesce(least(c.min_reach, d.doc_id), d.doc_id) AS cluster_id,
+      CAST(coalesce(least(c.min_reach, d.doc_id), d.doc_id) <> d.doc_id
+        AS INTEGER) AS is_dup
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
 
   def curateSql(minQuality: Double = 0.5, lang: String = "en"): String =
     s"""WITH stats AS (${LlmTextSql.textStatsSql}),

@@ -21,6 +21,19 @@ class LlmSpec extends GraftSuite {
     assert(out(3L) == ((3L, 0)))
   }
 
+  test("cluster labels converge to the component min across chains") {
+    // components: {1,2,3} (a chain — A~B, B~C but NOT A~C: the greedy
+    // pair rule alone would keep both 1 and 3), {5,6}; 4 is isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val out = LlmText.clustersFromPairs(pairs, docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Int]("is_dup")))).toMap
+    assert(out == Map(
+      1L -> ((1L, 0)), 2L -> ((1L, 1)), 3L -> ((1L, 1)),
+      4L -> ((4L, 0)), 5L -> ((5L, 0)), 6L -> ((5L, 1))))
+  }
+
   test("near dedup finds a shifted copy and reports its jaccard") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val shifted = (0 to 30).map(i => s"w$i").mkString(" ") // 1 extra word
