@@ -34,6 +34,40 @@ class LlmSpec extends GraftSuite {
       4L -> ((4L, 0)), 5L -> ((5L, 0)), 6L -> ((5L, 1))))
   }
 
+  test("cluster labels match a BFS reference on random pair graphs") {
+    val rnd = new scala.util.Random(42)
+    // one seeded trial: each propagation round is a Spark job, and a
+    // random graph's diameter makes this the suite's slowest test
+    for (trial <- 1 to 1) {
+      val n = 30
+      val pairSeq = (1 to 25).map { _ =>
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // driver-side reference: BFS components, label = min member
+      val adj = pairSeq.flatMap(p => Seq(p, p.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def component(s: Long): Set[Long] = {
+        var seen = Set(s); var frontier = Set(s)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(v =>
+            adj.getOrElse(v, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen
+      }
+      val expected = (0L until n).map(d =>
+        d -> component(d).min).toMap
+      val got = LlmText.clustersFromPairs(
+        pairSeq.toDF("id_a", "id_b"),
+        (0L until n).toDF("doc_id"))
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("cluster_id")).toMap
+      assert(got == expected, s"trial $trial: $pairSeq")
+    }
+  }
+
   test("near dedup finds a shifted copy and reports its jaccard") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val shifted = (0 to 30).map(i => s"w$i").mkString(" ") // 1 extra word
