@@ -249,43 +249,71 @@ object GanttGenerate {
         Seq("LINE"), "left_semi")
     }
 
+  /** Per-row status column name carried by [[taggedLog]]. */
+  val StatusCol = "__gantt_st"
+
+  /** The machine log with the G3 split and the G2 status folded into
+    * ONE frame: single-constraint lines' constraint machines carry the
+    * constraint status codes (their rows come from the constraint log,
+    * which has the J6 CO-event flag), every other row carries status 2.
+    * The two passes' (CO, machine) groups are disjoint by construction
+    * — the non-constraint side anti-joins the constraint machines away
+    * (G3) — so ONE assignment join + ONE point-kernel pass over this
+    * union is exactly the union of the reference's two passes, at half
+    * the window sorts and half the assignment shuffles. */
+  def taggedLog(machineLog: DataFrame, constraintLog: DataFrame,
+      constraintCounts: Option[DataFrame] = None): DataFrame = {
+    val consLog = singleConstraintLog(constraintLog, constraintCounts)
+    val constraintMachines = consLog
+      .select(col("LINE"), col("MACHINE")).distinct()
+    val keep = machineLog.columns.map(col)
+    machineLog
+      .join(constraintMachines, Seq("LINE", "MACHINE"), "left_anti")
+      .select(keep :+ lit(2.0).as(StatusCol): _*)
+      .unionByName(
+        consLog.select(keep :+ constraintStatus.as(StatusCol): _*))
+  }
+
+  /** One shared window assignment for BOTH Gantt outputs: [[assign]]
+    * over the [[taggedLog]]. An orchestrator computing Gantt_Data AND
+    * Event_Log_for_Gantt pins this once — the assignment join is the
+    * Gantt chain's expensive stage and both tables derive from it. */
+  def assignedTagged(coAgg: DataFrame, machineLog: DataFrame,
+      constraintLog: DataFrame,
+      constraintCounts: Option[DataFrame] = None): DataFrame =
+    assign(coAgg, taggedLog(machineLog, constraintLog, constraintCounts))
+
+  /** Gantt_Data from a (possibly shared) [[assignedTagged]] frame. */
+  def ganttDataFromAssigned(assigned: DataFrame): DataFrame =
+    corrected(points(assigned, col(StatusCol)))
+
+  /** Event_Log_for_Gantt from the same frame. */
+  def eventLogFromAssigned(assigned: DataFrame): DataFrame = {
+    val cols = Seq("START_TIME", "DOWNTIME", "UPTIME", "Fault",
+      "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME", "CAUSE_LEVELS_3_NAME",
+      "CAUSE_LEVELS_4_NAME", "BRANDCODE", "OPERATOR_COMMENT",
+      "LINE", "MACHINE", "downtime_id", "CO_Identifier")
+    assigned.select(cols.map(col): _*)
+      // reference round-trips minutes→seconds→minutes then rounds
+      .withColumn("DOWNTIME", round(col("DOWNTIME") * 60 / 60, 2))
+      .withColumn("UPTIME", round(col("UPTIME") * 60 / 60, 2))
+  }
+
   /** Full Gantt_Data: non-constraint pass (status 2/3) over the machine
     * log minus single-constraint lines' constraint machines (G3), plus
     * the constraint pass (status 1/1.7/2.3/4) over the constraint log
-    * with the CO-event flag (J6). */
+    * with the CO-event flag (J6) — both folded into one tagged pass. */
   def ganttData(coAgg: DataFrame, machineLog: DataFrame,
       constraintLog: DataFrame,
-      constraintCounts: Option[DataFrame] = None): DataFrame = {
-    val consLog = singleConstraintLog(constraintLog, constraintCounts)
-    val nonC = points(assign(coAgg, machineLog), lit(2.0))
-    val cons = points(assign(coAgg, consLog), constraintStatus)
-    // G3: drop the constraint machine's rows from the non-constraint set
-    val constraintMachines = consLog
-      .select(col("LINE"), col("MACHINE")).distinct()
-    val nonCKept = nonC.join(constraintMachines, Seq("LINE", "MACHINE"),
-      "left_anti")
-    corrected(nonCKept.unionByName(cons))
-  }
+      constraintCounts: Option[DataFrame] = None): DataFrame =
+    ganttDataFromAssigned(
+      assignedTagged(coAgg, machineLog, constraintLog, constraintCounts))
 
   /** Event_Log_for_Gantt (G4): every stop feeding the Gantt points,
     * tagged with its CO, non-constraint (minus G3) ∪ constraint. */
   def eventLog(coAgg: DataFrame, machineLog: DataFrame,
       constraintLog: DataFrame,
-      constraintCounts: Option[DataFrame] = None): DataFrame = {
-    val consLog = singleConstraintLog(constraintLog, constraintCounts)
-    val constraintMachines = consLog
-      .select(col("LINE"), col("MACHINE")).distinct()
-    val nonC = assign(coAgg, machineLog)
-      .join(constraintMachines, Seq("LINE", "MACHINE"), "left_anti")
-    val cons = assign(coAgg, consLog)
-    val cols = Seq("START_TIME", "DOWNTIME", "UPTIME", "Fault",
-      "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME", "CAUSE_LEVELS_3_NAME",
-      "CAUSE_LEVELS_4_NAME", "BRANDCODE", "OPERATOR_COMMENT",
-      "LINE", "MACHINE", "downtime_id", "CO_Identifier")
-    nonC.select(cols.map(col): _*)
-      .unionByName(cons.select(cols.map(col): _*))
-      // reference round-trips minutes→seconds→minutes then rounds
-      .withColumn("DOWNTIME", round(col("DOWNTIME") * 60 / 60, 2))
-      .withColumn("UPTIME", round(col("UPTIME") * 60 / 60, 2))
-  }
+      constraintCounts: Option[DataFrame] = None): DataFrame =
+    eventLogFromAssigned(
+      assignedTagged(coAgg, machineLog, constraintLog, constraintCounts))
 }

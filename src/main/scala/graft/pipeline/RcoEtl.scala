@@ -117,12 +117,16 @@ object RcoEtl {
     else {
       val consLog = GanttGenerate.constraintLog(fullLog, ses,
         p.constraintMachineSuffixes)
+      // ONE window-assignment join feeds both Gantt tables (it is the
+      // Gantt chain's expensive stage); pinned so the point kernel and
+      // the G4 event log don't re-run it
+      val gAssigned = pin(GanttGenerate.assignedTagged(agg, fullLog,
+        consLog, constraintCounts))
       withFs +
-        ("Gantt_Data" -> GanttGenerate
-          .ganttData(agg, fullLog, consLog, constraintCounts)
+        ("Gantt_Data" -> GanttGenerate.ganttDataFromAssigned(gAssigned)
           .withColumn("Server", lit(p.server))) +
         ("Event_Log_for_Gantt" -> GanttGenerate
-          .eventLog(agg, fullLog, consLog, constraintCounts)
+          .eventLogFromAssigned(gAssigned)
           .withColumn("Server", lit(p.server)))
     }
   }
