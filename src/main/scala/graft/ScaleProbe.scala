@@ -137,6 +137,9 @@ object ScaleProbe {
         }
         time("dedup_ngram")(LlmText.dedupNgram(d))
         time("curate")(LlmText.curate(d))
+        // components: rounds scale with cluster diameter (constant
+        // under corpus growth), per-round work with the pair count
+        time("dedup_cluster")(LlmText.dedupClusters(d))
       }
       release()
     }
