@@ -115,11 +115,33 @@ object ParquetSinks {
         if (fs.exists(tmp)) fs.delete(tmp, true)
         writePartitioned(withBucket(stored, keyCol, n), BucketCol,
           SaveMode.Overwrite, tmp.toString, numBuckets = n)
+        // marker travels INSIDE the staged dir: data and modulus appear
+        // together in one rename — a crash can never leave a bucketed
+        // table whose modulus the next load has to guess
+        writeBucketMarker(fs, tmp, n)
         swapDir(fs, tmp, d)
-        writeBucketMarker(fs, d, n)
         n
       }
     }
+  }
+
+  /** First write of a bucketed table: size the modulus from the batch
+    * ([[chooseBuckets]]; one count against the typically-already-cached
+    * frame), stage data + [[BucketMarker]] into `__tmp`, swap in by ONE
+    * rename. Data and modulus appear together atomically — a crash mid
+    * create leaves only a staging dir (swept on the next run), never a
+    * bucketed table whose modulus the next load has to guess, and never
+    * a partial table a blind `Append` would double. */
+  private def createBucketed(spark: SparkSession, newDf: DataFrame,
+      path: String, keyCol: String): Unit = {
+    val fs = fsOf(spark, path)
+    val n = chooseBuckets(newDf.count())
+    val tmp = tmpPath(path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writePartitioned(withBucket(newDf, keyCol, n), BucketCol,
+      SaveMode.Overwrite, tmp.toString, numBuckets = n)
+    writeBucketMarker(fs, tmp, n)
+    swapDir(fs, tmp, new Path(path))
   }
 
   /** Partitioned write with the rows first clustered BY the partition
@@ -241,12 +263,7 @@ object ParquetSinks {
       numBuckets: Int = 64): Unit = {
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
-      // count: one action against the (typically already-cached) batch
-      // to size the layout for the table's first write
-      val n = chooseBuckets(newDf.count())
-      writePartitioned(withBucket(newDf, keyCol, n), BucketCol,
-        SaveMode.Append, path, numBuckets = n)
-      writeBucketMarker(fsOf(spark, path), new Path(path), n)
+      createBucketed(spark, newDf, path, keyCol)
       return
     }
     val n = resolveBuckets(spark, path, keyCol, numBuckets)
@@ -316,10 +333,7 @@ object ParquetSinks {
       s"bucketCol $bucketCol must be one of the merge keys $keyCols")
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
-      val n = chooseBuckets(newDf.count())
-      writePartitioned(withBucket(newDf, bucketCol, n), BucketCol,
-        SaveMode.Append, path, numBuckets = n)
-      writeBucketMarker(fsOf(spark, path), new Path(path), n)
+      createBucketed(spark, newDf, path, bucketCol)
       return
     }
     val n = resolveBuckets(spark, path, bucketCol, numBuckets)
