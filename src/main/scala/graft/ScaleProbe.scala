@@ -163,6 +163,14 @@ object ScaleProbe {
         graft.pipeline.RcoEtl.fleetSiteParams, full, prodL, outDir)
       println(f"fleet_$tag%-8s 3sites ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
         s" statuses=$log")
+      // second run against the EXISTING tables — the production
+      // incremental path: windowed delete+append reading back only
+      // touched buckets (the bench's create-path entry never sees it)
+      val t1 = System.nanoTime()
+      val log2 = graft.pipeline.RcoEtl.runSites(spark,
+        graft.pipeline.RcoEtl.fleetSiteParams, full, prodL, outDir)
+      println(f"fleet_$tag%-8s upsert ${(System.nanoTime() - t1) / 1e9}%8.2f s" +
+        s" statuses=$log2")
     }
     timeFleet("base1x")
     timeFleet("wide")
