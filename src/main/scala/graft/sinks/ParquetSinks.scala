@@ -87,6 +87,34 @@ object ParquetSinks {
     }
   }
 
+  /** Heal crashed swaps before a table is read or written: a `_bak_X`
+    * whose live `X` is MISSING is the sole surviving copy — the swap
+    * crashed between its two renames — so restore it; one whose `X`
+    * exists is a completed swap's leftover, safe to sweep. Applies at
+    * BOTH swap granularities: the whole-table backup (a `_bak_<table>`
+    * sibling of the table dir) and the per-bucket backups inside the
+    * table root (`_bak_graft_bucket=N`, from the upsert's per-bucket
+    * swaps). Without the restore, the next load would read the table
+    * with a silent hole where the bucket was — its kept-rows pass
+    * would then treat the missing history as deleted, and the next
+    * swap of that bucket would delete the backup: permanent loss
+    * (the `NAME__old` pathology, one directory level down). */
+  private def healCrashedSwaps(fs: FileSystem, dest: String): Unit = {
+    def heal(bak: Path): Unit = {
+      val live = new Path(bak.getParent,
+        bak.getName.stripPrefix("_bak_"))
+      if (fs.exists(live)) { fs.delete(bak, true); () }
+      else if (!fs.rename(bak, live))
+        sys.error(s"sink: could not restore crashed-swap backup $bak")
+    }
+    val d = new Path(dest)
+    val sibling = new Path(d.getParent, "_bak_" + d.getName)
+    if (fs.exists(sibling)) heal(sibling)
+    if (fs.exists(d))
+      fs.listStatus(d).map(_.getPath)
+        .filter(_.getName.startsWith("_bak_")).foreach(heal)
+  }
+
   /** Resolve the bucket modulus of an EXISTING table: the stored
     * [[BucketMarker]] when present. Otherwise the table predates some
     * part of this layout: if it already has [[BucketCol]] it was
@@ -261,6 +289,7 @@ object ParquetSinks {
   def upsertWindow(spark: SparkSession, newDf: DataFrame, path: String,
       keyCol: String, timeCol: String, padSec: Double = 10.0,
       numBuckets: Int = 64): Unit = {
+    healCrashedSwaps(fsOf(spark, path), path)
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       createBucketed(spark, newDf, path, keyCol)
@@ -305,6 +334,7 @@ object ParquetSinks {
     * incoming rows win, table rewritten. */
   def replaceDedup(spark: SparkSession, newDf: DataFrame, path: String,
       keyCol: String): Unit = {
+    healCrashedSwaps(fsOf(spark, path), path)
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       newDf.write.mode(SaveMode.Append).parquet(path)
@@ -331,6 +361,7 @@ object ParquetSinks {
       numBuckets: Int = 64): Unit = {
     require(keyCols.contains(bucketCol),
       s"bucketCol $bucketCol must be one of the merge keys $keyCols")
+    healCrashedSwaps(fsOf(spark, path), path)
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       createBucketed(spark, newDf, path, bucketCol)
@@ -365,6 +396,7 @@ object ParquetSinks {
     * grows with the data. */
   def upsertByKey(spark: SparkSession, newDf: DataFrame, path: String,
       keyCols: Seq[String]): Unit = {
+    healCrashedSwaps(fsOf(spark, path), path)
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       newDf.write.mode(SaveMode.Append).parquet(path)

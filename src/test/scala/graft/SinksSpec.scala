@@ -137,6 +137,44 @@ class SinksSpec extends GraftSuite {
     assert(rows(path) == Set("L1|10.0|a", "L9|10.0|b"))
   }
 
+  test("crashed whole-table swap: orphaned _bak_ is restored and merged") {
+    // simulate a hard crash between swapDir's two renames: the table
+    // was moved aside but the replacement never arrived — _bak_ is the
+    // SOLE copy of the history
+    val path = tmp()
+    ParquetSinks.upsertByKey(spark,
+      Seq(("k0", 9L)).toDF("k", "n"), path, Seq("k"))
+    val dir = new java.io.File(path)
+    val bak = new java.io.File(dir.getParentFile, "_bak_" + dir.getName)
+    assert(dir.renameTo(bak), "test setup: park the table as _bak_")
+    ParquetSinks.upsertByKey(spark,
+      Seq(("k1", 1L)).toDF("k", "n"), path, Seq("k"))
+    assert(rows(path) == Set("k0|9", "k1|1"),
+      "the backup's history must be restored, not recreated from the batch")
+  }
+
+  test("crashed per-bucket swap: orphaned bucket _bak_ is restored") {
+    val path = tmp()
+    // two keys in different buckets (probed below), so one bucket can
+    // crash while the other stays live
+    val init = Seq(("L1", 10.0, "a"), ("L2", 10.0, "b"))
+      .toDF("LINE", "t", "v")
+    ParquetSinks.upsertWindow(spark, init, path, "LINE", "t")
+    val bucketDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_bucket="))
+    assume(bucketDirs.length == 2, "keys should land in distinct buckets")
+    val victim = bucketDirs.head
+    val bak = new java.io.File(victim.getParentFile,
+      "_bak_" + victim.getName)
+    assert(victim.renameTo(bak), "test setup: park one bucket as _bak_")
+    // next load touches only L-keys in OTHER buckets; the crashed
+    // bucket's history must still come back
+    ParquetSinks.upsertWindow(spark,
+      Seq(("L3", 10.0, "c")).toDF("LINE", "t", "v"), path, "LINE", "t")
+    assert(rows(path) == Set("L1|10.0|a", "L2|10.0|b", "L3|10.0|c"),
+      "the crashed bucket's rows must be healed before the read")
+  }
+
   test("orphaned NAME__old (no live table) is restored, not deleted") {
     // The legacy swap renamed dest aside BEFORE renaming tmp in: a crash
     // between the renames leaves __old as the ONLY copy. The sink must
