@@ -5,8 +5,8 @@ import scala.util.Random
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BrandcodeResolve, CoAggregate, FirstStopAfterCo, Sessionize}
-import graft.streaming.{StreamingBrandcode, StreamingFirstStop}
+import graft.operators.{BrandcodeResolve, CoAggregate, FirstStopAfterCo, GanttGenerate, Sessionize}
+import graft.streaming.{StreamingBrandcode, StreamingFirstStop, StreamingGantt}
 
 /** Randomized differential sweep for the fused streaming twins: on
   * random CANONICAL logs (unique (LINE, t) per D1, UPTIME derived as
@@ -42,6 +42,9 @@ class StreamingParityPropertySpec extends GraftSuite {
           c2 = s"k${rnd.nextInt(2)}",
           BRANDCODE = s"B${rnd.nextInt(2)}",
           id = { id += 1; id },
+          // half the events on the line's constraint machine — the
+          // gantt parity sweep needs both G2 passes populated
+          MACHINE = s"L$l M${rnd.nextInt(2)}",
           UPTIME = up,
           planned = if (rnd.nextInt(5) == 0) 1 else 0,
           idle = if (rnd.nextInt(5) == 0) 1 else 0,
@@ -90,6 +93,54 @@ class StreamingParityPropertySpec extends GraftSuite {
           o.first_downtime_id, o.first_DOWNTIME, o.first_UPTIME,
           o.Uptime_cumul)).toSet
       assert(got == expected, s"seed=${40 + i}")
+    }
+  }
+
+  test("streaming gantt ≡ batch on random logs with OVERLAPPING windows") {
+    // the short random gaps put the next CO well inside the previous
+    // CO's [start−5min, end+15min] plot window — the overlap case the
+    // handcrafted StreamingGanttSpec does not reach
+    for (i <- 0 until nRuns) {
+      val evs = genLog(120 + i)
+      val dt = dtLog(evs: _*)
+      val ses = Sessionize(
+        dt.filter(col("CAUSE_LEVELS_1_NAME") === "co"), P)
+      val agg = CoAggregate(ses)
+      val open = openIds(agg)
+      // a closed CO's points emit once any event STARTS at/past its
+      // window end; with per-line ordered replay that is: the line's
+      // last event start reaches max_t
+      val lastStart = evs.groupBy(_.LINE).view
+        .mapValues(_.map(_.start).max.toDouble).toMap
+      val flushed = agg.select("CO_Identifier", "LINE", "CO_End_EPOCH")
+        .collect()
+        .filter(r => !open.contains(r.getString(0)) &&
+          lastStart(r.getString(1)) >=
+            r.getDouble(2) + GanttGenerate.MinutesAfter * 60)
+        .map(_.getString(0)).toSet
+      val consLog = GanttGenerate.constraintLog(dt, ses, Seq("M0"))
+      def pts(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("CO_Identifier"), col("Line"), col("Machine"),
+          col("seq"), col("StartTime"), col("Downtime_Status"),
+          col("downtime_id")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getLong(3), r.getDouble(4), r.getDouble(5), r.getString(6)))
+          .toSet
+      val expected = pts(GanttGenerate.ganttData(agg, dt, consLog)
+        .filter(col("CO_Identifier").isin(flushed.toSeq: _*)))
+      val assigned = StreamingGantt(
+        evs.map(e => StreamingGantt.GEv(e.LINE, e.MACHINE, e.id.toString,
+          e.id, e.start.toDouble, e.start.toDouble + e.DOWNTIME * 60,
+          e.DOWNTIME, e.UPTIME, s"${e.c1} - ${e.c2} - ${e.c3}",
+          e.BRANDCODE, e.c1 == "co",
+          isConstraint = e.MACHINE == e.LINE + " M0",
+          coEvent = e.c1 == "co", planned = e.planned,
+          idle = e.idle)).toDS(), P)
+      val gotCos = assigned.select("CO_Identifier").distinct()
+        .as[String].collect().toSet
+      assert(gotCos == flushed, s"seed=${120 + i}: closed-CO set")
+      val got = pts(StreamingGantt.points(assigned.toDF()))
+      assert(got == expected, s"seed=${120 + i}")
     }
   }
 
