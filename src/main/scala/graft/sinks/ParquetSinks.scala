@@ -306,6 +306,10 @@ object ParquetSinks {
       .select(BucketCol).distinct().collect().map(_.getInt(0))
     // Left join: unkeyed rows sharing a touched bucket survive as-is;
     // touched keys keep only rows before their window threshold.
+    // `bounds` is one row per incoming KEY (production lines — small by
+    // nature), so the broadcast hint is safe; a table whose upsert keys
+    // ran to the tens of millions would drop the hint and let AQE pick
+    // the join side at runtime.
     val keptOld = spark.read.parquet(path)
       .filter(col(BucketCol).isin(touched.toSeq: _*))
       .join(broadcast(bounds), Seq(keyCol), "left")
