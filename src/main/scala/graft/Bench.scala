@@ -53,8 +53,29 @@ object Bench {
     // is captured — the driver must see ONE JSON line, the parent's
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val exit = proc.waitFor()
+    // stdout is drained on a daemon thread: a hung child never closes
+    // the stream, so an inline readAllBytes would block right past any
+    // waitFor timeout
+    val outBuf = new java.io.ByteArrayOutputStream()
+    val drain = new Thread(() => {
+      try { proc.getInputStream.transferTo(outBuf); () }
+      catch { case _: java.io.IOException => () }
+    }, s"bench-drain-$name")
+    drain.setDaemon(true)
+    drain.start()
+    // Generous ceiling (the slowest pseudo-entry runs ~5 min including
+    // reps + JVM startup): a child wedged on a port or filesystem must
+    // not stall the whole bench forever — kill it and let the caller's
+    // in-process fallback time the entry instead.
+    val finished = proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) {
+      proc.destroyForcibly()
+      System.err.println(s"[bench] $name child timed out after 30 min")
+      return None
+    }
+    drain.join(10000)
+    val out = outBuf.toString("UTF-8")
+    val exit = proc.exitValue()
     if (exit != 0) {
       System.err.println(s"[bench] $name child exit $exit"); None
     } else {

@@ -234,6 +234,28 @@ object RcoEtl {
         col("Number_of_Constraints"), col("Number_of_COs"))
   }
 
+  /** One-time migration of a Script_Data table written before the
+    * schema-parity change (SURVEY §1.2): the old layout keyed rows on
+    * `LINE` and had no System / BU / Data_Update_Time. The keyed merge
+    * below joins on (Server, MES_Line_Name) and would otherwise throw
+    * AnalysisException on the first load after an upgrade. Backfills
+    * follow the same defaults [[scriptData]] emits (System ← line name,
+    * BU ← "FHC"); Data_Update_Time backfills NULL — `max` ignores it,
+    * so [[graft.sources.ConfigOps.scriptDataWatermark]] degrades to the
+    * documented first-run full extract rather than inventing a
+    * watermark the old table never recorded. */
+  private def migrateLegacyScriptData(spark: SparkSession, path: String)
+      : Unit =
+    ParquetSinks.migrateLayout(spark, path) { stored =>
+      if (stored.columns.contains("MES_Line_Name") ||
+          !stored.columns.contains("LINE")) None
+      else Some(stored
+        .withColumnRenamed("LINE", "MES_Line_Name")
+        .withColumn("System", col("MES_Line_Name"))
+        .withColumn("BU", lit("FHC"))
+        .withColumn("Data_Update_Time", lit(null).cast("timestamp")))
+    }
+
   /** Idempotent load (S8–S11): the windowed tables go through the
     * delete+append upsert keyed on LINE — including the S9 CASCADE to
     * the event-log / Gantt / first-stop tables with the reference's
@@ -275,6 +297,7 @@ object RcoEtl {
         rounded(df)(r =>
           ParquetSinks.upsertWindow(spark, r, s"$baseDir/CO_Aggregated_Data",
             "LINE", "CO_Start_EPOCH"))
+        migrateLegacyScriptData(spark, s"$baseDir/Script_Data")
         rounded(scriptData(df, server, outputs.get("Day_Start"),
           updateTime = Some(runTime)))(r =>
           ParquetSinks.upsertByKey(spark, r,

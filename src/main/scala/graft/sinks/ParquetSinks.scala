@@ -252,10 +252,21 @@ object ParquetSinks {
     * passes as the fallback. */
   private val BucketMarker = "_graft_nbuckets"
 
+  /** The marker is staged to a sibling temp name and RENAMED into
+    * place: resolveBuckets' legacy-freeze path writes it into the LIVE
+    * table dir, where a crash mid-`create` would otherwise leave an
+    * empty/truncated marker that poisons every later load's
+    * [[readBucketMarker]] parse. Rename is the same single-metadata-op
+    * atomicity the data swaps rely on. */
   private def writeBucketMarker(fs: FileSystem, dir: Path, n: Int)
       : Unit = {
-    val out = fs.create(new Path(dir, BucketMarker), true)
+    val dest = new Path(dir, BucketMarker)
+    val tmp = new Path(dir, BucketMarker + "__tmp")
+    val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      sys.error(s"sink: could not move bucket marker $tmp into place")
   }
 
   private def readBucketMarker(fs: FileSystem, dir: Path): Option[Int] = {
@@ -263,9 +274,20 @@ object ParquetSinks {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        .trim.toInt)
-      finally in.close()
+      val raw =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // A corrupt marker must be a HARD, named error: guessing a
+      // modulus would silently mis-route keys across buckets and break
+      // delete-then-append for every later load.
+      try Some(raw.toInt)
+      catch {
+        case _: NumberFormatException => sys.error(
+          s"sink: unparseable bucket marker $p (content: '$raw') — " +
+            "restore it to the table's creation modulus (the number of " +
+            s"distinct $BucketCol= dirs if none are empty) or rebuild " +
+            "the table")
+      }
     }
   }
 
@@ -390,6 +412,28 @@ object ParquetSinks {
       swapDir(fs, st.getPath, new Path(path, st.getPath.getName))
     }
     fs.delete(tmp, true)
+  }
+
+  /** One-time layout migration hook: read the stored table, and when
+    * `transform` decides it is an old layout (returns Some), rewrite it
+    * staged-and-swapped with the same crash safety as every other
+    * rewrite here. No-op when the table doesn't exist or `transform`
+    * returns None (current layout). Callers run this BEFORE a keyed
+    * merge whose key/column set changed across versions — the merge
+    * joins on the new key columns and would otherwise throw
+    * AnalysisException on the first load after an upgrade. */
+  def migrateLayout(spark: SparkSession, path: String)(
+      transform: DataFrame => Option[DataFrame]): Unit = {
+    if (!exists(spark, path)) return
+    healCrashedSwaps(fsOf(spark, path), path)
+    cleanLegacyBackup(fsOf(spark, path), path)
+    transform(spark.read.parquet(path)).foreach { migrated =>
+      val tmp = tmpPath(path)
+      val fs = fsOf(spark, path)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      migrated.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      swapDir(fs, tmp, new Path(path))
+    }
   }
 
   /** S11: metadata upsert (`App/etl/overall_etl.py:186-232`,

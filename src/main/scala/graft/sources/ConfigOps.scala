@@ -59,10 +59,18 @@ object ConfigOps {
     val path = new org.apache.hadoop.fs.Path(s"$baseDir/Script_Data")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) None
-    else spark.read.parquet(path.toString)
-      .filter(col("Server") === server)
-      .agg(max(col("Data_Update_Time"))).collect().headOption
-      .flatMap(r => Option(r.getTimestamp(0)))
+    else {
+      val stored = spark.read.parquet(path.toString)
+      // A table written before the schema-parity change has no
+      // Data_Update_Time column: an upgraded deployment must degrade
+      // to the documented first-run full extract, not crash on the
+      // aggregate's unresolved column.
+      if (!stored.columns.contains("Data_Update_Time")) None
+      else stored
+        .filter(col("Server") === server)
+        .agg(max(col("Data_Update_Time"))).collect().headOption
+        .flatMap(r => Option(r.getTimestamp(0)))
+    }
   }
 
   /** The full stored-state T1 rule: stored watermark → concrete

@@ -53,4 +53,15 @@ class ConfigOpsSpec extends GraftSuite {
     assert(lo == t2.toLocalDateTime.minusDays(3))
     assert(hi == LocalDateTime.of(2026, 8, 13, 12, 0))
   }
+
+  test("watermark degrades to None on a pre-parity Script_Data layout") {
+    // an upgraded deployment's first run sees the OLD table (no
+    // Data_Update_Time column): must fall back to a full extract, not
+    // crash on the aggregate
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-wm-old").toString
+    Seq(("S1", "L1")).toDF("Server", "LINE")
+      .write.parquet(s"$base/Script_Data")
+    assert(ConfigOps.scriptDataWatermark(spark, base, "S1").isEmpty)
+  }
 }

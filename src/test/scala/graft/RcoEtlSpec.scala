@@ -108,6 +108,39 @@ class RcoEtlSpec extends GraftSuite {
     assert(counts == first, "second identical load must be a no-op")
   }
 
+  test("load migrates a pre-parity Script_Data table before the merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-sd-mig").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 06:00:00")
+    // the layout every load wrote before the schema-parity change:
+    // keyed on LINE, no System / BU / Data_Update_Time
+    Seq(("L9", t0, t0, 5L, 6.0, 1, "OldServer"))
+      .toDF("LINE", "First_Available_Data_Point",
+        "Last_Available_Data_Point", "Number_of_COs", "Day_Start_hours",
+        "Number_of_Constraints", "Server")
+      .write.parquet(s"$base/Script_Data")
+    val co = Seq(("CO1", "L1", t0, 100.0))
+      .toDF("CO_Identifier", "LINE", "CO_StartTime", "CO_Start_EPOCH")
+    // first load after the upgrade: the (Server, MES_Line_Name) merge
+    // must succeed against the old table, not AnalysisException
+    RcoEtl.load(spark, Map("CO_Aggregated_Data" -> co), base, "S")
+    val sd = spark.read.parquet(s"$base/Script_Data")
+    assert(sd.columns.contains("MES_Line_Name") &&
+      !sd.columns.contains("LINE"))
+    val old = sd.filter(col("Server") === "OldServer").collect().head
+    assert(old.getAs[String]("MES_Line_Name") == "L9")
+    assert(old.getAs[String]("System") == "L9", "backfill: System ← line")
+    assert(old.getAs[String]("BU") == "FHC")
+    assert(old.getAs[java.sql.Timestamp]("Data_Update_Time") == null,
+      "the old table never recorded a run time — don't invent one")
+    // NULL backfill means the migrated server still reads as first-run
+    assert(graft.sources.ConfigOps
+      .scriptDataWatermark(spark, base, "OldServer").isEmpty)
+    assert(sd.filter(col("Server") === "S").count() == 1,
+      "the merge proceeded after the migration")
+  }
+
   test("a failed table write does not abort sibling writes mid-flight") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -108,6 +108,21 @@ class SinksSpec extends GraftSuite {
     assert(rows(path) == Set("k0|9", "k1|1"))
   }
 
+  test("a corrupt bucket marker is a hard error naming the file") {
+    val path = tmp()
+    val batch = Seq(("L1", 10.0, "a")).toDF("LINE", "t", "v")
+    ParquetSinks.upsertWindow(spark, batch, path, "LINE", "t")
+    // a crash mid-write used to be able to leave an empty marker; the
+    // next load must fail with a message naming it, not throw a bare
+    // NumberFormatException forever
+    val f = new java.io.File(path, "_graft_nbuckets")
+    java.nio.file.Files.write(f.toPath, Array.emptyByteArray)
+    val e = intercept[RuntimeException] {
+      ParquetSinks.upsertWindow(spark, batch, path, "LINE", "t")
+    }
+    assert(e.getMessage.contains("_graft_nbuckets"), e.getMessage)
+  }
+
   test("bucket modulus: sized at creation, persisted, stable on upsert") {
     // sizing: floor for small tables, linear in rows, capped
     assert(ParquetSinks.chooseBuckets(0) == ParquetSinks.MinBuckets)
