@@ -171,6 +171,18 @@ object Bench {
     val (forkNames, inProcNames) =
       if (sys.env.contains(ChildEnv)) (Seq.empty[String], names)
       else names.partition(Pseudo)
+    // Children fork FIRST, while this parent JVM is still idle: after
+    // the 18 in-process queries the parent sits on tens of GB of
+    // resident heap, and a child competing with that for memory and
+    // page cache recorded 23.4s for an entry that measures 13.3s on a
+    // quiet machine (r6) — the same contamination the fork exists to
+    // remove, one level up.
+    val forkResults = forkNames.map { n =>
+      // child JVM measures the steady-state pipeline plan in
+      // isolation; if forking itself fails, fall back to in-process
+      // (no worse than the pre-fork bench)
+      n -> forkEntry(n)
+    }
     // Untimed warmup: JVM/classloader/codegen + parquet footer reads.
     // Pseudo entries skip it — min-of-2 absorbs their first-run codegen,
     // and a third multi-minute pipeline run buys no extra signal.
@@ -214,12 +226,7 @@ object Bench {
       times.minOption.getOrElse(-1.0)
     }
     val results = inProcNames.map(n => n -> timeInProc(n)) ++
-      forkNames.map { n =>
-        // child JVM measures the steady-state pipeline plan in
-        // isolation; if forking itself fails, fall back to in-process
-        // (no worse than the pre-fork bench)
-        n -> forkEntry(n).getOrElse(timeInProc(n))
-      }
+      forkResults.map { case (n, t) => n -> t.getOrElse(timeInProc(n)) }
     def q(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")

@@ -63,7 +63,14 @@ object RcoEtl {
     // re-executes the dedup + UPTIME windows from the source scan —
     // measured 2x+ on the end-to-end wall time. The reference computes
     // this frame once per site run (`App/etl/overall_etl.py:52-80`).
-    val fullLog = pin(fullLog0)
+    // A frame that arrives ALREADY persisted belongs to the caller (a
+    // fleet loop sharing the canonical log across sites) — pinning it
+    // into this site's scope would let the site's release evict the
+    // shared cache mid-fleet, so leave its lifecycle to its owner.
+    val fullLog =
+      if (fullLog0.storageLevel != org.apache.spark.storage
+        .StorageLevel.NONE) fullLog0
+      else pin(fullLog0)
     val sesParams = Sessionize.Params(p.triggerParam, p.splitOnCause,
       p.changeoverFailureNoSplit, p.pythonFactor4)
     val coLog = graft.model.Rco.coFilter(fullLog, p.coPredicateSql)
@@ -149,8 +156,19 @@ object RcoEtl {
     * Returns the run-log map in config order. */
   def runSites(spark: SparkSession, sites: Seq[SiteParams],
       fullLog: DataFrame, prodLog: DataFrame, baseDir: String)
-      : Map[String, String] =
-    sites.map { p =>
+      : Map[String, String] = {
+    // The canonical logs are site-INDEPENDENT: every site re-reads
+    // them (the dedup + UPTIME windows for fullLog, the In-Production
+    // scan for prodLog). Persist them ONCE across the loop instead of
+    // letting each site's scope pin-and-release its own copy — N-1
+    // recomputes of the spine for an N-site fleet. Frames the caller
+    // already persisted keep their caller-owned lifecycle.
+    import org.apache.spark.storage.StorageLevel
+    val ownFull = fullLog.storageLevel == StorageLevel.NONE
+    val ownProd = prodLog.storageLevel == StorageLevel.NONE
+    if (ownFull) fullLog.persist(StorageLevel.MEMORY_AND_DISK)
+    if (ownProd) prodLog.persist(StorageLevel.MEMORY_AND_DISK)
+    try sites.map { p =>
       p.server -> (try {
         // releasable variant: a fleet run pins five spine frames PER
         // SITE — without the per-site unpersist the Nth site computes
@@ -169,6 +187,11 @@ object RcoEtl {
               .mkString})"
       })
     }.toMap
+    finally {
+      if (ownFull) fullLog.unpersist()
+      if (ownProd) prodLog.unpersist()
+    }
+  }
 
   /** Script_Data metadata row per line (A8/S11 stats,
     * `App/etl/overall_etl.py:200-211`) with the reference's full column

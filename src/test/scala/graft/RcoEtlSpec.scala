@@ -182,6 +182,42 @@ class RcoEtlSpec extends GraftSuite {
       "release must unpersist everything run pinned (fleet runs loop this)")
   }
 
+  test("a caller-persisted canonical log survives a site's release") {
+    import org.apache.spark.storage.StorageLevel
+    spark.catalog.clearCache()
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    try {
+      val (out, release) = RcoEtl.runReleasable(full, prod,
+        RcoEtl.SiteParams("TestSite", Rco.testCoPredicate,
+          machineLevel = false, firstStop = false))
+      assert(out("CO_Aggregated_Data").count() > 0)
+      release()
+      // the shared frame's lifecycle belongs to the fleet loop, not the
+      // site scope — releasing the site must not evict it mid-fleet
+      assert(full.storageLevel != StorageLevel.NONE,
+        "site release evicted the caller-owned shared cache")
+    } finally { full.unpersist(); () }
+  }
+
+  test("runSites leaves no persisted frames behind") {
+    spark.catalog.clearCache()
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val base = Files.createTempDirectory("graft-fleet-share").toString
+    val log = RcoEtl.runSites(spark, Seq(
+      RcoEtl.SiteParams("A", Rco.testCoPredicate,
+        machineLevel = false, firstStop = false),
+      RcoEtl.SiteParams("B", Rco.testCoPredicate, triggerParam = 60.0,
+        machineLevel = false, firstStop = false)),
+      full, prod, base)
+    assert(log.values.forall(_ == "Success"), log.toString)
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "the loop-shared canonical logs must be released at fleet end")
+  }
+
   test("CacheScope.collect unpersists pins when the body throws") {
     import graft.operators.CacheScope
     import spark.implicits._
