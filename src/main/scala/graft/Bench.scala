@@ -201,7 +201,11 @@ object Bench {
       // leave a single steady-state sample. Three gives the min two.
       // The fleet entry stays at two: it is ~3 sites long, so per-rep
       // noise is already averaged down and a third run buys little.
-      val reps = if (name == E2E) 3 else 2
+      // Single queries also run three reps: r6 recorded 1.4-2x
+      // inflation across the whole in-process set (rco_brandcode 2.23s
+      // vs 1.17s isolated, rco_gantt 1.01 vs 0.50) that a wider min
+      // absorbs for ~13s of bench wall.
+      val reps = if (name == Fleet) 2 else 3
       // only SUCCESSFUL runs count toward the min — a fast failure must
       // not masquerade as a fast query
       val times = (1 to reps).flatMap { _ =>

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators beyond dedup/similarity (the
+  * curation steps a pretraining pipeline runs between raw corpus and
+  * tokenized shards): eval-set contamination detection, stratified
+  * quota sampling, sequence packing, and entropy-based quality signals.
+  *
+  * Same cross-engine determinism rules as [[LlmText]]: hashes are md5
+  * hex strings, ranks are explicit orderings over those strings, and
+  * every floating aggregate is rounded to 6 places on both sides.
+  *
+  * Keep in sync with [[LlmPrepSql]].
+  */
+object LlmPrep {
+
+  /** Whitespace tokens of lower(text), empties dropped (same
+    * tokenization as [[LlmText]]). */
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), x => x =!= "")
+
+  /** Every doc_id ≡ 0 (mod [[EvalMod]]) plays the held-out eval set in
+    * [[contamination]]; the rest is the training corpus. A real
+    * pipeline would read a separate eval table — the split keeps the
+    * operator runnable (and oracle-checkable) on the one `documents`
+    * table the driver ships. */
+  val EvalMod = 20
+
+  /** Contamination n-gram length. Production contamination checks use
+    * 8-13 token grams; 5 keeps enough grams per document at this
+    * corpus's 25-200-token lengths. */
+  val ContamN = 5
+
+  /** Train-side document frequency above which a gram stops generating
+    * contamination candidates: a gram appearing in df train docs emits
+    * df rows per eval occurrence, so corpus-wide boilerplate would make
+    * hot keys (the same quadratic-hot-key argument as
+    * [[LlmText.NgramDfCap]], one-sided because the eval set is small by
+    * construction). */
+  val ContamDfCap = 50
+
+  /** Minimum shared grams before an (eval, train) pair is reported:
+    * one shared 5-gram in a small-vocabulary corpus is coincidence. */
+  val ContamMinShared = 2
+
+  /** Distinct word n-gram shingles of each document. */
+  private def ngrams(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k =>
+            element_at(col("toks"), i + k)): _*))).as("grams"))
+
+  /** Eval-set contamination: which eval documents share ≥
+    * [[ContamMinShared]] distinct [[ContamN]]-grams with which train
+    * documents. The scale shape is the one-sided inverted index: train
+    * postings are df-capped (see [[ContamDfCap]]), then equi-joined to
+    * the eval postings ON THE GRAM — per-gram work is bounded by
+    * cap × eval_df, and the eval side is small by construction, so the
+    * plan is a shuffle-bounded equi-join at any corpus size (the
+    * standard decontamination layout: index the eval set, stream the
+    * train corpus past it). */
+  def contamination(documents: DataFrame, evalMod: Int = EvalMod,
+      n: Int = ContamN, dfCap: Int = ContamDfCap,
+      minShared: Int = ContamMinShared): DataFrame = {
+    val posting = CacheScope.pin(
+      ngrams(documents, n)
+        .select(col("doc_id"), explode(col("grams")).as("gram")))
+    val evalSide = posting.filter(pmod(col("doc_id"), lit(evalMod)) === 0)
+    val trainSide = posting.filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("df") <= dfCap)
+    evalSide.select(col("doc_id").as("eval_id"), col("gram"))
+      .join(trainSide.select(col("doc_id").as("train_id"), col("gram")),
+        Seq("gram"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Per-stratum sampling quota of [[sampleStratified]]. */
+  val StratumCap = 100
+
+  /** Stratified quota sampling: keep at most `cap` documents per
+    * stratum (the `lang` column), chosen by a DETERMINISTIC uniform
+    * order — rank within stratum by md5 of the doc id. Hash-order
+    * sampling is the distributed idiom: it needs no global RNG state,
+    * re-runs reproduce the same sample, and adding documents never
+    * reshuffles the survivors' relative order. One shuffle on the
+    * stratum key; the rank window is per-stratum. A stratum far larger
+    * than its cap makes that window's sort the hot key — at 100 TB the
+    * rank would switch to a two-pass quantile cutoff on the same hash
+    * (take the cap-th smallest hash per stratum, keep rows below it),
+    * which is the identical sample without the full sort. */
+  def sampleStratified(documents: DataFrame, cap: Int = StratumCap)
+      : DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("smp"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("smp"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("doc_id"), col("lang"), col("rk"))
+
+  /** Token budget per packed sequence in [[pack]] (a context window). */
+  val PackBudget = 512
+
+  /** Shard count of [[pack]]'s concatenation order. */
+  val PackShards = 8
+
+  /** Sequence packing — the concat-and-chunk layout pretraining
+    * actually uses: documents are concatenated in a deterministic order
+    * and the stream is cut every `budget` tokens. Each document is
+    * assigned the bin its FIRST token falls in. Sharding bounds the
+    * window: the running token offset is per-shard (shard = doc_id mod
+    * `nShards`), so the cumulative sum parallelizes across shards and
+    * no single ordered window spans the corpus — at 100 TB the shard
+    * count scales with the cluster, each shard's window stays
+    * executor-sized, and bins remain reproducible because the
+    * (shard, doc_id) order is data-independent. */
+  def pack(documents: DataFrame, budget: Int = PackBudget,
+      nShards: Int = PackShards): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("token_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("token_offset") / budget))
+  }
+
+  /** Entropy-based quality signals: Shannon entropy (bits) of the
+    * character distribution and of the token distribution per document.
+    * Low char entropy flags repeated-character junk; low token entropy
+    * flags template/boilerplate text — the standard cheap gibberish
+    * screens next to [[LlmText.textStats]]'s ratio features. Shape:
+    * explode → two-level aggregate, all map-side combinable; no joins,
+    * no windows over the corpus. */
+  def entropy(documents: DataFrame): DataFrame = {
+    def dist(unit: DataFrame, outCol: String): DataFrame =
+      unit.groupBy(col("doc_id"), col("u"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("doc_id"))
+        .agg(round(log2(sum(col("k"))) -
+          sum(col("k") * log2(col("k"))) / sum(col("k")), 6).as(outCol))
+    // filter the empties: Spark's split(_, "") can emit a trailing ""
+    // (java.util.regex limit -1) that DuckDB's splitter never produces
+    val chars = documents.select(col("doc_id"),
+      explode(filter(split(col("text"), ""), x => x =!= "")).as("u"))
+    val tokens = documents.select(col("doc_id"),
+      explode(toks(col("text"))).as("u"))
+    dist(chars, "char_entropy")
+      .join(dist(tokens, "token_entropy"), Seq("doc_id"))
+  }
+}
+
+/** DuckDB twin of [[LlmPrep]] — same tokenization, same md5 sample
+  * order, same window frames, same entropy formula. */
+object LlmPrepSql {
+
+  import LlmPrep._
+
+  private val toksCte =
+    """tk AS (SELECT doc_id, lang, text,
+      list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+        AS toks
+      FROM documents)"""
+
+  val contaminationSql: String =
+    s"""WITH $toksCte,
+    ng AS (SELECT doc_id,
+      list_distinct([array_to_string(toks[i:i+${ContamN - 1}], ' ')
+        for i in range(1, len(toks) - ${ContamN - 2})]) AS grams
+      FROM tk WHERE len(toks) >= $ContamN),
+    posting AS (SELECT doc_id, g.gram
+      FROM ng, UNNEST(grams) AS g(gram)),
+    ev AS (SELECT doc_id AS eval_id, gram FROM posting
+      WHERE doc_id % $EvalMod = 0),
+    tr AS (SELECT doc_id AS train_id, gram FROM (
+      SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      FROM posting WHERE doc_id % $EvalMod <> 0) WHERE df <= $ContamDfCap)
+    SELECT ev.eval_id, tr.train_id, count(*) AS n_shared
+    FROM ev JOIN tr USING (gram)
+    GROUP BY 1, 2
+    HAVING count(*) >= $ContamMinShared"""
+
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+      FROM documents)
+    WHERE rk <= $StratumCap"""
+
+  val packSql: String =
+    s"""SELECT doc_id, shard, n_tokens,
+      coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        AS token_offset,
+      CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+        ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        / $PackBudget) AS BIGINT) AS bin
+    FROM (SELECT doc_id, doc_id % $PackShards AS shard,
+      CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents)"""
+
+  val entropySql: String =
+    s"""WITH $toksCte,
+    cf AS (SELECT doc_id, c.u, count(*) AS k
+      FROM documents,
+        UNNEST(list_filter(string_split(text, ''), x -> x <> ''))
+          AS c(u)
+      GROUP BY 1, 2),
+    ce AS (SELECT doc_id,
+      round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6) AS char_entropy
+      FROM cf GROUP BY doc_id),
+    tf AS (SELECT doc_id, t.u, count(*) AS k
+      FROM tk, UNNEST(toks) AS t(u)
+      GROUP BY 1, 2),
+    te AS (SELECT doc_id,
+      round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6) AS token_entropy
+      FROM tf GROUP BY doc_id)
+    SELECT ce.doc_id, ce.char_entropy, te.token_entropy
+    FROM ce JOIN te USING (doc_id)"""
+}

@@ -30,7 +30,12 @@ object LlmQueries {
     "llm_knn_ivf2" -> ((s, d) => LlmSim.knnIvfTrained(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
-    "llm_curation" -> ((s, d) => LlmText.curate(docs(s, d))))
+    "llm_curation" -> ((s, d) => LlmText.curate(docs(s, d))),
+    "llm_contamination" -> ((s, d) => LlmPrep.contamination(docs(s, d))),
+    "llm_sample_stratified" ->
+      ((s, d) => LlmPrep.sampleStratified(docs(s, d))),
+    "llm_pack" -> ((s, d) => LlmPrep.pack(docs(s, d))),
+    "llm_entropy" -> ((s, d) => LlmPrep.entropy(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -45,5 +50,9 @@ object LlmQueries {
     "llm_knn_ivf2" -> LlmSimSql.knnIvfTrainedSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     "llm_multimodal" -> MultimodalSql.mediaStatsSql,
-    "llm_curation" -> LlmTextSql.curateSql())
+    "llm_curation" -> LlmTextSql.curateSql(),
+    "llm_contamination" -> LlmPrepSql.contaminationSql,
+    "llm_sample_stratified" -> LlmPrepSql.sampleStratifiedSql,
+    "llm_pack" -> LlmPrepSql.packSql,
+    "llm_entropy" -> LlmPrepSql.entropySql)
 }

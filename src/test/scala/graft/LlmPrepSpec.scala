@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmPrep
+
+/** Golden tests for the training-data preparation operators
+  * (contamination, stratified sampling, packing, entropy) on
+  * hand-built corpora with hand-computed answers. */
+class LlmPrepSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("contamination reports eval docs sharing capped train grams") {
+    // doc 0 and 20 are eval (id % 20 == 0); doc 0 shares its full text
+    // with train doc 1 (contaminated), train doc 2 is unrelated, doc 20
+    // shares only ONE 3-gram with doc 1 (below the min-shared bar)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (20L, "alpha beta gamma nine ten eleven twelve")).toDF("doc_id", "text")
+    val out = LlmPrep.contamination(docs, n = 3, dfCap = 50, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("eval_id"),
+        r.getAs[Long]("train_id")) -> r.getAs[Long]("n_shared")).toMap
+    // doc 0 vs 1: 4 distinct 3-grams shared; (20,1) shares just 1
+    assert(out == Map((0L, 1L) -> 4L))
+  }
+
+  test("contamination df cap drops boilerplate grams") {
+    // the shared gram appears in BOTH train docs → train df 2 > cap 1,
+    // so it stops generating candidates entirely
+    val docs = Seq(
+      (0L, "common phrase here tail0"),
+      (1L, "common phrase here tail1"),
+      (2L, "common phrase here tail2")).toDF("doc_id", "text")
+    assert(LlmPrep.contamination(docs, n = 3, dfCap = 1, minShared = 1)
+      .count() == 0)
+    assert(LlmPrep.contamination(docs, n = 3, dfCap = 50, minShared = 1)
+      .count() == 2, "uncapped, both train docs are reported")
+  }
+
+  test("stratified sample caps each stratum deterministically") {
+    val docs = (0L until 30L).map(i =>
+      (i, if (i < 20) "en" else "fr", s"text $i")).toDF("doc_id", "lang", "text")
+    val out = LlmPrep.sampleStratified(docs, cap = 5)
+    val byLang = out.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang == Map("en" -> 5L, "fr" -> 5L),
+      "en trimmed to the cap, fr kept whole (5 of 10)")
+    // re-running produces the identical sample — hash order, no RNG
+    val ids = out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val again = LlmPrep.sampleStratified(docs, cap = 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids == again)
+  }
+
+  test("pack assigns each doc the bin its first token falls in") {
+    // one shard (nShards = 1), budget 10; token counts 4, 4, 4, 9:
+    // offsets 0, 4, 8, 12 → bins 0, 0, 0, 1
+    val docs = Seq(
+      (0L, "a b c d"),
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val out = LlmPrep.pack(docs, budget = 10, nShards = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("token_offset"), r.getAs[Long]("bin")))).toMap
+    assert(out == Map(0L -> ((0L, 0L)), 1L -> ((4L, 0L)),
+      2L -> ((8L, 0L)), 3L -> ((12L, 1L))))
+    // sharding: offsets accumulate per shard, not globally
+    val sharded = LlmPrep.pack(docs, budget = 10, nShards = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("token_offset"))
+      .toMap
+    assert(sharded == Map(0L -> 0L, 2L -> 4L, 1L -> 0L, 3L -> 4L))
+  }
+
+  test("entropy: uniform chars hit log2(n), repeated text scores low") {
+    val docs = Seq(
+      (0L, "abcd"), // 4 distinct chars, uniform → 2 bits
+      (1L, "aaaa"), // 1 char → 0 bits
+      (2L, "x y x y x y x y")).toDF("doc_id", "text")
+    val out = LlmPrep.entropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("char_entropy"),
+          r.getAs[Double]("token_entropy")))).toMap
+    assert(out(0L) == ((2.0, 0.0)), "abcd: uniform chars, single token")
+    assert(out(1L) == ((0.0, 0.0)))
+    // doc 2: tokens x,y uniform → 1 bit; chars x,y,space at 4/4/7 of 15
+    assert(out(2L)._2 == 1.0)
+    val expected = {
+      val n = 15.0
+      val h = -Seq(4, 4, 7).map(k => k / n * math.log(k / n) / math.log(2)).sum
+      math.rint(h * 1e6) / 1e6
+    }
+    assert(math.abs(out(2L)._1 - expected) < 1e-9)
+  }
+}
