@@ -19,10 +19,15 @@ import graft.sources.Tables
   *    NOT quadratic like the reference's per-CO loops).
   *
   * Usage: SPARK_GRAFT_SF_DIR=… sbt "runMain graft.ScaleProbe 10"
+  * Optional section filter (comma list of rco,emb,text,fleet):
+  *   SPARK_GRAFT_PROBE=text sbt "runMain graft.ScaleProbe 10"
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    val sections = sys.env.get("SPARK_GRAFT_PROBE")
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("rco", "emb", "text", "fleet"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftFunctions.install)
@@ -77,9 +82,11 @@ object ScaleProbe {
       Seq(full, ses, agg).foreach(_.unpersist())
     }
 
-    bench("base1x", base)
-    bench("wide", wide)
-    bench("dense", dense)
+    if (sections("rco")) {
+      bench("base1x", base)
+      bench("wide", wide)
+      bench("dense", dense)
+    }
 
     // LLM path: K× the embeddings corpus (fresh vec_ids; dim content
     // perturbed per copy via a deterministic shift so near-dup buckets
@@ -106,8 +113,10 @@ object ScaleProbe {
           s" rows=${ev.count()}")
       }
     }
-    timeEmb("1x", embBase)
-    timeEmb(s"${k}x", embK)
+    if (sections("emb")) {
+      timeEmb("1x", embBase)
+      timeEmb(s"${k}x", embK)
+    }
 
     // Text operators: K× corpus with per-copy token prefixes — DISJOINT
     // gram spaces, because a 10× corpus at scale is new content, not 10
@@ -140,11 +149,22 @@ object ScaleProbe {
         // components: rounds scale with cluster diameter (constant
         // under corpus growth), per-round work with the pair count
         time("dedup_cluster")(LlmText.dedupClusters(d))
+        // prep operators: the one-sided inverted index (df-capped train
+        // postings × small eval side) should stay ~linear; pack/entropy
+        // are per-shard windows / map-side aggregates; the stratified
+        // sample's per-stratum sort is the deliberate stress (strata
+        // grow K× while the cap stays fixed)
+        time("contamination")(LlmPrep.contamination(d))
+        time("pack")(LlmPrep.pack(d))
+        time("entropy")(LlmPrep.entropy(d))
+        time("sample_strat")(LlmPrep.sampleStratified(d))
       }
       release()
     }
-    timeText("1x", docBase)
-    timeText(s"${k}x", docK)
+    if (sections("text")) {
+      timeText("1x", docBase)
+      timeText(s"${k}x", docK)
+    }
 
     // Fleet spine at K× wide: runSites over the 3 heterogeneous sites
     // (the production entry point, sinks included) — should be ~linear
@@ -172,8 +192,18 @@ object ScaleProbe {
       println(f"fleet_$tag%-8s upsert ${(System.nanoTime() - t1) / 1e9}%8.2f s" +
         s" statuses=$log2")
     }
-    timeFleet("base1x")
-    timeFleet("wide")
+    if (sections("fleet")) {
+      // fleet reads the rco section's scaled event dumps — regenerate
+      // them if the rco section didn't run this invocation
+      Seq("base1x" -> base, "wide" -> wide).foreach { case (tag, ev) =>
+        val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_scale_$tag")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(p))
+          ev.write.mode("overwrite").parquet(p.toString)
+      }
+      timeFleet("base1x")
+      timeFleet("wide")
+    }
     spark.stop()
   }
 }
