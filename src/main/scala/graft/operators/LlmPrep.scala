@@ -144,6 +144,37 @@ object LlmPrep {
       .withColumn("bin", floor(col("token_offset") / budget))
   }
 
+  /** Vocabulary size cap of [[vocab]]. */
+  val VocabSize = 50
+
+  /** Tokenizer vocabulary building: the corpus-wide token frequency
+    * table a tokenizer trainer starts from — top [[VocabSize]] tokens
+    * by count (ties broken lexically, so the cut is deterministic),
+    * with each token's rank and the cumulative corpus coverage up to
+    * it. Shape: one map-side-combinable count aggregate over the
+    * exploded tokens, then rank/cumsum windows over the TOP-K ONLY
+    * (k rows — driver-scale) plus a scalar total; the corpus-sized
+    * stage is embarrassingly parallel, nothing corpus-wide is ever
+    * sorted. */
+  def vocab(documents: DataFrame, k: Int = VocabSize): DataFrame = {
+    val counts = CacheScope.pin(documents
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n")))
+    // scalar probe (one aggregate action on the pinned counts); the
+    // top-k goes through limit = TakeOrderedAndProject, a distributed
+    // partial top-k per partition + driver merge of k-row heads — the
+    // rank/cumsum windows then see only k rows, so nothing corpus-wide
+    // is ever globally sorted
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    val wRank = Window.orderBy(col("n").desc, col("token"))
+    counts.orderBy(col("n").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .withColumn("coverage",
+        round(sum(col("n")).over(
+          wRank.rowsBetween(Window.unboundedPreceding, 0)) /
+          lit(total.toDouble), 6))
+  }
+
   /** Entropy-based quality signals: Shannon entropy (bits) of the
     * character distribution and of the token distribution per document.
     * Low char entropy flags repeated-character junk; low token entropy
@@ -220,6 +251,20 @@ object LlmPrepSql {
       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
         x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents)"""
+
+  val vocabSql: String =
+    s"""WITH $toksCte,
+    cnt AS (SELECT t.tok AS token, count(*) AS n
+      FROM tk, UNNEST(toks) AS t(tok) GROUP BY 1),
+    ranked AS (SELECT token, n,
+      CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank,
+      sum(n) OVER (ORDER BY n DESC, token
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM cnt)
+    SELECT token, n, rank,
+      round(CAST(cum AS DOUBLE) /
+        (SELECT CAST(sum(n) AS DOUBLE) FROM cnt), 6) AS coverage
+    FROM ranked WHERE rank <= ${LlmPrep.VocabSize}"""
 
   val entropySql: String =
     s"""WITH $toksCte,

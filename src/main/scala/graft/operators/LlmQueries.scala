@@ -35,7 +35,8 @@ object LlmQueries {
     "llm_sample_stratified" ->
       ((s, d) => LlmPrep.sampleStratified(docs(s, d))),
     "llm_pack" -> ((s, d) => LlmPrep.pack(docs(s, d))),
-    "llm_entropy" -> ((s, d) => LlmPrep.entropy(docs(s, d))))
+    "llm_entropy" -> ((s, d) => LlmPrep.entropy(docs(s, d))),
+    "llm_vocab" -> ((s, d) => LlmPrep.vocab(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -54,5 +55,6 @@ object LlmQueries {
     "llm_contamination" -> LlmPrepSql.contaminationSql,
     "llm_sample_stratified" -> LlmPrepSql.sampleStratifiedSql,
     "llm_pack" -> LlmPrepSql.packSql,
-    "llm_entropy" -> LlmPrepSql.entropySql)
+    "llm_entropy" -> LlmPrepSql.entropySql,
+    "llm_vocab" -> LlmPrepSql.vocabSql)
 }

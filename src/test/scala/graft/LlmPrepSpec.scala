@@ -74,6 +74,23 @@ class LlmPrepSpec extends GraftSuite {
     assert(sharded == Map(0L -> 0L, 2L -> 4L, 1L -> 0L, 3L -> 4L))
   }
 
+  test("vocab ranks tokens by count with deterministic ties and coverage") {
+    // counts: b=4, a=3, c=2, d=1 (total 10); tie-free by construction,
+    // plus a tie pair (c vs cc both 2 → lexical order c, cc)... use:
+    // b=4, a=3, c=2, cc=2, d=1 → total 12
+    val docs = Seq(
+      (0L, "b b a c cc"),
+      (1L, "b b a a c cc d")).toDF("doc_id", "text")
+    val out = LlmPrep.vocab(docs, k = 3).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n"),
+        r.getAs[Long]("rank"), r.getAs[Double]("coverage")))
+    assert(out.toSeq == Seq(
+      ("b", 4L, 1L, math.rint(4.0 / 12 * 1e6) / 1e6),
+      ("a", 3L, 2L, math.rint(7.0 / 12 * 1e6) / 1e6),
+      ("c", 2L, 3L, math.rint(9.0 / 12 * 1e6) / 1e6)),
+      s"got ${out.toSeq}")
+  }
+
   test("entropy: uniform chars hit log2(n), repeated text scores low") {
     val docs = Seq(
       (0L, "abcd"), // 4 distinct chars, uniform → 2 bits
