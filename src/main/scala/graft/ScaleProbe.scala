@@ -158,6 +158,7 @@ object ScaleProbe {
         time("pack")(LlmPrep.pack(d))
         time("entropy")(LlmPrep.entropy(d))
         time("sample_strat")(LlmPrep.sampleStratified(d))
+        time("vocab")(LlmPrep.vocab(d))
       }
       release()
     }
