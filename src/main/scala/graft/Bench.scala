@@ -32,9 +32,17 @@ object Bench {
   /** Set in the forked child so it never re-forks. */
   val ChildEnv = "SPARK_GRAFT_BENCH_CHILD"
 
-  /** Run one pseudo-entry in a fresh JVM; returns its time, or None if
-    * the child failed (caller falls back to in-process). */
-  def forkEntry(name: String): Option[Double] = {
+  /** [[forkEntry]] outcome: a time, a timeout (do NOT fall back — the
+    * entry itself is likely wedged, and an in-process re-run would
+    * stall the bench the same way, unbounded and heap-contaminated),
+    * or a spawn/crash failure (in-process fallback is safe). */
+  sealed trait ForkResult
+  case class ForkTime(sec: Double) extends ForkResult
+  case object ForkTimeout extends ForkResult
+  case object ForkFailed extends ForkResult
+
+  /** Run one pseudo-entry in a fresh JVM. */
+  def forkEntry(name: String): ForkResult = {
     import scala.jdk.CollectionConverters._
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java")
@@ -43,7 +51,7 @@ object Bench {
       // debug/profiler agents would collide on ports in a second JVM
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val cp = sys.props("java.class.path")
-    if (!javaBin.isFile || cp == null || cp.isEmpty) return None
+    if (!javaBin.isFile || cp == null || cp.isEmpty) return ForkFailed
     val cmd = Seq(javaBin.getAbsolutePath) ++ jvmArgs ++
       Seq("-cp", cp, "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
@@ -71,17 +79,19 @@ object Bench {
     if (!finished) {
       proc.destroyForcibly()
       System.err.println(s"[bench] $name child timed out after 30 min")
-      return None
+      return ForkTimeout
     }
     drain.join(10000)
     val out = outBuf.toString("UTF-8")
     val exit = proc.exitValue()
     if (exit != 0) {
-      System.err.println(s"[bench] $name child exit $exit"); None
+      System.err.println(s"[bench] $name child exit $exit"); ForkFailed
     } else {
       val m = java.util.regex.Pattern
         .compile("\"" + name + "\":([-0-9.eE]+)").matcher(out)
-      if (m.find()) Some(m.group(1).toDouble).filter(_ >= 0) else None
+      val t = if (m.find()) Some(m.group(1).toDouble).filter(_ >= 0)
+        else None
+      t.map(ForkTime(_)).getOrElse(ForkFailed)
     }
   }
 
@@ -230,7 +240,16 @@ object Bench {
       times.minOption.getOrElse(-1.0)
     }
     val results = inProcNames.map(n => n -> timeInProc(n)) ++
-      forkResults.map { case (n, t) => n -> t.getOrElse(timeInProc(n)) }
+      forkResults.map {
+        case (n, ForkTime(t)) => n -> t
+        // spawn/crash: in-process fallback (no worse than pre-fork)
+        case (n, ForkFailed) => n -> timeInProc(n)
+        // timeout: the ENTRY is likely wedged — an in-process re-run
+        // would stall the bench identically; record it as a failure
+        case (n, ForkTimeout) =>
+          if (!errors.contains(n)) errors += n
+          n -> -1.0
+      }
     def q(s: String) = "\"" + s + "\""
     val qs = results.map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map(q).mkString("[", ",", "]")

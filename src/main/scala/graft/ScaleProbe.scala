@@ -25,9 +25,16 @@ import graft.sources.Tables
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    val knownSections = Set("rco", "emb", "text", "fleet")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
-      .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("rco", "emb", "text", "fleet"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(knownSections)
+    // fail fast on a typo: a probe run that silently matches zero
+    // sections exits 0 with no timings and reads as a clean pass
+    val unknown = sections -- knownSections
+    require(unknown.isEmpty && sections.nonEmpty,
+      s"SPARK_GRAFT_PROBE: unknown section(s) $unknown — " +
+        s"valid: ${knownSections.mkString(",")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftFunctions.install)
@@ -194,14 +201,15 @@ object ScaleProbe {
         s" statuses=$log2")
     }
     if (sections("fleet")) {
-      // fleet reads the rco section's scaled event dumps — regenerate
-      // them if the rco section didn't run this invocation
-      Seq("base1x" -> base, "wide" -> wide).foreach { case (tag, ev) =>
-        val p = new org.apache.hadoop.fs.Path(s"/tmp/graft_scale_$tag")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(p))
-          ev.write.mode("overwrite").parquet(p.toString)
-      }
+      // fleet reads the rco section's scaled event dumps. When rco ran
+      // THIS invocation they are fresh; otherwise ALWAYS regenerate —
+      // an existence check would silently reuse a dump left by a
+      // previous run with a different k or SPARK_GRAFT_SF_DIR and
+      // mislabel the fleet numbers.
+      if (!sections("rco"))
+        Seq("base1x" -> base, "wide" -> wide).foreach { case (tag, ev) =>
+          ev.write.mode("overwrite").parquet(s"/tmp/graft_scale_$tag")
+        }
       timeFleet("base1x")
       timeFleet("wide")
     }

@@ -46,8 +46,11 @@ object LlmPrep {
     * one shared 5-gram in a small-vocabulary corpus is coincidence. */
   val ContamMinShared = 2
 
-  /** Distinct word n-gram shingles of each document. */
-  private def ngrams(documents: DataFrame, n: Int): DataFrame =
+  /** Distinct word n-gram shingles of each document. Shared with the
+    * streaming twin ([[graft.streaming.StreamingContamination]]) so the
+    * batch and streaming tokenizations can never drift apart — the
+    * parity its spec asserts would otherwise only hold at test time. */
+  private[graft] def ngrams(documents: DataFrame, n: Int): DataFrame =
     documents
       .select(col("doc_id"), toks(col("text")).as("toks"))
       .filter(size(col("toks")) >= n)
@@ -164,8 +167,11 @@ object LlmPrep {
     // top-k goes through limit = TakeOrderedAndProject, a distributed
     // partial top-k per partition + driver merge of k-row heads — the
     // rank/cumsum windows then see only k rows, so nothing corpus-wide
-    // is ever globally sorted
-    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    // is ever globally sorted. sum over zero rows is NULL (empty or
+    // all-whitespace corpus): 0 keeps the call total — the top-k is
+    // empty then, so the division never evaluates.
+    val total = Option(counts.agg(sum(col("n"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val wRank = Window.orderBy(col("n").desc, col("token"))
     counts.orderBy(col("n").desc, col("token")).limit(k)
       .withColumn("rank", row_number().over(wRank).cast("long"))
@@ -195,8 +201,15 @@ object LlmPrep {
       explode(filter(split(col("text"), ""), x => x =!= "")).as("u"))
     val tokens = documents.select(col("doc_id"),
       explode(toks(col("text"))).as("u"))
-    dist(chars, "char_entropy")
-      .join(dist(tokens, "token_entropy"), Seq("doc_id"))
+    // LEFT joins from the corpus with a 0.0 default: a doc with no
+    // tokens (whitespace-only) or no chars at all is exactly the junk
+    // this screen exists to flag — an inner join would silently pass
+    // it through unexamined. Zero entropy is also the true limit value
+    // of a single-symbol (or empty) distribution.
+    documents.select(col("doc_id"))
+      .join(dist(chars, "char_entropy"), Seq("doc_id"), "left")
+      .join(dist(tokens, "token_entropy"), Seq("doc_id"), "left")
+      .na.fill(0.0, Seq("char_entropy", "token_entropy"))
   }
 }
 
@@ -282,6 +295,9 @@ object LlmPrepSql {
     te AS (SELECT doc_id,
       round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6) AS token_entropy
       FROM tf GROUP BY doc_id)
-    SELECT ce.doc_id, ce.char_entropy, te.token_entropy
-    FROM ce JOIN te USING (doc_id)"""
+    SELECT d.doc_id, coalesce(ce.char_entropy, 0.0) AS char_entropy,
+      coalesce(te.token_entropy, 0.0) AS token_entropy
+    FROM documents d
+    LEFT JOIN ce ON ce.doc_id = d.doc_id
+    LEFT JOIN te ON te.doc_id = d.doc_id"""
 }

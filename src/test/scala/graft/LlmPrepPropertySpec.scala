@@ -113,16 +113,20 @@ class LlmPrepPropertySpec extends GraftSuite {
   test("entropy matches direct Shannon computation") {
     import spark.implicits._
     for (i <- 0 until nRuns) {
-      val docs = corpus(i).filter { case (_, t) => toks(t).nonEmpty }
+      // zero-token docs included deliberately: they must surface with
+      // 0.0 entropy, not vanish from the output
+      val docs = corpus(i)
       def shannon(units: Seq[String]): Double = {
         val n = units.size.toDouble
         val h = -units.groupBy(identity).values
           .map(g => g.size / n * (math.log(g.size / n) / math.log(2))).sum
         math.rint(h * 1e6) / 1e6
       }
+      def safe(units: Seq[String]): Double =
+        if (units.isEmpty) 0.0 else shannon(units)
       val expected = docs.map { case (id, t) =>
-        id -> ((shannon(t.split("").filter(_.nonEmpty).toSeq),
-          shannon(toks(t))))
+        id -> ((safe(t.split("").filter(_.nonEmpty).toSeq),
+          safe(toks(t))))
       }.toMap
       val got = LlmPrep.entropy(docs.toDF("doc_id", "text")).collect()
         .map(r => r.getAs[Long]("doc_id") ->

@@ -91,11 +91,20 @@ class LlmPrepSpec extends GraftSuite {
       s"got ${out.toSeq}")
   }
 
+  test("vocab on an empty or all-whitespace corpus is empty, not NPE") {
+    assert(LlmPrep.vocab(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
+    assert(LlmPrep.vocab(
+      Seq((1L, "   ")).toDF("doc_id", "text")).count() == 0)
+  }
+
   test("entropy: uniform chars hit log2(n), repeated text scores low") {
     val docs = Seq(
       (0L, "abcd"), // 4 distinct chars, uniform → 2 bits
       (1L, "aaaa"), // 1 char → 0 bits
-      (2L, "x y x y x y x y")).toDF("doc_id", "text")
+      (2L, "x y x y x y x y"),
+      (3L, "   "), // whitespace-only: no tokens — flagged, not dropped
+      (4L, "")).toDF("doc_id", "text") // fully empty: same
     val out = LlmPrep.entropy(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Double]("char_entropy"),
@@ -110,5 +119,9 @@ class LlmPrepSpec extends GraftSuite {
       math.rint(h * 1e6) / 1e6
     }
     assert(math.abs(out(2L)._1 - expected) < 1e-9)
+    // junk docs must be FLAGGED (zero entropy), not silently dropped —
+    // they are exactly what a downstream quality filter needs to see
+    assert(out(3L) == ((0.0, 0.0)), "whitespace-only doc")
+    assert(out(4L) == ((0.0, 0.0)), "empty doc")
   }
 }
