@@ -269,9 +269,9 @@ object GanttGenerate {
     val keep = machineLog.columns.map(col)
     machineLog
       .join(constraintMachines, Seq("LINE", "MACHINE"), "left_anti")
-      .select(keep :+ lit(2.0).as(StatusCol): _*)
+      .select((keep :+ lit(2.0).as(StatusCol)).toSeq: _*)
       .unionByName(
-        consLog.select(keep :+ constraintStatus.as(StatusCol): _*))
+        consLog.select((keep :+ constraintStatus.as(StatusCol)).toSeq: _*))
   }
 
   /** One shared window assignment for BOTH Gantt outputs: [[assign]]

@@ -344,7 +344,7 @@ object ParquetSinks {
     writePartitioned(
       keptOld.unionByName(
         withBucket(newDf, keyCol, n)
-          .select(keptOld.columns.map(col): _*)),
+          .select(keptOld.columns.map(col).toSeq: _*)),
       BucketCol, SaveMode.Overwrite, tmp.toString, numBuckets = n)
     // Swap each touched `graft_bucket=N` dir into the live table;
     // untouched buckets are never read or rewritten.
@@ -371,7 +371,7 @@ object ParquetSinks {
     val tmp = tmpPath(path)
     val fs = fsOf(spark, path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    kept.unionByName(newDf.select(kept.columns.map(col): _*))
+    kept.unionByName(newDf.select(kept.columns.map(col).toSeq: _*))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     swapDir(fs, tmp, new Path(path))
   }
@@ -406,7 +406,7 @@ object ParquetSinks {
     writePartitioned(
       keptOld.unionByName(
         withBucket(newDf, bucketCol, n)
-          .select(keptOld.columns.map(col): _*)),
+          .select(keptOld.columns.map(col).toSeq: _*)),
       BucketCol, SaveMode.Overwrite, tmp.toString, numBuckets = n)
     fs.listStatus(tmp).filter(_.isDirectory).foreach { st =>
       swapDir(fs, st.getPath, new Path(path, st.getPath.getName))
@@ -456,7 +456,7 @@ object ParquetSinks {
     val tmp = tmpPath(path)
     val fs = fsOf(spark, path)
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    kept.unionByName(newDf.select(kept.columns.map(col): _*))
+    kept.unionByName(newDf.select(kept.columns.map(col).toSeq: _*))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     swapDir(fs, tmp, new Path(path))
   }

@@ -14,7 +14,8 @@ object ConfigOps {
     * name that carries it (SharePoint lists arrive as `fields.*`). */
   def stripPrefix(df: DataFrame, prefix: String): DataFrame =
     df.toDF(df.columns.map(c =>
-      if (c.startsWith(prefix)) c.substring(prefix.length) else c): _*)
+      if (c.startsWith(prefix)) c.substring(prefix.length) else c)
+      .toSeq: _*)
 
   /** P7 (`App/etl/transform/machine_level.py:32-37`,
     * `ref/RCO_subETL_Gantt_Data_generator.R:14-25`): rename drifted
