@@ -35,11 +35,18 @@ object LlmText {
   private def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), x => x =!= "")
 
-  /** Distinct word 3-gram shingles. */
+  /** Distinct word 3-gram shingles. Total even on short docs: the
+    * consumer filters size >= 3, but Catalyst may evaluate a collapsed
+    * projection before the filter, where sequence(1, size-2) DESCENDS
+    * for size < 3 (Spark steps -1 when start > stop) and element_at
+    * throws INVALID_ARRAY_INDEX under ANSI mode — observed on the
+    * streaming plan of the equivalent LlmPrep.ngrams expression. */
   private def shingleExpr: Column = array_distinct(
-    transform(sequence(lit(1), size(col("toks")) - 2),
-      i => concat_ws(" ", element_at(col("toks"), i),
-        element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+    when(size(col("toks")) >= 3,
+      transform(sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+      .otherwise(array().cast("array<string>")))
 
   /** doc_id + distinct 3-gram shingle set (docs with <3 tokens drop). */
   def shingles(documents: DataFrame): DataFrame =

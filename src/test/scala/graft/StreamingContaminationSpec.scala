@@ -48,4 +48,40 @@ class StreamingContaminationSpec extends GraftSuite {
       assert(got.toMap == expected)
     } finally query.stop()
   }
+
+  test("parity holds on random corpora and random batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    for (i <- 0 until 5) {
+      val rnd = new scala.util.Random(7000 + i)
+      val vocabWords = Vector("a", "b", "c", "dd")
+      val corpus = (0L until 16L).map(id => ContamDoc(id,
+        Seq.fill(rnd.nextInt(10))(vocabWords(rnd.nextInt(4)))
+          .mkString(" ")))
+      val index = StreamingContamination.evalIndex(
+        corpus.filter(_.doc_id % 4 == 0).toDF(), n = 2)
+      val train = corpus.filter(_.doc_id % 4 != 0)
+      val got = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      val input = MemoryStream[ContamDoc]
+      val query = StreamingContamination.start(input.toDF(), index,
+        emit = pairs => pairs.collect().foreach(r =>
+          got((r.getLong(0), r.getLong(1))) = r.getLong(2)),
+        n = 2, minShared = 1)
+      try {
+        // random batch boundaries: parity must not depend on how the
+        // stream is chopped
+        var rest = train
+        while (rest.nonEmpty) {
+          val take = 1 + rnd.nextInt(rest.size)
+          input.addData(rest.take(take): _*)
+          query.processAllAvailable()
+          rest = rest.drop(take)
+        }
+        val expected = LlmPrep.contamination(corpus.toDF(),
+          evalMod = 4, n = 2, dfCap = Int.MaxValue, minShared = 1)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        assert(got.toMap == expected, s"seed=${7000 + i}")
+      } finally query.stop()
+    }
+  }
 }
