@@ -97,6 +97,22 @@ object GraftFunctions {
         "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1)))
 
-  def install(ext: SparkSessionExtensions): Unit =
+  /** `graft_ngrams(text, n)` — n must be a foldable integer literal
+    * (it parameterizes the generated code). */
+  val ngramShingles: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NgramShingles].getCanonicalName,
+        "graft_ngrams"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2 && exprs(1).foldable,
+          "graft_ngrams(text, n): n must be a literal integer")
+        NgramShingles(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      })
+
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
+    ext.injectFunction(ngramShingles)
+  }
 }

@@ -52,21 +52,9 @@ object LlmPrep {
     * parity its spec asserts would otherwise only hold at test time. */
   private[graft] def ngrams(documents: DataFrame, n: Int): DataFrame =
     documents
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= n)
-      // The gram expression must be TOTAL even though the filter above
-      // already removed short docs: Catalyst may evaluate a collapsed
-      // projection before (or fused with) the filter — observed in the
-      // streaming micro-batch plan, where a 1-token doc hit
-      // sequence(1, 0) (which DESCENDS: Spark steps -1 when start >
-      // stop) and element_at threw INVALID_ARRAY_INDEX under ANSI
-      // mode. The when() guard makes evaluation order irrelevant.
-      .select(col("doc_id"), array_distinct(
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(k =>
-              element_at(col("toks"), i + k)): _*)))
-          .otherwise(array().cast("array<string>"))).as("grams"))
+      .select(col("doc_id"),
+        call_function("graft_ngrams", col("text"), lit(n)).as("grams"))
+      .filter(size(col("grams")) > 0)
 
   /** Eval-set contamination: which eval documents share ≥
     * [[ContamMinShared]] distinct [[ContamN]]-grams with which train

@@ -35,25 +35,17 @@ object LlmText {
   private def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), x => x =!= "")
 
-  /** Distinct word 3-gram shingles. Total even on short docs: the
-    * consumer filters size >= 3, but Catalyst may evaluate a collapsed
-    * projection before the filter, where sequence(1, size-2) DESCENDS
-    * for size < 3 (Spark steps -1 when start > stop) and element_at
-    * throws INVALID_ARRAY_INDEX under ANSI mode — observed on the
-    * streaming plan of the equivalent LlmPrep.ngrams expression. */
-  private def shingleExpr: Column = array_distinct(
-    when(size(col("toks")) >= 3,
-      transform(sequence(lit(1), size(col("toks")) - 2),
-        i => concat_ws(" ", element_at(col("toks"), i),
-          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
-      .otherwise(array().cast("array<string>")))
-
-  /** doc_id + distinct 3-gram shingle set (docs with <3 tokens drop). */
+  /** doc_id + distinct 3-gram shingle set (docs with <3 tokens drop).
+    * Shingling is the native [[graft.functions.NgramShingles]] kernel
+    * (one fused pass; total on short docs by construction — the
+    * composable chain needed a when() guard against filter/projection
+    * reordering under ANSI mode); its differential spec proves
+    * byte-parity with the chain, so the DuckDB twin is untouched. */
   def shingles(documents: DataFrame): DataFrame =
     documents
-      .select(col("doc_id"), toks(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingleExpr.as("shingles"))
+      .select(col("doc_id"),
+        call_function("graft_ngrams", col("text"), lit(3)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
 
   /** MinHash signature: element i = min over shingles of md5("i:"+s). */
   def minhash(sh: DataFrame): DataFrame =

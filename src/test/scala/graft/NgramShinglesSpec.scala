@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Differential proof that the native graft_ngrams kernel is
+  * byte-identical to the composable chain it replaced, on adversarial
+  * inputs: every java-\s whitespace kind, runs of separators, leading/
+  * trailing whitespace, uppercase (lowercase path), multi-byte UTF-8,
+  * docs shorter than n, empty and null text. */
+class NgramShinglesSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** The pre-kernel formulation, kept verbatim as the reference. */
+  private def chain(n: Int): Column = {
+    val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k =>
+            element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  private val whitespace = " \t\n\r\f"
+  private val words =
+    Vector("a", "B", "cc", "Ée", "中文", "x1", "YY", "z")
+
+  test("kernel output equals the composable chain on random texts") {
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 200).map { _ =>
+      val nWords = rnd.nextInt(8)
+      val sb = new StringBuilder
+      if (rnd.nextBoolean()) sb += whitespace(rnd.nextInt(6))
+      (0 until nWords).foreach { w =>
+        sb ++= words(rnd.nextInt(words.size))
+        (0 to rnd.nextInt(2)).foreach(_ =>
+          sb += whitespace(rnd.nextInt(6)))
+      }
+      sb.toString
+    } :+ "" :+ "   " :+ "single" :+ "UPPER lower MiXeD case here"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- 1 to 4) {
+      val both = df.select(col("doc_id"),
+        call_function("graft_ngrams", col("text"), lit(n)).as("got"),
+        chain(n).as("want"))
+      val bad = both.filter(not(col("got") === col("want"))).collect()
+      assert(bad.isEmpty,
+        s"n=$n mismatches: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
+  test("null text yields null; consumers drop it either way") {
+    // raw-expression nulls differ from the chain (whose when(null)
+    // guard falls through to the empty-array branch), but every
+    // consumer filters size(grams) > 0, under which null and empty
+    // are the same dropped row — assert exactly that contract
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c")))
+      .toDF("doc_id", "text")
+    val g = call_function("graft_ngrams", col("text"), lit(2))
+    assert(df.select(g.as("g")).collect()
+      .count(_.isNullAt(0)) == 1, "null text → null array")
+    val survivors = df.select(col("doc_id"), g.as("grams"), chain(2).as("w"))
+      .filter(size(col("grams")) > 0)
+    assert(survivors.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(df.select(col("doc_id"), chain(2).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "chain consumer-level behavior identical")
+  }
+
+  test("resolves in SQL text via the session extension") {
+    spark.sql("SELECT graft_ngrams('one two three', 2) AS g")
+      .collect().head.getSeq[String](0) == Seq("one two", "two three")
+  }
+}
