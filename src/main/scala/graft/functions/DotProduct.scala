@@ -111,8 +111,23 @@ object GraftFunctions {
           exprs(1).eval(null).asInstanceOf[Number].intValue())
       })
 
+  /** `graft_minhash(shingles, numHashes)` — numHashes must be a
+    * foldable integer literal. */
+  val minHashSig: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getCanonicalName,
+        "graft_minhash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2 && exprs(1).foldable,
+          "graft_minhash(shingles, n): n must be a literal integer")
+        MinHashSig(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())
+      })
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(ngramShingles)
+    ext.injectFunction(minHashSig)
   }
 }

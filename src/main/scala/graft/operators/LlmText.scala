@@ -47,12 +47,18 @@ object LlmText {
         call_function("graft_ngrams", col("text"), lit(3)).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  /** MinHash signature: element i = min over shingles of md5("i:"+s). */
+  /** MinHash signature: element i = min over shingles of md5("i:"+s).
+    * Computed by the native [[graft.functions.MinHashSig]] kernel (one
+    * pass, one reused digest — the chain ran NumHashes transform
+    * lambdas with an md5 allocation per (shingle, hash)); identical
+    * output, proven differentially by MinHashSigSpec. */
   def minhash(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id") +: col("shingles") +:
-      (0 until NumHashes).map(i =>
-        array_min(transform(col("shingles"),
-          s => md5(concat(lit(s"$i:"), s)))).as(s"h$i")): _*)
+    sh.select(col("doc_id"), col("shingles"),
+      call_function("graft_minhash", col("shingles"), lit(NumHashes))
+        .as("sig"))
+      .select(col("doc_id") +: col("shingles") +:
+        (0 until NumHashes).map(i =>
+          element_at(col("sig"), i + 1).as(s"h$i")): _*)
 
   /** Exact dedup (hash-groupBy): every doc keyed by md5(text), keep =
     * group min doc_id. Single shuffle on the hash. */
