@@ -32,8 +32,10 @@ object ScaleProbe {
     // fail fast on a typo: a probe run that silently matches zero
     // sections exits 0 with no timings and reads as a clean pass
     val unknown = sections -- knownSections
-    require(unknown.isEmpty && sections.nonEmpty,
-      s"SPARK_GRAFT_PROBE: unknown section(s) $unknown — " +
+    require(sections.nonEmpty,
+      s"SPARK_GRAFT_PROBE is empty — valid: ${knownSections.mkString(",")}")
+    require(unknown.isEmpty,
+      s"SPARK_GRAFT_PROBE: unknown section(s) ${unknown.mkString(",")} — " +
         s"valid: ${knownSections.mkString(",")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()

@@ -104,12 +104,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[NgramShingles].getCanonicalName,
         "graft_ngrams"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.size == 2 && exprs(1).foldable,
-          "graft_ngrams(text, n): n must be a literal integer")
+      (exprs: Seq[Expression]) =>
         NgramShingles(exprs.head,
-          exprs(1).eval(null).asInstanceOf[Number].intValue())
-      })
+          literalInt("graft_ngrams(text, n)", exprs, 1)))
 
   /** `graft_minhash(shingles, numHashes)` — numHashes must be a
     * foldable integer literal. */
@@ -118,12 +115,24 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getCanonicalName,
         "graft_minhash"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.size == 2 && exprs(1).foldable,
-          "graft_minhash(shingles, n): n must be a literal integer")
+      (exprs: Seq[Expression]) =>
         MinHashSig(exprs.head,
-          exprs(1).eval(null).asInstanceOf[Number].intValue())
-      })
+          literalInt("graft_minhash(shingles, n)", exprs, 1)))
+
+  /** Extract argument `idx` as a non-null foldable integer, with the
+    * signature in every failure message — a raw NPE/ClassCastException
+    * from eval would otherwise surface during analysis with no hint. */
+  private def literalInt(sig: String, exprs: Seq[Expression], idx: Int)
+      : Int = {
+    require(exprs.size == idx + 1 && exprs(idx).foldable,
+      s"$sig: n must be a literal integer")
+    exprs(idx).eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$sig: n must be a non-null literal integer, got " +
+          s"${Option(other).getOrElse("NULL")}")
+    }
+  }
 
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)

@@ -26,7 +26,10 @@ object MinHashKernel {
     * digests (unsigned byte order == hex-string lexicographic order —
     * each byte maps monotonically to two hex chars) and hex-encoded
     * once at the end. Empty input → null, matching array_min over an
-    * empty array (shingle frames filter empties before this runs). */
+    * empty array (shingle frames filter empties before this runs).
+    * NULL elements are SKIPPED, matching the chain (md5 of a null
+    * concat is null, which array_min ignores); an all-null array →
+    * null result, like array_min over all-nulls. */
   def compute(shingles: ArrayData, numHashes: Int): ArrayData = {
     val m = shingles.numElements()
     if (m == 0) return null
@@ -37,20 +40,25 @@ object MinHashKernel {
     while (i < numHashes) {
       prefixes(i) = (i.toString + ":").getBytes("UTF-8"); i += 1
     }
+    var any = false
     var j = 0
     while (j < m) {
-      val s = shingles.getUTF8String(j).getBytes
-      i = 0
-      while (i < numHashes) {
-        md.reset()
-        md.update(prefixes(i))
-        md.update(s)
-        val d = md.digest()
-        if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
-        i += 1
+      if (!shingles.isNullAt(j)) {
+        any = true
+        val s = shingles.getUTF8String(j).getBytes
+        i = 0
+        while (i < numHashes) {
+          md.reset()
+          md.update(prefixes(i))
+          md.update(s)
+          val d = md.digest()
+          if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+          i += 1
+        }
       }
       j += 1
     }
+    if (!any) return null
     val out = new Array[Any](numHashes)
     i = 0
     while (i < numHashes) { out(i) = hex(mins(i)); i += 1 }

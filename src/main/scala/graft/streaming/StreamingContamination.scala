@@ -40,12 +40,16 @@ import graft.operators.LlmPrep
 object StreamingContamination {
 
   /** Static eval-set gram index: (gram, eval_id) postings — the
-    * distinct n-grams of the eval documents. */
+    * distinct n-grams of the eval documents. PINNED: the index sits on
+    * the static side of every micro-batch's join for the lifetime of
+    * the query — without the cache each batch would re-read and
+    * re-shingle the eval corpus. */
   def evalIndex(evalDocs: DataFrame, n: Int = LlmPrep.ContamN)
       : DataFrame =
-    LlmPrep.ngrams(evalDocs, n)
-      .select(col("doc_id").as("eval_id"),
-        explode(col("grams")).as("gram"))
+    graft.operators.CacheScope.pin(
+      LlmPrep.ngrams(evalDocs, n)
+        .select(col("doc_id").as("eval_id"),
+          explode(col("grams")).as("gram")))
 
   /** The per-batch kernel: one train batch × the static index →
     * (eval_id, train_id, n_shared) pairs at/above `minShared`. Pure

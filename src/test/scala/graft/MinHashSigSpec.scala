@@ -29,6 +29,26 @@ class MinHashSigSpec extends GraftSuite {
     assert(bad.isEmpty, bad.take(2).mkString("; "))
   }
 
+  test("null elements are skipped, matching the chain's array_min") {
+    val df = Seq(
+      (1L, Seq(Option("a"), None, Option("bb"))),
+      (2L, Seq(Option.empty[String], None))) // all-null → null signature
+      .toDF("doc_id", "shingles")
+    val chain = (0 until 4).map(i =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(s"$i:"), s)))).as(s"w$i"))
+    val rows = df.select(
+      col("doc_id") +:
+        call_function("graft_minhash", col("shingles"), lit(4)).as("sig")
+        +: chain: _*).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    (0 until 4).foreach(i =>
+      assert(r1.getSeq[String](1)(i) == r1.getString(2 + i)))
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.isNullAt(1), "all-null shingles → null signature")
+    assert(r2.isNullAt(2), "chain agrees: array_min over all-nulls")
+  }
+
   test("empty shingle array yields null, like array_min over empty") {
     val df = Seq((1L, Seq.empty[String]), (2L, Seq("a b c")))
       .toDF("doc_id", "shingles")

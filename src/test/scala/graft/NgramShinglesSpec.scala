@@ -71,7 +71,7 @@ class NgramShinglesSpec extends GraftSuite {
   }
 
   test("resolves in SQL text via the session extension") {
-    spark.sql("SELECT graft_ngrams('one two three', 2) AS g")
-      .collect().head.getSeq[String](0) == Seq("one two", "two three")
+    assert(spark.sql("SELECT graft_ngrams('one two three', 2) AS g")
+      .collect().head.getSeq[String](0) == Seq("one two", "two three"))
   }
 }
