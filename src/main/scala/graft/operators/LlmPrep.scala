@@ -115,6 +115,46 @@ object LlmPrep {
       .filter(col("rk") <= cap)
       .select(col("doc_id"), col("lang"), col("rk"))
 
+  /** Domain-mixture rates of [[sampleWeighted]]: per-source keep
+    * probabilities (the pretraining "domain weights" step — upweight
+    * curated sources, downsample the crawl), with a default for
+    * sources not listed. */
+  val MixRates: Seq[(String, Double)] =
+    Seq("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.25)
+  val MixDefaultRate = 0.1
+
+  /** Keep threshold for `rate` as an 8-hex-char string: a doc survives
+    * iff the first 8 hex chars of its salted md5 compare BELOW it.
+    * Lowercase hex string order equals numeric order (digits then
+    * letters, ASCII-monotone), so the comparison is exact without any
+    * cross-engine hex-to-int parsing; rate ≥ 1 uses "g", which is
+    * above every hex string (keep-all). */
+  private[graft] def rateThreshold(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else f"${math.max(0L, (rate * 4294967296d).toLong)}%08x"
+
+  /** Weighted (domain-mixture) sampling: keep each document with its
+    * source's probability, decided by a deterministic salted-hash
+    * uniform — re-runs reproduce the same sample and no RNG state is
+    * shared across executors. Shape: a pure map-side filter (the rate
+    * table folds into a literal CASE) — no shuffle, no window, nothing
+    * corpus-wide; the cheapest possible plan at any scale. Complements
+    * [[sampleStratified]]: rates shape the MIXTURE, quotas cap the
+    * SIZE. */
+  def sampleWeighted(documents: DataFrame,
+      rates: Seq[(String, Double)] = MixRates,
+      defaultRate: Double = MixDefaultRate): DataFrame = {
+    val u8 = substring(
+      md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8)
+    val thr = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(col("source") === s, lit(rateThreshold(r))).otherwise(acc)
+    }
+    documents
+      .filter(u8 < thr)
+      .select(col("doc_id"), col("source"))
+  }
+
   /** Token budget per packed sequence in [[pack]] (a context window). */
   val PackBudget = 512
 
@@ -275,6 +315,16 @@ object LlmPrepSql {
       round(CAST(cum AS DOUBLE) /
         (SELECT CAST(sum(n) AS DOUBLE) FROM cnt), 6) AS coverage
     FROM ranked WHERE rank <= ${LlmPrep.VocabSize}"""
+
+  val sampleWeightedSql: String = {
+    val cases = LlmPrep.MixRates.map { case (s, r) =>
+      s"WHEN '$s' THEN '${LlmPrep.rateThreshold(r)}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+    WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE source $cases
+        ELSE '${LlmPrep.rateThreshold(LlmPrep.MixDefaultRate)}' END"""
+  }
 
   val entropySql: String =
     s"""WITH $toksCte,

@@ -36,7 +36,9 @@ object LlmQueries {
       ((s, d) => LlmPrep.sampleStratified(docs(s, d))),
     "llm_pack" -> ((s, d) => LlmPrep.pack(docs(s, d))),
     "llm_entropy" -> ((s, d) => LlmPrep.entropy(docs(s, d))),
-    "llm_vocab" -> ((s, d) => LlmPrep.vocab(docs(s, d))))
+    "llm_vocab" -> ((s, d) => LlmPrep.vocab(docs(s, d))),
+    "llm_sample_weighted" ->
+      ((s, d) => LlmPrep.sampleWeighted(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -56,5 +58,6 @@ object LlmQueries {
     "llm_sample_stratified" -> LlmPrepSql.sampleStratifiedSql,
     "llm_pack" -> LlmPrepSql.packSql,
     "llm_entropy" -> LlmPrepSql.entropySql,
-    "llm_vocab" -> LlmPrepSql.vocabSql)
+    "llm_vocab" -> LlmPrepSql.vocabSql,
+    "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql)
 }

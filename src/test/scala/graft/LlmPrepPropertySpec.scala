@@ -110,6 +110,31 @@ class LlmPrepPropertySpec extends GraftSuite {
     }
   }
 
+  test("weighted sample matches the MessageDigest threshold rule") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    for (i <- 0 until nRuns) {
+      val rnd = new scala.util.Random(3000 + i)
+      val sources = Vector("s0", "s1", "s2", "s3")
+      val docs = (0L until 50L).map(id =>
+        (id, sources(rnd.nextInt(4)), s"t$id"))
+      val rates = Seq("s0" -> rnd.nextDouble(), "s1" -> rnd.nextDouble())
+      val dflt = rnd.nextDouble()
+      val rateOf = rates.toMap
+      val expected = docs.filter { case (id, src, _) =>
+        md5hex(s"mix:$id").substring(0, 8) <
+          graft.operators.LlmPrep.rateThreshold(
+            rateOf.getOrElse(src, dflt))
+      }.map(_._1).toSet
+      val got = LlmPrep.sampleWeighted(
+        docs.toDF("doc_id", "source", "text"), rates, dflt)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"seed=${3000 + i}")
+    }
+  }
+
   test("entropy matches direct Shannon computation") {
     import spark.implicits._
     for (i <- 0 until nRuns) {

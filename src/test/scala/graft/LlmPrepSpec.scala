@@ -91,6 +91,24 @@ class LlmPrepSpec extends GraftSuite {
       s"got ${out.toSeq}")
   }
 
+  test("weighted sample: rate 1 keeps all, rate 0 none, default applies") {
+    val docs = (0L until 40L).map(i =>
+      (i, if (i < 20) "keep" else if (i < 30) "drop" else "other",
+        s"text $i")).toDF("doc_id", "source", "text")
+    val out = LlmPrep.sampleWeighted(docs,
+      rates = Seq("keep" -> 1.0, "drop" -> 0.0), defaultRate = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(out.count(_._2 == "keep") == 20, "rate 1.0 keeps every doc")
+    assert(!out.exists(_._2 == "drop"), "rate 0.0 keeps none")
+    val others = out.count(_._2 == "other")
+    assert(others > 0 && others < 10, s"default 0.5 thins 10 docs: $others")
+    // deterministic: identical sample on re-run
+    assert(LlmPrep.sampleWeighted(docs,
+      rates = Seq("keep" -> 1.0, "drop" -> 0.0), defaultRate = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      out.toSet)
+  }
+
   test("vocab on an empty or all-whitespace corpus is empty, not NPE") {
     assert(LlmPrep.vocab(
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() == 0)
