@@ -134,9 +134,17 @@ object GraftFunctions {
     }
   }
 
+  val tokenSplit: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokenSplit].getCanonicalName,
+        "graft_tokens"),
+      (exprs: Seq[Expression]) => TokenSplit(exprs.head))
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(ngramShingles)
     ext.injectFunction(minHashSig)
+    ext.injectFunction(tokenSplit)
   }
 }

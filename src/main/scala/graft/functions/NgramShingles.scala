@@ -65,6 +65,27 @@ object NgramKernel {
     }
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
   }
+
+  /** Tokens WITH multiplicity (no distinct): the input scan of the
+    * token-statistics family — byte-for-byte
+    * `filter(split(lower(text), "\\s+"), _ != "")`. */
+  def tokens(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > s) {
+        val t = new Array[Byte](i - s)
+        System.arraycopy(bytes, s, t, 0, i - s)
+        out.add(UTF8String.fromBytes(t)); ()
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** Native distinct word n-gram shingling of a text column.
@@ -112,4 +133,33 @@ case class NgramShingles(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression)
       : NgramShingles = copy(child = newChild)
+}
+
+/** Native whitespace tokenization with multiplicity — the input scan
+  * shared by the token-statistics family (text stats, entropy, vocab,
+  * packing, SimHash). Byte-identical to
+  * `filter(split(lower(text), "\\s+"), _ != "")` (same kernel scan as
+  * [[NgramShingles]], no distinct), replacing a three-expression chain
+  * whose regex split and filter lambda run interpreted wherever
+  * InferFiltersFromGenerate duplicates them around a Generate. */
+case class TokenSplit(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def nullSafeEval(t: Any): Any =
+    NgramKernel.tokens(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramKernel.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TokenSplit = copy(child = newChild)
 }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
 object LlmPrep {
 
   /** Whitespace tokens of lower(text), empties dropped (same
-    * tokenization as [[LlmText]]). */
+    * tokenization as [[LlmText]] — the native
+    * [[graft.functions.TokenSplit]] scan). */
   private def toks(c: Column): Column =
-    filter(split(lower(c), "\\s+"), x => x =!= "")
+    call_function("graft_tokens", c)
 
   /** Every doc_id ≡ 0 (mod [[EvalMod]]) plays the held-out eval set in
     * [[contamination]]; the rest is the training corpus. A real

@@ -31,9 +31,11 @@ object LlmText {
   val NumBands = NumHashes / BandRows
   val JaccardThreshold = 0.5
 
-  /** Whitespace tokens of lower(text), empties dropped. */
+  /** Whitespace tokens of lower(text), empties dropped — the native
+    * [[graft.functions.TokenSplit]] scan (byte-parity with the
+    * split/filter chain proven by NgramShinglesSpec's token test). */
   private def toks(c: Column): Column =
-    filter(split(lower(c), "\\s+"), x => x =!= "")
+    call_function("graft_tokens", c)
 
   /** doc_id + distinct 3-gram shingle set (docs with <3 tokens drop).
     * Shingling is the native [[graft.functions.NgramShingles]] kernel

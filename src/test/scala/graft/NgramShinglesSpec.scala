@@ -70,6 +70,22 @@ class NgramShinglesSpec extends GraftSuite {
       "chain consumer-level behavior identical")
   }
 
+  test("graft_tokens equals the split/filter chain (multiplicity kept)") {
+    val rnd = new scala.util.Random(7)
+    val texts = (0 until 150).map { _ =>
+      (0 until rnd.nextInt(7)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(whitespace(rnd.nextInt(whitespace.length)).toString)
+    } :+ "" :+ " \t " :+ "dup dup dup" :+ "A a A"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val chainToks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+    val bad = df.select(
+      call_function("graft_tokens", col("text")).as("got"),
+      chainToks.as("want"))
+      .filter(not(col("got") === col("want"))).collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("resolves in SQL text via the session extension") {
     assert(spark.sql("SELECT graft_ngrams('one two three', 2) AS g")
       .collect().head.getSeq[String](0) == Seq("one two", "two three"))
