@@ -141,10 +141,22 @@ object GraftFunctions {
         "graft_tokens"),
       (exprs: Seq[Expression]) => TokenSplit(exprs.head))
 
+  /** `graft_top_ngram_count(text, n)` — n must be a foldable integer
+    * literal. */
+  val topNgramCount: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_top_ngram_count"),
+      new ExpressionInfo(classOf[TopNgramCount].getCanonicalName,
+        "graft_top_ngram_count"),
+      (exprs: Seq[Expression]) =>
+        TopNgramCount(exprs.head,
+          literalInt("graft_top_ngram_count(text, n)", exprs, 1)))
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(ngramShingles)
     ext.injectFunction(minHashSig)
     ext.injectFunction(tokenSplit)
+    ext.injectFunction(topNgramCount)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The one-pass kernel behind [[NgramShingles]]. A plain object so the
@@ -64,6 +64,55 @@ object NgramKernel {
       j += 1
     }
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]))
+  }
+
+  /** Max multiplicity of any word `n`-gram of the lowercased,
+    * whitespace-tokenized text (1-grams = words); 0 when the text has
+    * fewer than `n` tokens. One fused scan + open hash count — the
+    * kernel behind the repetition quality screens, where the
+    * composable alternative is an explode + two-level groupBy shuffle
+    * per metric. Same tokenization/gram-join rules as [[compute]]. */
+  def topCount(text: UTF8String, n: Int): Long = {
+    val bytes = text.toLowerCase.getBytes
+    val len = bytes.length
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      val s = i
+      while (i < len && !isWs(bytes(i))) i += 1
+      if (i > s) { starts.add(s); ends.add(i); () }
+    }
+    val m = starts.size()
+    if (m < n) return 0L
+    val counts = new java.util.HashMap[UTF8String, Array[Int]]()
+    var best = 0
+    var j = 0
+    while (j + n <= m) {
+      var size = n - 1
+      var k = 0
+      while (k < n) {
+        size += ends.get(j + k) - starts.get(j + k); k += 1
+      }
+      val out = new Array[Byte](size)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        val s = starts.get(j + k); val e = ends.get(j + k)
+        System.arraycopy(bytes, s, out, pos, e - s)
+        pos += e - s
+        if (k < n - 1) { out(pos) = ' '; pos += 1 }
+        k += 1
+      }
+      val g = UTF8String.fromBytes(out)
+      var c = counts.get(g)
+      if (c == null) { c = new Array[Int](1); counts.put(g, c); () }
+      c(0) += 1
+      if (c(0) > best) best = c(0)
+      j += 1
+    }
+    best.toLong
   }
 
   /** Tokens WITH multiplicity (no distinct): the input scan of the
@@ -162,4 +211,36 @@ case class TokenSplit(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression)
       : TokenSplit = copy(child = newChild)
+}
+
+/** Native max n-gram multiplicity — `graft_top_ngram_count(text, n)`
+  * returns the occurrence count of the most frequent word n-gram
+  * (0 when fewer than n tokens). Powers the per-document repetition
+  * screens ([[graft.operators.LlmText.repetition]]): computed locally
+  * per row in one fused scan, where the composable plan would explode
+  * every gram and shuffle a (doc, gram) aggregate per metric. */
+case class TopNgramCount(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"graft_top_ngram_count: n must be >= 1, got $n")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_top_ngram_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got " +
+        child.dataType.simpleString)
+
+  override def nullSafeEval(t: Any): Any =
+    NgramKernel.topCount(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramKernel.topCount($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : TopNgramCount = copy(child = newChild)
 }

@@ -219,6 +219,57 @@ object LlmPrep {
           lit(total.toDouble), 6))
   }
 
+  /** PII patterns of [[piiScrub]] — the ASCII subset expressible
+    * identically in java.util.regex (Spark) and RE2 (the DuckDB twin):
+    * email addresses, NANP-style `ddd-ddd-dddd` phone numbers, dotted
+    * IPv4 literals. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Deterministic synthetic-PII injection — the sandbox corpus is
+    * PII-free by construction, so the FIXTURE plants one email / phone /
+    * IP on doc_id mod-5 classes 0/1/2 (derived from doc_id, so the
+    * oracle can replay the identical injection); [[piiScrub]] itself is
+    * generic and never sees the class. */
+  def withSyntheticPii(documents: DataFrame): DataFrame =
+    documents.withColumn("text", concat(col("text"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com")))
+        .when(pmod(col("doc_id"), lit(5)) === 1,
+          concat(lit(" call 415-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(lit(" host 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+            pmod(col("doc_id"), lit(100)).cast("string")))
+        .otherwise(lit(""))))
+
+  /** PII detection + redaction — the scrub pass a training pipeline
+    * runs before anything else sees the text: per-document match counts
+    * (on the ORIGINAL text) and the redacted text with each match class
+    * replaced by a typed placeholder, applied email → IP → phone (the
+    * patterns are mutually exclusive on any one substring, but a fixed
+    * order keeps the output bytes deterministic regardless). Shape: a
+    * pure per-row codegen'd projection — no shuffle, no UDF; regex
+    * scans are the canonical PII pass at corpus scale (a production
+    * deployment widens the pattern set, not the plan). Keep in sync
+    * with [[LlmPrepSql.piiSql]]. */
+  def piiScrub(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          IpRe, "<IP>"),
+        PhoneRe, "<PHONE>").as("clean_text"))
+      .withColumn("pii_found",
+        (col("n_emails") + col("n_phones") + col("n_ips") > 0)
+          .cast("int"))
+
   /** Entropy-based quality signals: Shannon entropy (bits) of the
     * character distribution and of the token distribution per document.
     * Low char entropy flags repeated-character junk; low token entropy
@@ -326,6 +377,37 @@ object LlmPrepSql {
       CASE source $cases
         ELSE '${LlmPrep.rateThreshold(LlmPrep.MixDefaultRate)}' END"""
   }
+
+  /** Twin of [[LlmPrep.withSyntheticPii]] + [[LlmPrep.piiScrub]]:
+    * identical injection, RE2 spellings of the same ASCII patterns,
+    * same email → IP → phone replace order. */
+  val piiSql: String =
+    s"""WITH pii AS (SELECT doc_id,
+      text || CASE
+        WHEN doc_id % 5 = 0 THEN ' contact user'
+          || CAST(doc_id AS VARCHAR) || '@example.com'
+        WHEN doc_id % 5 = 1 THEN ' call 415-555-'
+          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        WHEN doc_id % 5 = 2 THEN ' host 10.0.'
+          || CAST(doc_id % 256 AS VARCHAR) || '.'
+          || CAST(doc_id % 100 AS VARCHAR)
+        ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+        AS n_phones,
+      CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '$EmailRe', '<EMAIL>', 'g'),
+        '$IpRe', '<IP>', 'g'),
+        '$PhoneRe', '<PHONE>', 'g') AS clean_text,
+      CAST(len(regexp_extract_all(text, '$EmailRe'))
+        + len(regexp_extract_all(text, '$PhoneRe'))
+        + len(regexp_extract_all(text, '$IpRe')) > 0 AS INTEGER)
+        AS pii_found
+    FROM pii"""
 
   val entropySql: String =
     s"""WITH $toksCte,

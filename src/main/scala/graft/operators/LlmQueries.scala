@@ -38,7 +38,10 @@ object LlmQueries {
     "llm_entropy" -> ((s, d) => LlmPrep.entropy(docs(s, d))),
     "llm_vocab" -> ((s, d) => LlmPrep.vocab(docs(s, d))),
     "llm_sample_weighted" ->
-      ((s, d) => LlmPrep.sampleWeighted(docs(s, d))))
+      ((s, d) => LlmPrep.sampleWeighted(docs(s, d))),
+    "llm_repetition" -> ((s, d) => LlmText.repetition(docs(s, d))),
+    "llm_pii" ->
+      ((s, d) => LlmPrep.piiScrub(LlmPrep.withSyntheticPii(docs(s, d)))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -59,5 +62,7 @@ object LlmQueries {
     "llm_pack" -> LlmPrepSql.packSql,
     "llm_entropy" -> LlmPrepSql.entropySql,
     "llm_vocab" -> LlmPrepSql.vocabSql,
-    "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql)
+    "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql,
+    "llm_repetition" -> LlmTextSql.repetitionSql,
+    "llm_pii" -> LlmPrepSql.piiSql)
 }

@@ -351,6 +351,64 @@ object LlmText {
             (col("n_distinct_tokens").cast("double") / col("n_tokens"))), 6))
       .drop("text", "toks")
   }
+
+  /** Repetition screen thresholds (token-adapted Gopher rules —
+    * Rae et al. 2021 §A1.1 define the repetition filters over char
+    * fractions of duplicate lines/n-grams; this corpus has no line
+    * structure, so the same three screens are expressed over token
+    * fractions, with thresholds sitting just above this corpus's
+    * medians so each rule genuinely participates). */
+  val RepTopWordMax = 0.10
+  val RepTop2Max = 0.12
+  val RepDup3Max = 0.05
+
+  /** Gopher-style repetition quality screens, per document:
+    *  - `top_word_frac`: occurrences of the most frequent token /
+    *    n_tokens (catches "spam spam spam" keyword stuffing);
+    *  - `top2_frac`: token positions covered by the most frequent
+    *    2-gram, `min(1, 2·count/n_tokens)` (template boilerplate);
+    *  - `dup3_frac`: fraction of 3-gram positions that are repeats,
+    *    `1 − distinct3/(n_tokens−2)` (copy-paste loops);
+    *  - `repetitive`: 1 iff any screen exceeds its threshold (the
+    *    UNROUNDED values decide, so the flag can't disagree with the
+    *    oracle at round()'s half boundary — see textStats).
+    *
+    * Scale shape: every metric is computed LOCALLY per row by the
+    * fused [[graft.functions.TopNgramCount]] /
+    * [[graft.functions.NgramShingles]] kernels — no explode, no
+    * shuffle, no per-gram aggregate; the plan is a single codegen'd
+    * projection over the corpus scan, embarrassingly parallel at any
+    * corpus size (the composable alternative shuffles a (doc, gram)
+    * count per metric). Keep in sync with
+    * [[LlmTextSql.repetitionSql]]. */
+  def repetition(documents: DataFrame,
+      topWordMax: Double = RepTopWordMax, top2Max: Double = RepTop2Max,
+      dup3Max: Double = RepDup3Max): DataFrame =
+    documents
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        call_function("graft_top_ngram_count", col("text"), lit(1))
+          .as("topw"),
+        call_function("graft_top_ngram_count", col("text"), lit(2))
+          .as("top2"),
+        size(call_function("graft_ngrams", col("text"), lit(3)))
+          .cast("long").as("d3"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("twf", col("topw").cast("double") / col("n_tokens"))
+      .withColumn("t2f",
+        when(col("n_tokens") >= 2,
+          least(lit(1.0), lit(2.0) * col("top2") / col("n_tokens")))
+          .otherwise(lit(0.0)))
+      .withColumn("d3f",
+        when(col("n_tokens") >= 3,
+          lit(1.0) - col("d3").cast("double") / (col("n_tokens") - 2))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("twf"), 6).as("top_word_frac"),
+        round(col("t2f"), 6).as("top2_frac"),
+        round(col("d3f"), 6).as("dup3_frac"),
+        (col("twf") > topWordMax || col("t2f") > top2Max ||
+          col("d3f") > dup3Max).cast("int").as("repetitive"))
 }
 
 /** DuckDB twin of [[LlmText]] — same hash family (md5 strings), same
@@ -520,5 +578,44 @@ object LlmTextSql {
           (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)),
         6) AS quality_score
     FROM st"""
+  }
+
+  /** Twin of [[LlmText.repetition]] — explode/groupBy formulation (the
+    * plan the Spark side's fused kernels replace), so the two
+    * derivations check each other. Flag decided on UNROUNDED values,
+    * same as the Spark side. */
+  val repetitionSql: String = {
+    import LlmText.{RepDup3Max, RepTop2Max, RepTopWordMax}
+    s"""WITH $toksCte,
+    st AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM tk WHERE len(toks) >= 1),
+    wc AS (SELECT doc_id, max(c) AS topw FROM (
+      SELECT doc_id, t.tok, count(*) AS c FROM st, UNNEST(toks) AS t(tok)
+      GROUP BY 1, 2) GROUP BY 1),
+    bg AS (SELECT doc_id, [array_to_string(toks[i:i+1], ' ')
+        for i in range(1, len(toks))] AS grams
+      FROM st WHERE n_tokens >= 2),
+    bc AS (SELECT doc_id, max(c) AS top2 FROM (
+      SELECT doc_id, g.gram, count(*) AS c FROM bg, UNNEST(grams) AS g(gram)
+      GROUP BY 1, 2) GROUP BY 1),
+    tri AS (SELECT doc_id,
+      len(list_distinct([array_to_string(toks[i:i+2], ' ')
+        for i in range(1, len(toks) - 1)])) AS d3
+      FROM st WHERE n_tokens >= 3),
+    m AS (SELECT s.doc_id, s.n_tokens,
+      CAST(w.topw AS DOUBLE) / s.n_tokens AS twf,
+      CASE WHEN s.n_tokens >= 2 THEN least(CAST(1.0 AS DOUBLE),
+        (CAST(2.0 AS DOUBLE) * b.top2) / s.n_tokens)
+        ELSE CAST(0.0 AS DOUBLE) END AS t2f,
+      CASE WHEN s.n_tokens >= 3 THEN CAST(1.0 AS DOUBLE)
+        - CAST(t.d3 AS DOUBLE) / (s.n_tokens - 2)
+        ELSE CAST(0.0 AS DOUBLE) END AS d3f
+      FROM st s JOIN wc w USING (doc_id)
+      LEFT JOIN bc b USING (doc_id) LEFT JOIN tri t USING (doc_id))
+    SELECT doc_id, n_tokens, round(twf, 6) AS top_word_frac,
+      round(t2f, 6) AS top2_frac, round(d3f, 6) AS dup3_frac,
+      CAST(twf > $RepTopWordMax OR t2f > $RepTop2Max OR d3f > $RepDup3Max
+        AS INTEGER) AS repetitive
+    FROM m"""
   }
 }

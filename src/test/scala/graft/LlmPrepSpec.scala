@@ -116,6 +116,27 @@ class LlmPrepSpec extends GraftSuite {
       Seq((1L, "   ")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("pii scrub: counts on original text, typed redaction, clean docs pass") {
+    // ids 0/1/2 receive the email/phone/ip injection classes; id 3 none
+    val docs = Seq(0L, 1L, 2L, 3L)
+      .map(id => (id, s"plain words $id")).toDF("doc_id", "text")
+    val out = LlmPrep.piiScrub(LlmPrep.withSyntheticPii(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_emails") == 1)
+    assert(out(0L).getAs[String]("clean_text") == "plain words 0 contact <EMAIL>")
+    assert(out(1L).getAs[Long]("n_phones") == 1)
+    assert(out(1L).getAs[String]("clean_text") == "plain words 1 call <PHONE>")
+    assert(out(2L).getAs[Long]("n_ips") == 1)
+    assert(out(2L).getAs[String]("clean_text") == "plain words 2 host <IP>")
+    assert(out(3L).getAs[Int]("pii_found") == 0)
+    assert(out(3L).getAs[String]("clean_text") == "plain words 3")
+    // redaction is complete: a second scrub over clean_text finds nothing
+    val again = LlmPrep.piiScrub(
+      LlmPrep.piiScrub(LlmPrep.withSyntheticPii(docs))
+        .select(col("doc_id"), col("clean_text").as("text")))
+    assert(again.filter(col("pii_found") =!= 0).count() == 0)
+  }
+
   test("entropy: uniform chars hit log2(n), repeated text scores low") {
     val docs = Seq(
       (0L, "abcd"), // 4 distinct chars, uniform → 2 bits

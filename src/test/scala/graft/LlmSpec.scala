@@ -136,6 +136,33 @@ class LlmSpec extends GraftSuite {
     assert(r.getAs[String]("lang_guess") == "en")
   }
 
+  test("repetition screens: hand-computed fractions and flags") {
+    val docs = Seq(
+      (1L, "dup dup dup"), // twf 1, t2f min(1, 4/3)=1, d3f 0 → flagged
+      (2L, "one"), // twf 1 > 0.10 → flagged; bigram/trigram guards = 0
+      (3L, (1 to 20).map(i => s"w$i").mkString(" ")), // all distinct:
+      // twf 0.05, t2f 0.1, d3f 0 — below every threshold → clean
+      (4L, "x y x y x y x y x y")) // twf 0.5, top2 "x y"×5 → t2f 1
+      .toDF("doc_id", "text")
+    val r = LlmText.repetition(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Double]("top_word_frac") == 1.0)
+    assert(r(1L).getAs[Double]("top2_frac") == 1.0)
+    assert(r(1L).getAs[Double]("dup3_frac") == 0.0)
+    assert(r(1L).getAs[Int]("repetitive") == 1)
+    assert(r(2L).getAs[Double]("top2_frac") == 0.0)
+    assert(r(2L).getAs[Double]("dup3_frac") == 0.0)
+    assert(r(2L).getAs[Int]("repetitive") == 1)
+    assert(r(3L).getAs[Double]("top_word_frac") == 0.05)
+    assert(r(3L).getAs[Double]("top2_frac") == 0.1)
+    assert(r(3L).getAs[Int]("repetitive") == 0)
+    assert(r(4L).getAs[Double]("top_word_frac") == 0.5)
+    assert(r(4L).getAs[Double]("top2_frac") == 1.0)
+    // 10 tokens, 8 trigram positions, 2 distinct ("x y x", "y x y")
+    assert(r(4L).getAs[Double]("dup3_frac") == 0.75)
+    assert(r(4L).getAs[Int]("repetitive") == 1)
+  }
+
   test("knn ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -86,6 +86,37 @@ class NgramShinglesSpec extends GraftSuite {
     assert(bad.isEmpty, bad.take(3).mkString("; "))
   }
 
+  test("graft_top_ngram_count equals the explode/groupBy reference") {
+    val rnd = new scala.util.Random(11)
+    val texts = (0 until 150).map { _ =>
+      (0 until rnd.nextInt(10)).map(_ => words(rnd.nextInt(4)))
+        .mkString(" ")
+    } :+ "" :+ "dup dup dup" :+ "A a A b" :+ "x y x y x"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for (n <- 1 to 3) {
+      // reference: count every gram position via the (pre-kernel)
+      // chain WITHOUT distinct, take the max per doc, 0 when no grams
+      val toks = filter(split(lower(col("text")), "\\s+"), x => x =!= "")
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k =>
+            element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val want = df.select(col("doc_id"), explode_outer(grams).as("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id")
+        .agg(max(when(col("g").isNotNull, col("count"))
+          .otherwise(0L)).as("want"))
+      val got = df.select(col("doc_id"),
+        call_function("graft_top_ngram_count", col("text"), lit(n))
+          .as("got"))
+      val bad = got.join(want, Seq("doc_id"))
+        .filter(col("got") =!= col("want")).collect()
+      assert(bad.isEmpty, s"n=$n: ${bad.take(3).mkString("; ")}")
+    }
+  }
+
   test("resolves in SQL text via the session extension") {
     assert(spark.sql("SELECT graft_ngrams('one two three', 2) AS g")
       .collect().head.getSeq[String](0) == Seq("one two", "two three"))
