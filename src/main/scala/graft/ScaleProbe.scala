@@ -168,6 +168,11 @@ object ScaleProbe {
         time("entropy")(LlmPrep.entropy(d))
         time("sample_strat")(LlmPrep.sampleStratified(d))
         time("vocab")(LlmPrep.vocab(d))
+        // repetition/pii are single codegen'd projections (fused
+        // kernels / regex scans, no shuffle) — the probe documents
+        // that both stay linear in corpus size
+        time("repetition")(LlmText.repetition(d))
+        time("pii")(LlmPrep.piiScrub(LlmPrep.withSyntheticPii(d)))
       }
       release()
     }
