@@ -219,6 +219,27 @@ object LlmPrep {
           lit(total.toDouble), 6))
   }
 
+  /** Corpus profiling — the per-source reporting table a pipeline
+    * publishes each run: document counts, token totals, and EXACT
+    * token-length percentiles (p50/p90/p99, linear interpolation).
+    * Spark's `percentile` aggregate buffers a value→count map per
+    * group, merged map-side — with token LENGTHS as the value domain
+    * the map stays tiny at any corpus size, so the exact quantile is
+    * scale-safe here (an unbounded-domain metric would switch to the
+    * t-digest `percentile_approx`, which no cross-engine oracle can
+    * replay). Keep in sync with [[LlmPrepSql.corpusStatsSql]]. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"),
+        round(expr("percentile(n_tokens, 0.99)"), 6).as("p99_tokens"))
+
   /** PII patterns of [[piiScrub]] — the ASCII subset expressible
     * identically in java.util.regex (Spark) and RE2 (the DuckDB twin):
     * email addresses, NANP-style `ddd-ddd-dddd` phone numbers, dotted
@@ -377,6 +398,21 @@ object LlmPrepSql {
       CASE source $cases
         ELSE '${LlmPrep.rateThreshold(LlmPrep.MixDefaultRate)}' END"""
   }
+
+  /** Twin of [[LlmPrep.corpusStats]] — `quantile_cont` is the same
+    * linear-interpolation definition as Spark's exact `percentile`. */
+  val corpusStatsSql: String =
+    """WITH t AS (SELECT source,
+      CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      round(avg(n_tokens), 6) AS mean_tokens,
+      round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+      round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+      round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+    FROM t GROUP BY source"""
 
   /** Twin of [[LlmPrep.withSyntheticPii]] + [[LlmPrep.piiScrub]]:
     * identical injection, RE2 spellings of the same ASCII patterns,

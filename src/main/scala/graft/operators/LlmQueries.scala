@@ -41,7 +41,8 @@ object LlmQueries {
       ((s, d) => LlmPrep.sampleWeighted(docs(s, d))),
     "llm_repetition" -> ((s, d) => LlmText.repetition(docs(s, d))),
     "llm_pii" ->
-      ((s, d) => LlmPrep.piiScrub(LlmPrep.withSyntheticPii(docs(s, d)))))
+      ((s, d) => LlmPrep.piiScrub(LlmPrep.withSyntheticPii(docs(s, d)))),
+    "llm_corpus_stats" -> ((s, d) => LlmPrep.corpusStats(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -64,5 +65,6 @@ object LlmQueries {
     "llm_vocab" -> LlmPrepSql.vocabSql,
     "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql,
     "llm_repetition" -> LlmTextSql.repetitionSql,
-    "llm_pii" -> LlmPrepSql.piiSql)
+    "llm_pii" -> LlmPrepSql.piiSql,
+    "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql)
 }

@@ -116,6 +116,24 @@ class LlmPrepSpec extends GraftSuite {
       Seq((1L, "   ")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("corpus stats: exact interpolated percentiles per source") {
+    // src A token counts {1,2,3,4}: p50 = 2.5, p90 = 1 + 0.9*3 = 3.7,
+    // p99 = 3.97; src B single doc: every percentile = 5
+    val docs = Seq(
+      (0L, "w", "A"), (1L, "w w", "A"), (2L, "w w w", "A"),
+      (3L, "w w w w", "A"), (4L, "a b c d e", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = LlmPrep.corpusStats(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("A").getAs[Long]("n_docs") == 4)
+    assert(r("A").getAs[Long]("total_tokens") == 10)
+    assert(r("A").getAs[Double]("mean_tokens") == 2.5)
+    assert(r("A").getAs[Double]("p50_tokens") == 2.5)
+    assert(r("A").getAs[Double]("p90_tokens") == 3.7)
+    assert(r("A").getAs[Double]("p99_tokens") == 3.97)
+    assert(r("B").getAs[Double]("p99_tokens") == 5.0)
+  }
+
   test("pii scrub: counts on original text, typed redaction, clean docs pass") {
     // ids 0/1/2 receive the email/phone/ip injection classes; id 3 none
     val docs = Seq(0L, 1L, 2L, 3L)
