@@ -170,9 +170,13 @@ object ScaleProbe {
         time("vocab")(LlmPrep.vocab(d))
         // repetition/pii are single codegen'd projections (fused
         // kernels / regex scans, no shuffle) — the probe documents
-        // that both stay linear in corpus size
+        // that both stay linear in corpus size. The synthetic-PII
+        // injection is FIXTURE cost: materialize it first so the pii
+        // number measures the scrub alone.
         time("repetition")(LlmText.repetition(d))
-        time("pii")(LlmPrep.piiScrub(LlmPrep.withSyntheticPii(d)))
+        val piiDir = s"/tmp/graft_scale_pii_$tag"
+        LlmPrep.withSyntheticPii(d).write.mode("overwrite").parquet(piiDir)
+        time("pii")(LlmPrep.piiScrub(spark.read.parquet(piiDir)))
       }
       release()
     }

@@ -134,12 +134,23 @@ object GraftFunctions {
     }
   }
 
+  /** Extract the single argument of a unary function, with the
+    * signature in the failure message (a bare `exprs.head` would throw
+    * an unhelpful NoSuchElementException on zero args and silently
+    * IGNORE extra ones). */
+  private def unaryArg(sig: String, exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 1,
+      s"$sig takes exactly one argument, got ${exprs.size}")
+    exprs.head
+  }
+
   val tokenSplit: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[TokenSplit].getCanonicalName,
         "graft_tokens"),
-      (exprs: Seq[Expression]) => TokenSplit(exprs.head))
+      (exprs: Seq[Expression]) =>
+        TokenSplit(unaryArg("graft_tokens(text)", exprs)))
 
   /** `graft_top_ngram_count(text, n)` — n must be a foldable integer
     * literal. */
@@ -152,11 +163,20 @@ object GraftFunctions {
         TopNgramCount(exprs.head,
           literalInt("graft_top_ngram_count(text, n)", exprs, 1)))
 
+  val repMetrics: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_rep_metrics"),
+      new ExpressionInfo(classOf[RepMetrics].getCanonicalName,
+        "graft_rep_metrics"),
+      (exprs: Seq[Expression]) =>
+        RepMetrics(unaryArg("graft_rep_metrics(text)", exprs)))
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(ngramShingles)
     ext.injectFunction(minHashSig)
     ext.injectFunction(tokenSplit)
     ext.injectFunction(topNgramCount)
+    ext.injectFunction(repMetrics)
   }
 }

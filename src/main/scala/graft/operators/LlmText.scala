@@ -362,6 +362,45 @@ object LlmText {
   val RepTop2Max = 0.12
   val RepDup3Max = 0.05
 
+  /** Raw (UNROUNDED) repetition fractions over a text column, all
+    * from ONE fused kernel scan ([[graft.functions.RepMetrics]] —
+    * whole-stage codegen's subexpression elimination evaluates the
+    * struct once however many fields are read). Shared by
+    * [[repetition]] and the streaming ingest gate
+    * ([[graft.streaming.StreamingScrub]]) so batch and stream cannot
+    * drift. Returns (n_tokens, top_word_frac, top2_frac, dup3_frac). */
+  private[graft] def repFracs(text: Column)
+      : (Column, Column, Column, Column) = {
+    val m = call_function("graft_rep_metrics", text)
+    val n = m.getField("n_tokens")
+    // every division when()-guarded: the expressions must be TOTAL on
+    // 0-token docs (ANSI double/0 throws, and Catalyst may evaluate a
+    // collapsed projection before the n >= 1 filter)
+    val twf = when(n >= 1, m.getField("top_word_n").cast("double") / n)
+      .otherwise(lit(0.0))
+    val t2f = when(n >= 2,
+      least(lit(1.0), lit(2.0) * m.getField("top2_n") / n))
+      .otherwise(lit(0.0))
+    val d3f = when(n >= 3,
+      lit(1.0) - m.getField("distinct3").cast("double") / (n - 2))
+      .otherwise(lit(0.0))
+    (n, twf, t2f, d3f)
+  }
+
+  /** True iff the document clears EVERY repetition screen. Empty/
+    * whitespace-only docs (0 tokens) FAIL — they are junk by the same
+    * standard the screens enforce. Column-level so a streaming ingest
+    * can filter on it as a pure projection (no join, no state); the
+    * thresholds are corpus-tuned — callers screening short-form text
+    * must widen them (top_word_frac is ≥ 1/n even for all-distinct
+    * tokens, so the defaults reject any doc under 10 tokens). */
+  def passesRepetition(text: Column,
+      topWordMax: Double = RepTopWordMax, top2Max: Double = RepTop2Max,
+      dup3Max: Double = RepDup3Max): Column = {
+    val (n, twf, t2f, d3f) = repFracs(text)
+    n >= 1 && !(twf > topWordMax || t2f > top2Max || d3f > dup3Max)
+  }
+
   /** Gopher-style repetition quality screens, per document:
     *  - `top_word_frac`: occurrences of the most frequent token /
     *    n_tokens (catches "spam spam spam" keyword stuffing);
@@ -374,41 +413,27 @@ object LlmText {
     *    oracle at round()'s half boundary — see textStats).
     *
     * Scale shape: every metric is computed LOCALLY per row by the
-    * fused [[graft.functions.TopNgramCount]] /
-    * [[graft.functions.NgramShingles]] kernels — no explode, no
-    * shuffle, no per-gram aggregate; the plan is a single codegen'd
-    * projection over the corpus scan, embarrassingly parallel at any
-    * corpus size (the composable alternative shuffles a (doc, gram)
-    * count per metric). Keep in sync with
+    * fused [[graft.functions.RepMetrics]] kernel — one text scan, no
+    * explode, no shuffle, no per-gram aggregate; the plan is a single
+    * codegen'd projection over the corpus scan, embarrassingly
+    * parallel at any corpus size (the composable alternative shuffles
+    * a (doc, gram) count per metric). Keep in sync with
     * [[LlmTextSql.repetitionSql]]. */
   def repetition(documents: DataFrame,
       topWordMax: Double = RepTopWordMax, top2Max: Double = RepTop2Max,
-      dup3Max: Double = RepDup3Max): DataFrame =
+      dup3Max: Double = RepDup3Max): DataFrame = {
+    val (n, twf, t2f, d3f) = repFracs(col("text"))
     documents
-      .select(col("doc_id"),
-        size(toks(col("text"))).cast("long").as("n_tokens"),
-        call_function("graft_top_ngram_count", col("text"), lit(1))
-          .as("topw"),
-        call_function("graft_top_ngram_count", col("text"), lit(2))
-          .as("top2"),
-        size(call_function("graft_ngrams", col("text"), lit(3)))
-          .cast("long").as("d3"))
+      .select(col("doc_id"), n.as("n_tokens"), twf.as("twf"),
+        t2f.as("t2f"), d3f.as("d3f"))
       .filter(col("n_tokens") >= 1)
-      .withColumn("twf", col("topw").cast("double") / col("n_tokens"))
-      .withColumn("t2f",
-        when(col("n_tokens") >= 2,
-          least(lit(1.0), lit(2.0) * col("top2") / col("n_tokens")))
-          .otherwise(lit(0.0)))
-      .withColumn("d3f",
-        when(col("n_tokens") >= 3,
-          lit(1.0) - col("d3").cast("double") / (col("n_tokens") - 2))
-          .otherwise(lit(0.0)))
       .select(col("doc_id"), col("n_tokens"),
         round(col("twf"), 6).as("top_word_frac"),
         round(col("t2f"), 6).as("top2_frac"),
         round(col("d3f"), 6).as("dup3_frac"),
         (col("twf") > topWordMax || col("t2f") > top2Max ||
           col("d3f") > dup3Max).cast("int").as("repetitive"))
+  }
 }
 
 /** DuckDB twin of [[LlmText]] — same hash family (md5 strings), same

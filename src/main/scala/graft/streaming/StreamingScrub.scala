@@ -13,18 +13,21 @@ import graft.operators.{LlmPrep, LlmText}
   * redacted and quality-screened the moment it lands, BEFORE anything
   * downstream (dedup indexes, tokenizers, shards) sees its bytes.
   *
-  * Both operators are pure row-local projections (fused kernels and
-  * regex scans — no state, no watermark, no shuffle), so they apply to
-  * a streaming frame UNCHANGED — [[scrubbed]]/[[screened]] are the
-  * batch operators and StreamingScrubSpec asserts the batch/stream
-  * outputs are identical. Only the composed GATE (keep docs that pass
-  * the screens, emit them redacted) runs per-batch via `foreachBatch`:
-  * the compose point needs a doc's clean text next to its repetition
-  * flag, which on a pure stream would be a stream-stream self-join
-  * (watermark state for no reason — both sides derive from the same
-  * row); per-batch it is a plain batch join, complete within the batch
-  * that carries the doc, so redelivery stays the sink's dedup problem
-  * exactly as in [[StreamingContamination]].
+  * Everything here is a pure row-local projection (fused kernels and
+  * regex scans — no state, no watermark, no shuffle, no join), so the
+  * WHOLE stage applies to a streaming frame unchanged: [[gate]]
+  * filters on the column-level
+  * [[graft.operators.LlmText.passesRepetition]] screen and scrubs the
+  * survivors in one plan — per micro-batch that is a single scan of
+  * the source, and StreamingScrubSpec asserts the batch/stream
+  * outputs are identical on any batch split. Docs the screens reject
+  * (including empty docs, which fail by definition) simply don't
+  * appear in the gated output; an ingest routing rejects would run
+  * the complement filter as a second sink on the same stream.
+  *
+  * The screen thresholds are corpus-tuned (see
+  * [[graft.operators.LlmText.RepTopWordMax]]) — a short-form corpus
+  * passes wider ones through [[gate]]/[[start]] explicitly.
   */
 object StreamingScrub {
 
@@ -34,24 +37,31 @@ object StreamingScrub {
   /** Repetition screens on a stream — streaming-safe as-is. */
   def screened(docs: DataFrame): DataFrame = LlmText.repetition(docs)
 
-  /** The per-batch gate kernel: docs passing every repetition screen,
-    * with PII redacted — (doc_id, clean_text, pii_found). Also what
-    * the parity spec compares against the batch composition. */
-  def gateOfBatch(batch: DataFrame): DataFrame =
-    LlmPrep.piiScrub(batch)
-      .join(LlmText.repetition(batch)
-        .filter(col("repetitive") === 0).select("doc_id"), Seq("doc_id"))
+  /** The gate: docs that clear every repetition screen, redacted —
+    * (doc_id, clean_text, pii_found). One projection + filter, valid
+    * on batch and streaming frames alike (the spec compares the two). */
+  def gate(docs: DataFrame,
+      topWordMax: Double = LlmText.RepTopWordMax,
+      top2Max: Double = LlmText.RepTop2Max,
+      dup3Max: Double = LlmText.RepDup3Max): DataFrame =
+    LlmPrep.piiScrub(docs.filter(
+      LlmText.passesRepetition(col("text"), topWordMax, top2Max,
+        dup3Max)))
       .select(col("doc_id"), col("clean_text"), col("pii_found"))
 
-  /** Start the ingest query: each micro-batch of `docs` is gated and
-    * handed to `emit` (append the clean shard, route rejects — the
-    * caller's policy). */
+  /** Start the ingest query: each micro-batch's gated docs are handed
+    * to `emit` (append the clean shard — the caller's policy; the
+    * `foreachBatch` here is only the sink adapter, the gate itself is
+    * part of the streaming plan). */
   def start(docs: DataFrame, emit: DataFrame => Unit,
-      checkpoint: Option[String] = None): StreamingQuery = {
-    val w = docs.writeStream
+      checkpoint: Option[String] = None,
+      topWordMax: Double = LlmText.RepTopWordMax,
+      top2Max: Double = LlmText.RepTop2Max,
+      dup3Max: Double = LlmText.RepDup3Max): StreamingQuery = {
+    val w = gate(docs, topWordMax, top2Max, dup3Max).writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) emit(gateOfBatch(batch))
+        if (!batch.isEmpty) emit(batch)
       }
       .start()
   }

@@ -163,6 +163,28 @@ class LlmSpec extends GraftSuite {
     assert(r(4L).getAs[Int]("repetitive") == 1)
   }
 
+  test("passesRepetition column agrees with repetition()'s flag") {
+    val rnd = new scala.util.Random(31)
+    val texts = (0 until 200).map { i =>
+      if (i % 2 == 0) // distinct-token docs long enough to pass
+        (0 until 12 + rnd.nextInt(20)).map(j => s"u${i}_$j").mkString(" ")
+      else (0 until rnd.nextInt(25)).map(_ =>
+        s"t${rnd.nextInt(1 + rnd.nextInt(12))}").mkString(" ")
+    } :+ "" :+ "   " // 0-token docs: fail the column screen, and are
+    // absent from repetition() output — both read as "rejected"
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val passCol = docs
+      .filter(LlmText.passesRepetition(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val passOp = LlmText.repetition(docs)
+      .filter(col("repetitive") === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(passCol == passOp)
+    assert(passCol.nonEmpty && passCol.size < texts.size,
+      "fixture sanity: screens split the corpus")
+  }
+
   test("knn ranks an identical vector first with cosine 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -117,6 +117,31 @@ class NgramShinglesSpec extends GraftSuite {
     }
   }
 
+  test("graft_rep_metrics equals the separate kernels field by field") {
+    val rnd = new scala.util.Random(23)
+    val texts = (0 until 150).map { _ =>
+      (0 until rnd.nextInt(9)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(whitespace(rnd.nextInt(whitespace.length)).toString)
+    } :+ "" :+ "dup dup dup" :+ "x y x y x"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val m = call_function("graft_rep_metrics", col("text"))
+    val bad = df.select(
+      m.getField("n_tokens").as("g_n"),
+      m.getField("top_word_n").as("g_w"),
+      m.getField("top2_n").as("g_2"),
+      m.getField("distinct3").as("g_3"),
+      size(call_function("graft_tokens", col("text"))).cast("long").as("w_n"),
+      call_function("graft_top_ngram_count", col("text"), lit(1)).as("w_w"),
+      call_function("graft_top_ngram_count", col("text"), lit(2)).as("w_2"),
+      size(call_function("graft_ngrams", col("text"), lit(3))).cast("long")
+        .as("w_3"))
+      .filter(col("g_n") =!= col("w_n") || col("g_w") =!= col("w_w") ||
+        col("g_2") =!= col("w_2") || col("g_3") =!= col("w_3"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("resolves in SQL text via the session extension") {
     assert(spark.sql("SELECT graft_ngrams('one two three', 2) AS g")
       .collect().head.getSeq[String](0) == Seq("one two", "two three"))

@@ -34,7 +34,7 @@ class StreamingScrubSpec extends GraftSuite {
       ScrubDoc(d.doc_id, d.text)) // ids 0/1/2 mod 5 get PII injected
     val withPii = LlmPrep.withSyntheticPii(docs.toDF())
       .as[ScrubDoc].collect().toSeq
-    val expected = StreamingScrub.gateOfBatch(withPii.toDF())
+    val expected = StreamingScrub.gate(withPii.toDF())
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getInt(2))).toMap
     assert(expected.nonEmpty, "fixture sanity: some docs pass the gate")
