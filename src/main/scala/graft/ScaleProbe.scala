@@ -177,6 +177,10 @@ object ScaleProbe {
         val piiDir = s"/tmp/graft_scale_pii_$tag"
         LlmPrep.withSyntheticPii(d).write.mode("overwrite").parquet(piiDir)
         time("pii")(LlmPrep.piiScrub(spark.read.parquet(piiDir)))
+        // blocklist: bloom build (distributed agg + scalar collect)
+        // plus the prefiltered anti-join — both inside the timing
+        time("blocklist")(
+          LlmPrep.blocklistFilter(d, LlmPrep.syntheticBlocklist(d)))
       }
       release()
     }

@@ -171,6 +171,51 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         RepMetrics(unaryArg("graft_rep_metrics(text)", exprs)))
 
+  /** Spark's OWN bloom-filter expressions (the machinery behind its
+    * runtime row-level filtering), which Spark keeps out of the public
+    * FunctionRegistry — re-exposed through the same public extension
+    * hook as the graft kernels so the blocklist scrub
+    * ([[graft.operators.LlmPrep.blocklistFilter]]) can build and probe
+    * a bloom with catalyst-native codegen'd expressions instead of a
+    * UDF. `graft_bloom_agg(xxhash64(key)[, numItems[, numBits]])` →
+    * binary; `graft_might_contain(bloom, xxhash64(key))` → boolean. */
+  val bloomAgg: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getCanonicalName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case Seq(c, n, b) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n, b)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(hashedKey[, numItems[, numBits]]) takes 1-3 " +
+            s"arguments, got ${exprs.size}")
+      })
+
+  val mightContain: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getCanonicalName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          "graft_might_contain(bloom, hashedKey) takes exactly two " +
+            s"arguments, got ${exprs.size}")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1))
+      })
+
   def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(dotProduct)
     ext.injectFunction(ngramShingles)
@@ -178,5 +223,7 @@ object GraftFunctions {
     ext.injectFunction(tokenSplit)
     ext.injectFunction(topNgramCount)
     ext.injectFunction(repMetrics)
+    ext.injectFunction(bloomAgg)
+    ext.injectFunction(mightContain)
   }
 }

@@ -219,6 +219,60 @@ object LlmPrep {
           lit(total.toDouble), 6))
   }
 
+  /** Synthetic blocklist for [[blocklistFilter]]: content hashes of
+    * every doc_id ≡ 0 (mod 17) play the "known-bad content registry"
+    * (takedowns, opt-outs, toxic-content hashes). A real pipeline
+    * reads a registry table; the mod split keeps the operator runnable
+    * and oracle-checkable on the one `documents` table. */
+  def syntheticBlocklist(documents: DataFrame): DataFrame =
+    documents.filter(pmod(col("doc_id"), lit(17)) === 0)
+      .select(md5(col("text")).as("bad_hash")).distinct()
+
+  /** Blocklist filtering: drop every document whose content hash is
+    * in the registry. Semantics are the EXACT anti-join; the plan is
+    * the registry-scrub scale idiom — a bloom filter built from the
+    * registry keys (one aggregate row, broadcast) prefilters the
+    * corpus map-side, so:
+    *  - docs that miss the bloom (the overwhelming majority against
+    *    any realistic registry) are kept WITHOUT ever being shuffled —
+    *    a bloom miss is a guaranteed non-member;
+    *  - only bloom hits (true matches + the filter's false-positive
+    *    rate) continue into the exact anti-join, which removes the
+    *    FPs, so the composition returns exactly the anti-join's rows.
+    * The two union branches re-scan the corpus, which is the right
+    * trade at scale: a columnar re-scan is cheap next to shuffling
+    * the full corpus into a sort-merge anti-join against a registry
+    * too large to broadcast (for a broadcastable registry Spark's
+    * plain broadcast anti-join already wins and the bloom degenerates
+    * to a cheap pre-check of it). An empty registry aggregates to a
+    * null bloom → no doc is a candidate → everything is kept, which
+    * is the correct degenerate case.
+    *
+    * The bloom is BUILT distributed (`graft_bloom_agg`, map-side
+    * combined over the registry) and its one-row binary result is
+    * collected as a driver scalar — `might_contain` requires a
+    * constant filter (the same way Spark's own runtime row-level
+    * filtering plants it in the plan), and a single bounded scalar is
+    * the sanctioned driver probe (see [[vocab]]'s total).
+    * Keep in sync with [[LlmPrepSql.blocklistSql]]. */
+  def blocklistFilter(documents: DataFrame, blocklist: DataFrame)
+      : DataFrame = {
+    val candidates = documents
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val bfBytes = blocklist
+      .agg(call_function("graft_bloom_agg", xxhash64(col("bad_hash")),
+        lit(100000L), lit(800000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    if (bfBytes == null) return candidates // empty registry: keep all
+    def maybe = call_function("graft_might_contain", lit(bfBytes),
+      xxhash64(col("content_hash")))
+    val cleanByBloom = candidates.filter(!maybe)
+    val checkedExact = candidates.filter(maybe)
+      .join(blocklist.withColumnRenamed("bad_hash", "content_hash"),
+        Seq("content_hash"), "left_anti")
+    cleanByBloom.unionByName(checkedExact)
+  }
+
   /** Corpus profiling — the per-source reporting table a pipeline
     * publishes each run: document counts, token totals, and EXACT
     * token-length percentiles (p50/p90/p99, linear interpolation).
@@ -398,6 +452,14 @@ object LlmPrepSql {
       CASE source $cases
         ELSE '${LlmPrep.rateThreshold(LlmPrep.MixDefaultRate)}' END"""
   }
+
+  /** Twin of [[LlmPrep.syntheticBlocklist]] + [[LlmPrep.blocklistFilter]]
+    * — the exact anti-join the bloom-prefiltered plan must equal. */
+  val blocklistSql: String =
+    """WITH bl AS (SELECT DISTINCT md5(text) AS content_hash
+      FROM documents WHERE doc_id % 17 = 0)
+    SELECT d.doc_id, md5(d.text) AS content_hash
+    FROM documents d ANTI JOIN bl ON md5(d.text) = bl.content_hash"""
 
   /** Twin of [[LlmPrep.corpusStats]] — `quantile_cont` is the same
     * linear-interpolation definition as Spark's exact `percentile`. */

@@ -42,7 +42,11 @@ object LlmQueries {
     "llm_repetition" -> ((s, d) => LlmText.repetition(docs(s, d))),
     "llm_pii" ->
       ((s, d) => LlmPrep.piiScrub(LlmPrep.withSyntheticPii(docs(s, d)))),
-    "llm_corpus_stats" -> ((s, d) => LlmPrep.corpusStats(docs(s, d))))
+    "llm_corpus_stats" -> ((s, d) => LlmPrep.corpusStats(docs(s, d))),
+    "llm_blocklist" -> ((s, d) => {
+      val dd = docs(s, d)
+      LlmPrep.blocklistFilter(dd, LlmPrep.syntheticBlocklist(dd))
+    }))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -66,5 +70,6 @@ object LlmQueries {
     "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql,
     "llm_repetition" -> LlmTextSql.repetitionSql,
     "llm_pii" -> LlmPrepSql.piiSql,
-    "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql)
+    "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql,
+    "llm_blocklist" -> LlmPrepSql.blocklistSql)
 }

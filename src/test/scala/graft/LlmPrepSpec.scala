@@ -116,6 +116,21 @@ class LlmPrepSpec extends GraftSuite {
       Seq((1L, "   ")).toDF("doc_id", "text")).count() == 0)
   }
 
+  test("blocklist filter: bloom miss keeps, exact match drops, empty registry keeps all") {
+    // id 0 is blocked (0 % 17 == 0); id 3 shares its TEXT → same
+    // content hash → dropped too; 1 and 2 are clean
+    val docs = Seq(
+      (0L, "blocked payload"), (1L, "clean one"), (2L, "clean two"),
+      (3L, "blocked payload")).toDF("doc_id", "text")
+    val kept = LlmPrep.blocklistFilter(docs,
+      LlmPrep.syntheticBlocklist(docs))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+    // empty registry: null bloom aggregate → every doc kept
+    val none = LlmPrep.syntheticBlocklist(docs.filter(col("doc_id") < 0))
+    assert(LlmPrep.blocklistFilter(docs, none).count() == 4)
+  }
+
   test("corpus stats: exact interpolated percentiles per source") {
     // src A token counts {1,2,3,4}: p50 = 2.5, p90 = 1 + 0.9*3 = 3.7,
     // p99 = 3.97; src B single doc: every percentile = 5
