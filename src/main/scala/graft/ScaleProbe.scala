@@ -38,13 +38,7 @@ object ScaleProbe {
       s"SPARK_GRAFT_PROBE: unknown section(s) ${unknown.mkString(",")} — " +
         s"valid: ${knownSections.mkString(",")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .withExtensions(graft.functions.GraftFunctions.install)
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val spark = GraftSession.builder("local[32]", 32)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

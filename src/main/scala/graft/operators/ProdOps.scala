@@ -53,7 +53,9 @@ object ProdOps {
           abs(col(c)) =!= Double.PositiveInfinity, abs(col(c)))).as(c)
       }: _*)
       .collect().headOption
-    cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+    // one withColumns call: a per-column withColumn fold re-analyzes the
+    // (often deep) plan once per column — O(cols × plan) driver time
+    val rounded = cols.zipWithIndex.map { case (c, i) =>
       val mean = magnitudes.map(r =>
         if (r.isNullAt(i)) 0.0 else r.getDouble(i)).getOrElse(0.0)
       val places =
@@ -62,8 +64,9 @@ object ProdOps {
         else if (mean < 10) 3
         else if (mean < 100) 2
         else 1
-      d.withColumn(c, round(col(c), places))
-    }
+      c -> round(col(c), places)
+    }.toMap
+    if (rounded.isEmpty) df else df.withColumns(rounded)
   }
 
   /** [[roundAdaptive]] over every double column — the reference's
