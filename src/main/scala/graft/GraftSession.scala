@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.hadoop.NioLocalFileSystem].getName)
+      // The compiled-codegen cache holds 100 classes by default; one
+      // multi-table pipeline run (7 output tables × multi-stage plans +
+      // upsert read-backs) generates several times that, so every run
+      // re-janino-compiles and re-JITs the SAME generated sources
+      // forever — measured 50-150 CPU-s of JIT churn per e2e rep, paid
+      // inside executor task threads. Size the cache to hold every
+      // plan of a full pipeline+bench session (entries are compiled
+      // classes: ~10-100 KB each, bounded memory).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config(
         "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
