@@ -375,6 +375,76 @@ object LlmPrep {
       .join(dist(tokens, "token_entropy"), Seq("doc_id"), "left")
       .na.fill(0.0, Seq("char_entropy", "token_entropy"))
   }
+
+  /** BM25 parameters (the Robertson–Walker defaults every IR stack
+    * ships: k1=1.2, b=0.75). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** The query = the [[Bm25QTerms]] terms ranked [[Bm25QSkip]]+1.. by
+    * document frequency (df desc, term asc). Skipping the saturated
+    * head keeps the query informative — a corpus-universal term has
+    * idf ≈ 0 and scores nothing. A real pipeline gets its query from
+    * the caller; deriving it from the corpus keeps the operator
+    * runnable (and oracle-checkable) on the one `documents` table. */
+  val Bm25QSkip = 10
+  val Bm25QTerms = 3
+
+  /** Result size of [[bm25]]. */
+  val Bm25TopK = 20
+
+  /** BM25 relevance ranking: score every document against the query
+    * terms, return the exact top-[[Bm25TopK]].
+    *
+    * The scale shape: document frequencies are aggregated for ALL
+    * terms once (the same pass a search indexer runs), the query's
+    * term rows — a handful — are BROADCAST into the posting scan, so
+    * only postings of query terms survive the map side; per-doc tf
+    * aggregation therefore shuffles O(matching docs × query terms)
+    * rows, never the corpus-wide posting list. Corpus stats (N, avgdl)
+    * ride a one-row broadcast. The final top-k is
+    * TakeOrderedAndProject — per-partition heads, no global sort.
+    * Nothing here collects to the driver or loops per query term. */
+  def bm25(documents: DataFrame, qSkip: Int = Bm25QSkip,
+      qTerms: Int = Bm25QTerms, topK: Int = Bm25TopK): DataFrame = {
+    val tk = documents
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // pinned: consumed by the df aggregate AND the tf scorer
+    val posting = CacheScope.pin(tk.select(col("doc_id"),
+      size(col("toks")).as("dl"), explode(col("toks")).as("term")))
+    val dfTbl = posting.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val queryTerms = dfTbl
+      .orderBy(col("df").desc, col("term"))
+      .limit(qSkip + qTerms)
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("__rk") > qSkip).drop("__rk")
+    // exact-int corpus stats: dl sums are exact in double, so avgdl is
+    // bit-identical across engines and safe inside the score formula
+    val stats = tk.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val scored = posting
+      .join(broadcast(queryTerms), Seq("term"))
+      .groupBy(col("doc_id"), col("term"), col("df"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(stats))
+      // association order matters for float parity: keep the twin SQL
+      // character-for-character parallel to these expressions
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    scored
+      .orderBy(col("score").desc, col("doc_id")).limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+  }
 }
 
 /** DuckDB twin of [[LlmPrep]] — same tokenization, same md5 sample
@@ -528,4 +598,37 @@ object LlmPrepSql {
     FROM documents d
     LEFT JOIN ce ON ce.doc_id = d.doc_id
     LEFT JOIN te ON te.doc_id = d.doc_id"""
+
+  /** Twin of [[LlmPrep.bm25]] — same df-ranked query pick, same
+    * association order in the score formula (ulp-level float parity;
+    * the round(6) on the summed score absorbs ln/libm last-bit
+    * differences). */
+  val bm25Sql: String = {
+    import LlmPrep.{Bm25B, Bm25K1, Bm25QSkip, Bm25QTerms, Bm25TopK}
+    s"""WITH $toksCte,
+    tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+    posting AS (SELECT doc_id, len(toks) AS dl, t.term
+      FROM tk2, UNNEST(toks) AS t(term)),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df
+      FROM posting GROUP BY 1),
+    q AS (SELECT term, df FROM (
+        SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM dft)
+      WHERE rk > $Bm25QSkip AND rk <= ${Bm25QSkip + Bm25QTerms}),
+    stats AS (SELECT count(*) AS n_docs,
+      avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM tk2),
+    tf AS (SELECT p.doc_id, p.term, q.df, p.dl, count(*) AS tf
+      FROM posting p JOIN q USING (term) GROUP BY 1, 2, 3, 4),
+    sc AS (SELECT tf.doc_id,
+      round(sum(
+        ln(1.0 + (s.n_docs - tf.df + 0.5) / (tf.df + 0.5))
+          * tf.tf * ${Bm25K1 + 1.0} /
+          (tf.tf + $Bm25K1 *
+            (${1.0 - Bm25B} + $Bm25B * tf.dl / s.avgdl))), 6) AS score
+      FROM tf, stats s GROUP BY 1)
+    SELECT doc_id, score,
+      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        AS rk
+    FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  }
 }

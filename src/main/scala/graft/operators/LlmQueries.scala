@@ -46,7 +46,8 @@ object LlmQueries {
     "llm_blocklist" -> ((s, d) => {
       val dd = docs(s, d)
       LlmPrep.blocklistFilter(dd, LlmPrep.syntheticBlocklist(dd))
-    }))
+    }),
+    "llm_bm25" -> ((s, d) => LlmPrep.bm25(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -71,5 +72,6 @@ object LlmQueries {
     "llm_repetition" -> LlmTextSql.repetitionSql,
     "llm_pii" -> LlmPrepSql.piiSql,
     "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql,
-    "llm_blocklist" -> LlmPrepSql.blocklistSql)
+    "llm_blocklist" -> LlmPrepSql.blocklistSql,
+    "llm_bm25" -> LlmPrepSql.bm25Sql)
 }

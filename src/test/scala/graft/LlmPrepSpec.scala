@@ -196,4 +196,45 @@ class LlmPrepSpec extends GraftSuite {
     assert(out(3L) == ((0.0, 0.0)), "whitespace-only doc")
     assert(out(4L) == ((0.0, 0.0)), "empty doc")
   }
+
+  test("bm25: hand-computed scores, df-ranked query pick, rank order") {
+    // df: apple 2, banana 2, cherry 1 → rank (df desc, term asc):
+    // apple, banana, cherry. qSkip=0, qTerms=1 → query = {apple}.
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val out = LlmPrep.bm25(docs, qSkip = 0, qTerms = 1, topK = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rk")))
+    // same formula in plain scala doubles (an independent evaluator)
+    val n = 3.0; val avgdl = 10.0 / 3.0
+    def score(tf: Double, dl: Double, df: Double): Double = {
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val c = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      math.rint(c * 1e6) / 1e6
+    }
+    val (s1, s2) = (score(2, 3, 2), score(1, 4, 2))
+    assert(s1 > s2, "tf 2 in a shorter doc must outrank tf 1")
+    assert(out.toSeq === Seq((1L, s1, 1L), (2L, s2, 2L)))
+  }
+
+  test("bm25: qSkip skips the df head; deterministic term tie-break") {
+    // apple and banana tie on df 2; term asc puts apple first, so
+    // qSkip=1 selects banana — its postings are docs 1 and 3
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val ids = LlmPrep.bm25(docs, qSkip = 1, qTerms = 1, topK = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids === Set(1L, 3L))
+  }
+
+  test("bm25: empty and whitespace-only corpora produce empty results") {
+    assert(LlmPrep.bm25(Seq.empty[(Long, String)]
+      .toDF("doc_id", "text")).count() === 0)
+    assert(LlmPrep.bm25(Seq((1L, "   ")).toDF("doc_id", "text"))
+      .count() === 0)
+  }
 }
