@@ -52,8 +52,14 @@ object Bench {
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val cp = sys.props("java.class.path")
     if (!javaBin.isFile || cp == null || cp.isEmpty) return ForkFailed
+    // Heap: the parent needs tens of GB (18 in-process queries pin
+    // spine caches); the child measures ONE pipeline whose working set
+    // at bench SF is a few hundred MB. Inheriting -Xmx48g makes the
+    // child's G1 collect lazily — RSS balloons with garbage and GC
+    // pause variance follows. 8g (last -Xmx wins) keeps it compact; an
+    // OOM would exit nonzero → ForkFailed → in-process fallback.
     val cmd = Seq(javaBin.getAbsolutePath) ++ jvmArgs ++
-      Seq("-cp", cp, "graft.Bench")
+      Seq("-Xmx8g", "-cp", cp, "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put(ChildEnv, "1")
     pb.environment().put("SPARK_GRAFT_BENCH_QUERIES", name)
@@ -195,16 +201,20 @@ object Bench {
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     def timeInProc(name: String): Double = {
       clearState()
-      // Pseudo entries run unwarmed, so their first rep always carries
-      // the one-off codegen/scheduler costs — two timed reps would
-      // leave a single steady-state sample. Three gives the min two.
-      // The fleet entry stays at two: it is ~3 sites long, so per-rep
-      // noise is already averaged down and a third run buys little.
-      // Single queries also run three reps: r6 recorded 1.4-2x
-      // inflation across the whole in-process set (rco_brandcode 2.23s
-      // vs 1.17s isolated, rco_gantt 1.01 vs 0.50) that a wider min
-      // absorbs for ~13s of bench wall.
-      val reps = if (name == Fleet) 2 else 3
+      // Pseudo entries run unwarmed in a cold child JVM: phase-profiled
+      // runs show the first 2-3 reps still paying the C2 storm over the
+      // pipeline's generated classes (~160 CPU-s of JIT vs an 8s steady
+      // rep), so with only 3 reps the min can still be a warming rep
+      // (r8 pre-fix: 35.9/42.7/23.8 where the steady floor measures
+      // 8-12s). Five reps give the min a genuinely warm tail; the
+      // fleet entry gets three (each rep is 3 sites, so its rep-1
+      // absorbs most of the JIT alone).
+      // Single queries run three reps: r6 recorded 1.4-2x inflation
+      // across the whole in-process set (rco_brandcode 2.23s vs 1.17s
+      // isolated, rco_gantt 1.01 vs 0.50) that a wider min absorbs.
+      val reps = if (name == Fleet) 3
+        else if (Pseudo(name)) 5
+        else 3
       // only SUCCESSFUL runs count toward the min — a fast failure must
       // not masquerade as a fast query
       val times = (1 to reps).flatMap { _ =>
