@@ -414,6 +414,28 @@ object ParquetSinks {
     fs.delete(tmp, true)
   }
 
+  /** Bucket-pruned read of a bucketed table: only the hash buckets the
+    * probe keys land in are scanned — the read-side dual of the
+    * upserts' touched-bucket rewrite, for consumers that look up a
+    * (small) key set against a table that grows with the corpus (e.g.
+    * the incremental-ingest dedup index). The probe side is collected
+    * to a bucket-id list, so it must be small by construction (it is:
+    * one row per distinct probe key ÷ RowsPerBucket). Requires the
+    * [[BucketMarker]]: a table not created by the bucketed sinks has
+    * no stable modulus to prune by. */
+  def readBucketsFor(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): DataFrame = {
+    val fs = fsOf(spark, path)
+    healCrashedSwaps(fs, path)
+    val n = readBucketMarker(fs, new Path(path)).getOrElse(sys.error(
+      s"readBucketsFor: $path has no $BucketMarker sidecar — not a " +
+        "bucketed table"))
+    val touched = withBucket(keys.select(col(keyCol)).distinct(), keyCol, n)
+      .select(BucketCol).distinct().collect().map(_.getInt(0))
+    spark.read.parquet(path)
+      .filter(col(BucketCol).isin(touched.toSeq: _*))
+  }
+
   /** One-time layout migration hook: read the stored table, and when
     * `transform` decides it is an old layout (returns Some), rewrite it
     * staged-and-swapped with the same crash safety as every other
