@@ -53,7 +53,8 @@ object ScaleProbe {
       .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS"))
       .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
 
-    def bench(tag: String, events: DataFrame): Unit = {
+    def bench(tag: String, events: DataFrame,
+        silent: Boolean = false): Unit = {
       val dir = s"/tmp/graft_scale_$tag"
       events.write.mode("overwrite").parquet(dir)
       val ev = spark.read.parquet(dir)
@@ -67,7 +68,8 @@ object ScaleProbe {
       def time(name: String)(df: => DataFrame): Unit = {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()
-        println(f"$tag%-6s $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        if (!silent)
+          println(f"$tag%-6s $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
       time("spine")(agg) // materializes full+ses+agg
       time("brandcode")(BrandcodeResolve(agg, full))
@@ -80,12 +82,20 @@ object ScaleProbe {
           .na.fill(0, Seq("CO_Event"))
         GanttGenerate.ganttData(agg, full, cons)
       }
-      println(s"$tag rows=${ev.count()} lines=" +
-        full.select("LINE").distinct().count())
+      if (!silent)
+        println(s"$tag rows=${ev.count()} lines=" +
+          full.select("LINE").distinct().count())
       Seq(full, ses, agg).foreach(_.unpersist())
     }
 
     if (sections("rco")) {
+      // untimed warmup pass: the first execution of each operator pays
+      // the whole janino+C2 storm (r8 measured base1x gantt 79s cold vs
+      // 4.5s for the SAME plan warm) — a cold first section makes every
+      // scale ratio read sub-linear. Code warms; the data caches are
+      // unpersisted at the end of the pass, so the timed base1x still
+      // materializes everything itself.
+      bench("warm", base, silent = true)
       bench("base1x", base)
       bench("wide", wide)
       bench("dense", dense)
@@ -101,7 +111,8 @@ object ScaleProbe {
       .withColumn("embedding",
         transform(col("embedding"), x => x + lit(i * 0.01f))))
       .reduce(_ unionByName _)
-    def timeEmb(tag: String, e: DataFrame): Unit = {
+    def timeEmb(tag: String, e: DataFrame,
+        silent: Boolean = false): Unit = {
       val dir = s"/tmp/graft_scale_emb_$tag"
       e.write.mode("overwrite").parquet(dir)
       val ev = spark.read.parquet(dir)
@@ -112,11 +123,13 @@ object ScaleProbe {
           "brute" -> (() => LlmSim.knnBrute(ev))).foreach { case (n, f) =>
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()
-        println(f"emb_$tag%-6s $n%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-          s" rows=${ev.count()}")
+        if (!silent)
+          println(f"emb_$tag%-6s $n%-6s ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+            s" rows=${ev.count()}")
       }
     }
     if (sections("emb")) {
+      timeEmb("warm", embBase, silent = true) // JIT warmup, see rco
       timeEmb("1x", embBase)
       timeEmb(s"${k}x", embK)
     }
@@ -132,7 +145,8 @@ object ScaleProbe {
       .withColumn("text",
         regexp_replace(col("text"), "(\\S+)", s"c${i}_" + "$1")))
       .reduce(_ unionByName _)
-    def timeText(tag: String, d0: DataFrame): Unit = {
+    def timeText(tag: String, d0: DataFrame,
+        silent: Boolean = false): Unit = {
       val dir = s"/tmp/graft_scale_doc_$tag"
       d0.write.mode("overwrite").parquet(dir)
       val d = spark.read.parquet(dir)
@@ -140,12 +154,14 @@ object ScaleProbe {
         val sh = CacheScope.pin(LlmText.shingles(d))
         val t0 = System.nanoTime()
         val nCand = LlmText.ngramCandidates(sh).count()
-        println(f"doc_$tag%-8s ngram_cand  ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
-          s" candidates=$nCand docs=${d.count()}")
+        if (!silent)
+          println(f"doc_$tag%-8s ngram_cand  ${(System.nanoTime() - t0) / 1e9}%8.2f s" +
+            s" candidates=$nCand docs=${d.count()}")
         def time(name: String)(df: => DataFrame): Unit = {
           val t1 = System.nanoTime()
           df.write.format("noop").mode("overwrite").save()
-          println(f"doc_$tag%-8s $name%-12s ${(System.nanoTime() - t1) / 1e9}%8.2f s")
+          if (!silent)
+            println(f"doc_$tag%-8s $name%-12s ${(System.nanoTime() - t1) / 1e9}%8.2f s")
         }
         time("dedup_ngram")(LlmText.dedupNgram(d))
         time("curate")(LlmText.curate(d))
@@ -179,6 +195,7 @@ object ScaleProbe {
       release()
     }
     if (sections("text")) {
+      timeText("warm", docBase, silent = true) // JIT warmup, see rco
       timeText("1x", docBase)
       timeText(s"${k}x", docK)
     }

@@ -50,6 +50,7 @@ object SparkEntry {
     "llm_knn_ivf2",
     "llm_textstats",
     "llm_contamination",
+    "llm_bm25",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —
     // and the 3-site heterogeneous fleet (the production entry point)
