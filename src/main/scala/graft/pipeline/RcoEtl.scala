@@ -319,7 +319,7 @@ object RcoEtl {
       outputs.get("CO_Aggregated_Data").map(df => () => {
         rounded(df)(r =>
           ParquetSinks.upsertWindow(spark, r, s"$baseDir/CO_Aggregated_Data",
-            "LINE", "CO_Start_EPOCH"))
+            "LINE", "CO_Start_EPOCH", scopeCols = Seq("Server")))
         migrateLegacyScriptData(spark, s"$baseDir/Script_Data")
         rounded(scriptData(df, server, outputs.get("Day_Start"),
           updateTime = Some(runTime)))(r =>
@@ -329,24 +329,26 @@ object RcoEtl {
       outputs.get("CO_Event_Log").map(df => () =>
         rounded(df)(r =>
           ParquetSinks.upsertWindow(spark, r, s"$baseDir/CO_Event_Log",
-            "LINE", "END_EPOCH"))),
+            "LINE", "END_EPOCH", scopeCols = Seq("Server")))),
       outputs.get("First_Stop_after_CO_Data").map(df => () =>
         rounded(df)(r =>
           ParquetSinks.upsertWindow(spark, r,
-            s"$baseDir/First_Stop_after_CO_Data", "LINE", "START_TIME"))),
+            s"$baseDir/First_Stop_after_CO_Data", "LINE", "START_TIME",
+            scopeCols = Seq("Server")))),
       outputs.get("Gantt_Data").map(df => () =>
         rounded(df)(r =>
           ParquetSinks.upsertWindow(spark, r, s"$baseDir/Gantt_Data",
-            "Line", "StartTime", padSec = 20 * 60.0))),
+            "Line", "StartTime", padSec = 20 * 60.0,
+            scopeCols = Seq("Server")))),
       outputs.get("Event_Log_for_Gantt").map(df => () =>
         rounded(df)(r =>
           ParquetSinks.upsertWindow(spark, r,
             s"$baseDir/Event_Log_for_Gantt", "LINE", "START_TIME",
-            padSec = 20 * 60.0))),
+            padSec = 20 * 60.0, scopeCols = Seq("Server")))),
       outputs.get("BRANDCODE_data").map(df => () =>
         rounded(df)(r =>
           ParquetSinks.replaceDedup(spark, r, s"$baseDir/BRANDCODE_data",
-            "BRANDCODE"))),
+            "BRANDCODE", scopeCols = Seq("Server")))),
       // keyed merge, NOT a plain append — re-running the same load must
       // not duplicate daily rows (the idempotency contract above)
       outputs.get("Runtime_per_Day_data").map(df => () =>

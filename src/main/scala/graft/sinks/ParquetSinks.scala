@@ -307,10 +307,20 @@ object ParquetSinks {
     *                   used the fixed 64); new tables are sized by
     *                   [[chooseBuckets]] at creation and the choice is
     *                   persisted — it must be stable across loads of
-    *                   the same table. */
+    *                   the same table.
+    * @param scopeCols  extra exact-match delete-key columns. The
+    *                   reference's DELETE is always
+    *                   `WHERE Line=... AND Server=...`
+    *                   (`ref/RCO_Overall_orchestrator.R:312-317,351-357,
+    *                   365-371,386-392,487-493`): in a shared table,
+    *                   one site's load must never delete another
+    *                   site's rows even when LINE names collide across
+    *                   servers. Bucketing stays on `keyCol` alone so
+    *                   the layout (and every existing table) is
+    *                   unchanged — scope only narrows the delete. */
   def upsertWindow(spark: SparkSession, newDf: DataFrame, path: String,
       keyCol: String, timeCol: String, padSec: Double = 10.0,
-      numBuckets: Int = 64): Unit = {
+      numBuckets: Int = 64, scopeCols: Seq[String] = Nil): Unit = {
     healCrashedSwaps(fsOf(spark, path), path)
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
@@ -318,9 +328,10 @@ object ParquetSinks {
       return
     }
     val n = resolveBuckets(spark, path, keyCol, numBuckets)
+    val delKeys = scopeCols :+ keyCol
     // cast("double") lets the time axis be numeric epoch OR timestamp
     // (timestamps cast to fractional epoch seconds)
-    val bounds = newDf.groupBy(col(keyCol))
+    val bounds = newDf.groupBy(delKeys.map(col): _*)
       .agg((min(col(timeCol).cast("double")) - padSec).as("__threshold"))
     // Buckets the incoming keys hash into: only these partition dirs
     // are read (pruned scan) and rewritten (staged + swapped).
@@ -334,7 +345,7 @@ object ParquetSinks {
     // the join side at runtime.
     val keptOld = spark.read.parquet(path)
       .filter(col(BucketCol).isin(touched.toSeq: _*))
-      .join(broadcast(bounds), Seq(keyCol), "left")
+      .join(broadcast(bounds), delKeys, "left")
       .filter(col("__threshold").isNull ||
         col(timeCol).cast("double") < col("__threshold"))
       .drop("__threshold")
@@ -357,17 +368,26 @@ object ParquetSinks {
   /** S10: full-replace-with-dedup
     * (`ref/RCO_Overall_orchestrator.R:556-585`): stored rows whose key
     * is not superseded by the incoming set survive (D3 anti-membership),
-    * incoming rows win, table rewritten. */
+    * incoming rows win, table rewritten.
+    * @param scopeCols extra exact-match columns in the anti-membership
+    *                  key. The reference reads back and deletes ONLY
+    *                  `WHERE Server=...` (R:559-575): another server's
+    *                  row sharing a BRANDCODE must survive this
+    *                  server's replace. The incoming batch carries a
+    *                  constant scope value, so anti-joining on
+    *                  scope+key implements exactly that. */
   def replaceDedup(spark: SparkSession, newDf: DataFrame, path: String,
-      keyCol: String): Unit = {
+      keyCol: String, scopeCols: Seq[String] = Nil): Unit = {
     healCrashedSwaps(fsOf(spark, path), path)
     cleanLegacyBackup(fsOf(spark, path), path)
     if (!exists(spark, path)) {
       newDf.write.mode(SaveMode.Append).parquet(path)
       return
     }
+    val delKeys = scopeCols :+ keyCol
     val kept = spark.read.parquet(path)
-      .join(newDf.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .join(newDf.select(delKeys.map(col): _*).distinct(), delKeys,
+        "left_anti")
     val tmp = tmpPath(path)
     val fs = fsOf(spark, path)
     if (fs.exists(tmp)) fs.delete(tmp, true)

@@ -46,6 +46,43 @@ class RcoEtlSpec extends GraftSuite {
     assert(spark.read.parquet(s"$base/CO_Aggregated_Data").count() > 0)
   }
 
+  test("fleet sites sharing LINE names coexist in the shared tables") {
+    // Every fleet site here sees the SAME canonical log, so their LINE
+    // sets collide completely — the stress case for the Server-scoped
+    // windowed delete (RCO_Overall_orchestrator.R:312-317: DELETE WHERE
+    // Line=... AND Server=...). Before scoping, each site's load wiped
+    // the previous site's rows and the shared tables ended last-site-
+    // wins.
+    val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
+    val prod = Rco.productionLog(Tables.events(spark, dir))
+    val base = Files.createTempDirectory("graft-fleet-scope").toString
+    val sites = RcoEtl.fleetSiteParams
+    val log = RcoEtl.runSites(spark, sites, full, prod, base)
+    assert(log.values.forall(_ == "Success"), log)
+    val perServer = spark.read.parquet(s"$base/CO_Aggregated_Data")
+      .groupBy("Server").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perServer.keySet == sites.map(_.server).toSet,
+      s"every site's rows must survive the fleet load: $perServer")
+    assert(perServer.values.forall(_ > 0), perServer)
+    // brandcode master is Server-scoped the same way (R:559-575)
+    val bcServers = spark.read.parquet(s"$base/BRANDCODE_data")
+      .select("Server").distinct().collect().map(_.getString(0)).toSet
+    assert(bcServers == sites.map(_.server).toSet, bcServers)
+    // idempotency across the fleet: a second identical fleet run (the
+    // upsert path for every site) leaves the shared table unchanged
+    val before = spark.read.parquet(s"$base/CO_Aggregated_Data")
+      .drop(graft.sinks.ParquetSinks.BucketCol)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    val log2 = RcoEtl.runSites(spark, sites, full, prod, base)
+    assert(log2.values.forall(_ == "Success"), log2)
+    val after = spark.read.parquet(s"$base/CO_Aggregated_Data")
+      .drop(graft.sinks.ParquetSinks.BucketCol)
+      .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+    assert(before.sameElements(after),
+      s"fleet re-run must be a no-op (${before.length} -> ${after.length})")
+  }
+
   test("scriptData fills day-start (default 6) and constraint count (1)") {
     import spark.implicits._
     val co = Seq(("CO1", "L1", java.sql.Timestamp.valueOf("2026-01-01 06:00:00")),

@@ -67,6 +67,47 @@ class SinksSpec extends GraftSuite {
     assert(rows(path) == expected)
   }
 
+  test("upsertWindow scopeCols: one server's load never deletes " +
+      "another server's rows for the same LINE") {
+    val path = tmp()
+    // server A loads L1 history (the reference's DELETE is WHERE
+    // Line=... AND Server=..., RCO_Overall_orchestrator.R:312-317)
+    val siteA = Seq(("A", "L1", 10.0, "a-old"), ("A", "L1", 90.0, "a-new"))
+      .toDF("Server", "LINE", "t", "v")
+    ParquetSinks.upsertWindow(spark, siteA, path, "LINE", "t",
+      scopeCols = Seq("Server"))
+    // server B re-extracts the SAME line over the same window: without
+    // the Server scope its threshold (t>=40) would delete a-new
+    val siteB = Seq(("B", "L1", 50.0, "b-1"), ("B", "L1", 120.0, "b-2"))
+      .toDF("Server", "LINE", "t", "v")
+    ParquetSinks.upsertWindow(spark, siteB, path, "LINE", "t",
+      scopeCols = Seq("Server"))
+    val expected = Set("A|L1|10.0|a-old", "A|L1|90.0|a-new",
+      "B|L1|50.0|b-1", "B|L1|120.0|b-2")
+    assert(rows(path) == expected)
+    // B's re-load still windows B's own rows (delete+append, no dupes)
+    ParquetSinks.upsertWindow(spark, siteB, path, "LINE", "t",
+      scopeCols = Seq("Server"))
+    assert(rows(path) == expected)
+  }
+
+  test("replaceDedup scopeCols: another server's row sharing the key " +
+      "survives this server's replace") {
+    val path = tmp()
+    ParquetSinks.replaceDedup(spark,
+      Seq(("A", "B1", "a1"), ("A", "B2", "a2"))
+        .toDF("Server", "BRANDCODE", "v"),
+      path, "BRANDCODE", scopeCols = Seq("Server"))
+    // server B supersedes B2 within ITS scope only (the reference reads
+    // back and deletes WHERE Server=..., R:559-575)
+    ParquetSinks.replaceDedup(spark,
+      Seq(("B", "B2", "b2"), ("B", "B3", "b3"))
+        .toDF("Server", "BRANDCODE", "v"),
+      path, "BRANDCODE", scopeCols = Seq("Server"))
+    assert(rows(path) ==
+      Set("A|B1|a1", "A|B2|a2", "B|B2|b2", "B|B3|b3"))
+  }
+
   test("upsertByKey merges by composite key, is idempotent") {
     val path = tmp()
     ParquetSinks.upsertByKey(spark,
