@@ -185,6 +185,49 @@ object LlmPrep {
       .withColumn("bin", floor(col("token_offset") / budget))
   }
 
+  /** Context-window size (tokens) of [[chunk]]. */
+  val ChunkSize = 64
+
+  /** Token overlap between consecutive [[chunk]] windows. */
+  val ChunkOverlap = 16
+
+  /** Context-window chunking: cut each document's token stream into
+    * fixed-size windows with overlap — the document-preserving
+    * alternative to [[pack]]'s concat-and-chunk (RAG indexing and
+    * long-document SFT prep both want chunks that never cross a
+    * document boundary). Window k covers tokens
+    * `[k·stride, k·stride + size)` with `stride = size − overlap`;
+    * the window count is `max(1, ceil((n − overlap) / stride))`, which
+    * emits the final short window only when it contributes tokens the
+    * previous one did not (a trailing window fully contained in its
+    * predecessor is never emitted).
+    *
+    * Shape: one codegen'd projection (native token kernel + slice /
+    * array_join) and a generate — no shuffle, no window state;
+    * embarrassingly parallel at any corpus size, output is
+    * O(input · size/stride). */
+  def chunk(documents: DataFrame, size: Int = ChunkSize,
+      overlap: Int = ChunkOverlap): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunk: need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val arrLen = org.apache.spark.sql.functions.size _
+    def window = slice(col("t"),
+      (col("chunk_ix") * stride + 1).cast("int"), lit(size))
+    documents
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", arrLen(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks", greatest(lit(1L),
+        ceil((col("n") - lit(overlap)).cast("double") / lit(stride))
+          .cast("long")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        arrLen(window).cast("long").as("n_chunk_tokens"),
+        array_join(window, " ").as("chunk"))
+  }
+
   /** Vocabulary size cap of [[vocab]]. */
   val VocabSize = 50
 
@@ -498,6 +541,28 @@ object LlmPrepSql {
       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
         x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents)"""
+
+  /** Twin of [[LlmPrep.chunk]] — DuckDB's 1-based inclusive list slice
+    * `toks[a:b]` matches Spark's `slice(t, a, size)` with
+    * `b = a + size − 1` (both clip at the list end). */
+  val chunkSql: String = {
+    val stride = ChunkSize - ChunkOverlap
+    s"""WITH tk AS (SELECT doc_id,
+      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+        AS toks
+      FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+    nc AS (SELECT doc_id, toks,
+      greatest(1, CAST(ceil((n - $ChunkOverlap) / $stride.0) AS BIGINT))
+        AS n_chunks
+      FROM c)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_ix,
+      CAST(len(toks[i * $stride + 1 : i * $stride + $ChunkSize])
+        AS BIGINT) AS n_chunk_tokens,
+      array_to_string(toks[i * $stride + 1 : i * $stride + $ChunkSize],
+        ' ') AS chunk
+    FROM nc, UNNEST(range(0, n_chunks)) AS u(i)"""
+  }
 
   val vocabSql: String =
     s"""WITH $toksCte,

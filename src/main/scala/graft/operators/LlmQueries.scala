@@ -47,7 +47,8 @@ object LlmQueries {
       val dd = docs(s, d)
       LlmPrep.blocklistFilter(dd, LlmPrep.syntheticBlocklist(dd))
     }),
-    "llm_bm25" -> ((s, d) => LlmPrep.bm25(docs(s, d))))
+    "llm_bm25" -> ((s, d) => LlmPrep.bm25(docs(s, d))),
+    "llm_chunk" -> ((s, d) => LlmPrep.chunk(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -73,5 +74,6 @@ object LlmQueries {
     "llm_pii" -> LlmPrepSql.piiSql,
     "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql,
     "llm_blocklist" -> LlmPrepSql.blocklistSql,
-    "llm_bm25" -> LlmPrepSql.bm25Sql)
+    "llm_bm25" -> LlmPrepSql.bm25Sql,
+    "llm_chunk" -> LlmPrepSql.chunkSql)
 }

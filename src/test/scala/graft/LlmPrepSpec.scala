@@ -74,6 +74,68 @@ class LlmPrepSpec extends GraftSuite {
     assert(sharded == Map(0L -> 0L, 2L -> 4L, 1L -> 0L, 3L -> 4L))
   }
 
+  test("chunk: overlapping windows, short tail only when it adds tokens") {
+    // size=4, overlap=1 → stride=3. 8 tokens: windows [1..4], [4..7],
+    // [7..8] (ceil((8-1)/3)=3). 4 tokens: exactly one window. 5 tokens:
+    // ceil(4/3)=2 → [1..4],[4..5]. 1 token: max(1, ceil(0/3))=1 window.
+    // 6 tokens: ceil(5/3)=2 → [1..4],[4..6] — NO third window starting
+    // at 7 (it would be fully contained in the second).
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s"),
+      (3L, "v w x y z"),
+      (4L, "solo"),
+      (5L, "m n o p q r"),
+      (6L, "   ")).toDF("doc_id", "text")
+    val out = LlmPrep.chunk(docs, size = 4, overlap = 1)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_ix")) ->
+        ((r.getAs[Long]("n_chunk_tokens"), r.getAs[String]("chunk"))))
+      .toMap
+    assert(out == Map(
+      (1L, 0L) -> ((4L, "a b c d")), (1L, 1L) -> ((4L, "d e f g")),
+      (1L, 2L) -> ((2L, "g h")),
+      (2L, 0L) -> ((4L, "p q r s")),
+      (3L, 0L) -> ((4L, "v w x y")), (3L, 1L) -> ((2L, "y z")),
+      (4L, 0L) -> ((1L, "solo")),
+      (5L, 0L) -> ((4L, "m n o p")), (5L, 1L) -> ((3L, "p q r"))))
+  }
+
+  test("chunk: every token lands in a window; overlap counts match") {
+    // structural invariants on a mixed corpus: concatenating each
+    // document's windows with the first `overlap` tokens of every
+    // non-first window dropped reconstructs the token stream exactly
+    val docs = Seq(
+      (1L, ('a' to 'z').map(_.toString).mkString(" ")),
+      (2L, (1 to 100).map("t" + _).mkString(" ")),
+      (3L, "x"),
+      (4L, (1 to 17).map("u" + _).mkString(" "))).toDF("doc_id", "text")
+    val size = 8; val overlap = 3; val stride = size - overlap
+    val chunks = LlmPrep.chunk(docs, size, overlap)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_ix"), r.getAs[String]("chunk")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for ((id, text) <- Seq((1L, ('a' to 'z').map(_.toString)),
+        (2L, (1 to 100).map("t" + _)), (3L, Seq("x")),
+        (4L, (1 to 17).map("u" + _)))) {
+      val toks = text.map(_.toLowerCase)
+      val rebuilt = chunks(id).zipWithIndex.flatMap { case (c, i) =>
+        val t = c.split(" ").toSeq
+        if (i == 0) t else t.drop(overlap)
+      }
+      assert(rebuilt == toks, s"doc $id reconstruction")
+      // consecutive windows agree on their overlap region
+      chunks(id).sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a.split(" ").toSeq.takeRight(
+            math.min(overlap, a.split(" ").length)) ==
+            b.split(" ").toSeq.take(overlap),
+            s"doc $id window overlap mismatch")
+        case _ => ()
+      }
+    }
+  }
+
   test("vocab ranks tokens by count with deterministic ties and coverage") {
     // counts: b=4, a=3, c=2, d=1 (total 10); tie-free by construction,
     // plus a tie pair (c vs cc both 2 → lexical order c, cc)... use:
