@@ -228,6 +228,73 @@ object LlmPrep {
         array_join(window, " ").as("chunk"))
   }
 
+  /** Gram length of [[boilerplateScrub]]. */
+  val BoilerN = 3
+
+  /** Corpus document frequency above which a gram counts as
+    * boilerplate. */
+  val BoilerDfCap = 5
+
+  /** Duplicated-n-gram scrub — the corpus-level boilerplate removal
+    * step (headers, navigation chrome, license blurbs) web-scale
+    * cleaning pipelines run after per-document dedup: any `n`-gram
+    * occurring in more than `dfCap` distinct documents is boilerplate,
+    * and every token position covered by a boilerplate gram is removed
+    * from its document. Emits one row per non-empty document with the
+    * scrubbed text and removal counts (docs can come out empty —
+    * they're reported, not dropped, so the caller decides).
+    *
+    * Shape: the gram document-frequency aggregate is the one
+    * corpus-sized shuffle (map-side combinable, same profile as
+    * [[contamination]]/[[vocab]]); the boilerplate set is small BY
+    * CONSTRUCTION (only corpus-wide repeats survive the cap) so it
+    * broadcasts into the position scan; the covered-position distinct
+    * and the anti-join shuffle on (doc, position) — bounded by token
+    * count, never gram-pair count. Per-document reassembly is a
+    * bounded-size array_sort, no ordered window spans the corpus. */
+  def boilerplateScrub(documents: DataFrame, n: Int = BoilerN,
+      dfCap: Int = BoilerDfCap): DataFrame = {
+    require(n >= 1, s"boilerplateScrub: n must be >= 1, got $n")
+    val arrLen = org.apache.spark.sql.functions.size _
+    val base = documents
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n_tokens", arrLen(col("t")).cast("long"))
+      .filter(col("n_tokens") > 0)
+    // gram start positions, 1-based: s ∈ [1, len−n+1]. The when() guard
+    // matters: Spark's sequence(1, stop) runs DESCENDING for stop < 1,
+    // so a short doc would fabricate starts instead of none.
+    val grams = base
+      .select(col("doc_id"), col("t"),
+        explode(when(col("n_tokens") >= n,
+          sequence(lit(1), (col("n_tokens") - (n - 1)).cast("int")))
+          .otherwise(array().cast("array<int>"))).as("s"))
+      .select(col("doc_id"), col("s"),
+        array_join(slice(col("t"), col("s"), lit(n)), " ").as("gram"))
+    val boiler = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > dfCap)
+      .select("gram")
+    val covered = grams.join(broadcast(boiler), Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (n - 1))).as("p"))
+      .distinct()
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Vocabulary size cap of [[vocab]]. */
   val VocabSize = 50
 
@@ -541,6 +608,38 @@ object LlmPrepSql {
       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
         x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents)"""
+
+  /** Twin of [[LlmPrep.boilerplateScrub]] — same 1-based positions,
+    * same df-cap, same space re-join. */
+  val boilerplateSql: String = {
+    val n = BoilerN; val cap = BoilerDfCap
+    s"""WITH tk AS (SELECT doc_id,
+      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+        AS toks
+      FROM documents),
+    base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM tk WHERE len(toks) > 0),
+    g AS (SELECT doc_id, i AS s,
+        array_to_string(toks[i:i+${n - 1}], ' ') AS gram
+      FROM base, UNNEST(range(1, len(toks) - ${n - 2})) AS u(i)
+      WHERE len(toks) >= $n),
+    bp AS (SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+      WHERE df > $cap),
+    cov AS (SELECT DISTINCT g.doc_id, g.s + o AS p
+      FROM g JOIN bp USING (gram), UNNEST(range(0, $n)) AS v(o)),
+    tok AS (SELECT doc_id, p, toks[CAST(p AS INT)] AS tok
+      FROM base, UNNEST(range(1, len(toks) + 1)) AS w(p)),
+    kept AS (SELECT t.doc_id, t.p, t.tok FROM tok t
+      ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.p = cov.p),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+        string_agg(tok, ' ' ORDER BY p) AS clean_text
+      FROM kept GROUP BY 1)
+    SELECT b.doc_id, b.n_tokens,
+      b.n_tokens - coalesce(agg.n_kept, 0) AS n_removed,
+      coalesce(agg.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN agg USING (doc_id)"""
+  }
 
   /** Twin of [[LlmPrep.chunk]] — DuckDB's 1-based inclusive list slice
     * `toks[a:b]` matches Spark's `slice(t, a, size)` with

@@ -48,7 +48,8 @@ object LlmQueries {
       LlmPrep.blocklistFilter(dd, LlmPrep.syntheticBlocklist(dd))
     }),
     "llm_bm25" -> ((s, d) => LlmPrep.bm25(docs(s, d))),
-    "llm_chunk" -> ((s, d) => LlmPrep.chunk(docs(s, d))))
+    "llm_chunk" -> ((s, d) => LlmPrep.chunk(docs(s, d))),
+    "llm_boilerplate" -> ((s, d) => LlmPrep.boilerplateScrub(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -75,5 +76,6 @@ object LlmQueries {
     "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql,
     "llm_blocklist" -> LlmPrepSql.blocklistSql,
     "llm_bm25" -> LlmPrepSql.bm25Sql,
-    "llm_chunk" -> LlmPrepSql.chunkSql)
+    "llm_chunk" -> LlmPrepSql.chunkSql,
+    "llm_boilerplate" -> LlmPrepSql.boilerplateSql)
 }

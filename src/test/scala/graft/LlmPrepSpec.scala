@@ -136,6 +136,45 @@ class LlmPrepSpec extends GraftSuite {
     }
   }
 
+  test("boilerplate scrub removes covered positions of high-df grams") {
+    // "x y z" appears in docs 1,2,3 → df 3 > cap 2 → boilerplate.
+    // "a b c" appears in docs 1 and 4 → df 2, NOT boilerplate.
+    val docs = Seq(
+      (1L, "a b c x y z d"),
+      (2L, "x y z"),
+      (3L, "q x y z r"),
+      (4L, "a b c"),
+      (5L, "lone words here")).toDF("doc_id", "text")
+    val out = LlmPrep.boilerplateScrub(docs, n = 3, dfCap = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out == Map(
+      1L -> ((7L, 3L, "a b c d")),
+      2L -> ((3L, 3L, "")), // fully scrubbed doc is reported, not dropped
+      3L -> ((5L, 3L, "q r")),
+      4L -> ((3L, 0L, "a b c")),
+      5L -> ((3L, 0L, "lone words here"))))
+  }
+
+  test("boilerplate scrub: overlapping grams cover the union of spans") {
+    // docs 1-3 share the full run "u v w x y": every 3-gram in it has
+    // df 3 > 2, the covered spans overlap, and the union scrubs all 5
+    // positions exactly once (no double-count in n_removed)
+    val docs = Seq(
+      (1L, "u v w x y"),
+      (2L, "pre u v w x y"),
+      (3L, "u v w x y post")).toDF("doc_id", "text")
+    val out = LlmPrep.boilerplateScrub(docs, n = 3, dfCap = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(out == Map(
+      1L -> ((5L, "")),
+      2L -> ((5L, "pre")),
+      3L -> ((5L, "post"))))
+  }
+
   test("vocab ranks tokens by count with deterministic ties and coverage") {
     // counts: b=4, a=3, c=2, d=1 (total 10); tie-free by construction,
     // plus a tie pair (c vs cc both 2 → lexical order c, cc)... use:
