@@ -22,6 +22,7 @@ object LlmQueries {
     "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
     "llm_dedup_ngram" -> ((s, d) => LlmText.dedupNgram(docs(s, d))),
     "llm_dedup_cluster" -> ((s, d) => LlmText.dedupClusters(docs(s, d))),
+    "llm_dedup_canonical" -> ((s, d) => LlmText.dedupCanonical(docs(s, d))),
     "llm_simhash" -> ((s, d) => LlmText.simhash(docs(s, d))),
     "llm_fingerprint" -> ((s, d) => LlmText.fingerprint(docs(s, d))),
     "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
@@ -56,6 +57,7 @@ object LlmQueries {
     "llm_dedup_near" -> LlmTextSql.dedupNearSql,
     "llm_dedup_ngram" -> LlmTextSql.dedupNgramSql,
     "llm_dedup_cluster" -> LlmTextSql.dedupClustersSql,
+    "llm_dedup_canonical" -> LlmTextSql.dedupCanonicalSql,
     "llm_simhash" -> LlmTextSql.simhashSql,
     "llm_fingerprint" -> LlmTextSql.fingerprintSql,
     "llm_textstats" -> LlmTextSql.textStatsSql,

@@ -276,6 +276,36 @@ object LlmText {
     clustersFromPairs(dedupNear(documents),
       documents.select(col("doc_id")))
 
+  /** Canonical member per cluster from pre-computed inputs: the
+    * longest member wins (token count), ties to the smallest doc_id —
+    * the "keep the richest representative" policy web-scale dedup
+    * applies instead of keep-smallest-id. One max_by aggregate per
+    * cluster (no per-cluster sort; the shuffle key is cluster_id on
+    * both the aggregate and the join-back, so the exchange is reused),
+    * then a keyed join-back to flag every member. */
+  private[graft] def canonicalFromClusters(clusters: DataFrame,
+      sized: DataFrame): DataFrame = {
+    val j = clusters.select(col("doc_id"), col("cluster_id"))
+      .join(sized, Seq("doc_id"))
+    val rep = j.groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("n_tokens"), (-col("doc_id")).as("inv"))).as("rep_id"),
+        count(lit(1)).as("n_members"))
+    j.join(rep, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+        col("n_members"),
+        (col("doc_id") === col("rep_id")).cast("int").as("keep"))
+  }
+
+  /** Canonical selection over the near-dup components: [[dedupClusters]]
+    * labels, sized by token count, then [[canonicalFromClusters]] —
+    * every document flagged keep/drop with its cluster and the
+    * cluster's member count. */
+  def dedupCanonical(documents: DataFrame): DataFrame =
+    canonicalFromClusters(dedupClusters(documents),
+      documents.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens")))
+
   /** 16-bit SimHash over all tokens (with multiplicity): bit p of the
     * fingerprint is the sign of Σ ±1 over tokens, where a token votes +1
     * iff the p-th hex nibble of its md5 has its high bit set. */
@@ -537,6 +567,27 @@ object LlmTextSql {
       CAST(coalesce(least(c.min_reach, d.doc_id), d.doc_id) <> d.doc_id
         AS INTEGER) AS is_dup
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+
+  /** Twin of [[LlmText.dedupCanonical]] — row_number with the same
+    * (n_tokens DESC, doc_id ASC) order is exactly the max_by
+    * tie-break. */
+  val dedupCanonicalSql: String =
+    s"""WITH cl AS ($dedupClustersSql),
+    sized AS (SELECT doc_id,
+      CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents),
+    j AS (SELECT cl.doc_id, cl.cluster_id, s.n_tokens
+      FROM cl JOIN sized s USING (doc_id)),
+    r AS (SELECT doc_id, cluster_id, n_tokens,
+        row_number() OVER (PARTITION BY cluster_id
+          ORDER BY n_tokens DESC, doc_id) AS rn,
+        count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j)
+    SELECT doc_id, cluster_id, n_tokens,
+      CAST(n_members AS BIGINT) AS n_members,
+      CAST(rn = 1 AS INTEGER) AS keep
+    FROM r"""
 
   def curateSql(minQuality: Double = 0.5, lang: String = "en"): String =
     s"""WITH stats AS (${LlmTextSql.textStatsSql}),

@@ -34,6 +34,43 @@ class LlmSpec extends GraftSuite {
       4L -> ((4L, 0)), 5L -> ((5L, 0)), 6L -> ((5L, 1))))
   }
 
+  test("canonical selection keeps the longest member, ties to min id") {
+    // cluster 1: doc 3 is longest → keep; cluster 4: tie on length →
+    // min doc_id (4) wins; cluster 7: singleton keeps itself
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L),
+      (7L, 7L)).toDF("doc_id", "cluster_id")
+    val sized = Seq(
+      (1L, 10L), (2L, 12L), (3L, 20L),
+      (4L, 8L), (5L, 8L),
+      (7L, 3L)).toDF("doc_id", "n_tokens")
+    val out = LlmText.canonicalFromClusters(clusters, sized)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_members"), r.getAs[Int]("keep")))).toMap
+    assert(out == Map(
+      1L -> ((3L, 0)), 2L -> ((3L, 0)), 3L -> ((3L, 1)),
+      4L -> ((2L, 1)), 5L -> ((2L, 0)),
+      7L -> ((1L, 1))))
+  }
+
+  test("dedupCanonical end-to-end: identical docs tie to the min id, " +
+      "every cluster keeps exactly one") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (9L, "unrelated totally different content here now")).toDF(
+      "doc_id", "text")
+    val rows = LlmText.dedupCanonical(docs).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Int]("keep")).toMap
+    assert(byDoc == Map(1L -> 1, 2L -> 0, 9L -> 1))
+    val perCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[Int]("keep")).sum)
+    assert(perCluster.forall(_._2 == 1),
+      "every cluster must keep exactly one representative")
+  }
+
   test("cluster labels match a BFS reference on random pair graphs") {
     val rnd = new scala.util.Random(42)
     // one seeded trial: each propagation round is a Spark job, and a
