@@ -329,6 +329,34 @@ object LlmPrep {
           lit(total.toDouble), 6))
   }
 
+  /** Top-K cap of [[bpePairs]]. */
+  val BpePairsK = 50
+
+  /** Adjacent-pair statistics — the counting step a BPE tokenizer
+    * trainer iterates (count all adjacent unit pairs, merge the most
+    * frequent, repeat): corpus-wide occurrence counts of adjacent
+    * token pairs, top [[BpePairsK]] by count with lexical tie-break.
+    * One merge round is the representative distributed workload (the
+    * loop re-runs the same plan on re-segmented units); shape matches
+    * [[vocab]] — a map-side-combinable count aggregate over a
+    * codegen'd pair projection, top-k via TakeOrderedAndProject, rank
+    * window over the k-row head only. */
+  def bpePairs(documents: DataFrame, k: Int = BpePairsK): DataFrame = {
+    val arrLen = org.apache.spark.sql.functions.size _
+    val t = toks(col("text"))
+    val pairs = documents
+      .select(t.as("t"))
+      .select(explode(when(arrLen(col("t")) >= 2,
+        transform(sequence(lit(1), (arrLen(col("t")) - 1).cast("int")),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+    val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    val wRank = Window.orderBy(col("n").desc, col("pair"))
+    counts.orderBy(col("n").desc, col("pair")).limit(k)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+  }
+
   /** Synthetic blocklist for [[blocklistFilter]]: content hashes of
     * every doc_id ≡ 0 (mod 17) play the "known-bad content registry"
     * (takedowns, opt-outs, toxic-content hashes). A real pipeline
@@ -608,6 +636,18 @@ object LlmPrepSql {
       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
         x -> x <> '')) AS BIGINT) AS n_tokens
       FROM documents)"""
+
+  /** Twin of [[LlmPrep.bpePairs]] — same pair construction, count,
+    * and (n DESC, pair ASC) top-k cut. */
+  val bpePairsSql: String =
+    s"""WITH $toksCte,
+    pr AS (SELECT toks[i] || ' ' || toks[i + 1] AS pair
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+    cnt AS (SELECT pair, count(*) AS n FROM pr GROUP BY 1)
+    SELECT pair, n,
+      CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM cnt ORDER BY n DESC, pair LIMIT ${LlmPrep.BpePairsK}"""
 
   /** Twin of [[LlmPrep.boilerplateScrub]] — same 1-based positions,
     * same df-cap, same space re-join. */

@@ -50,7 +50,8 @@ object LlmQueries {
     }),
     "llm_bm25" -> ((s, d) => LlmPrep.bm25(docs(s, d))),
     "llm_chunk" -> ((s, d) => LlmPrep.chunk(docs(s, d))),
-    "llm_boilerplate" -> ((s, d) => LlmPrep.boilerplateScrub(docs(s, d))))
+    "llm_boilerplate" -> ((s, d) => LlmPrep.boilerplateScrub(docs(s, d))),
+    "llm_bpe_pairs" -> ((s, d) => LlmPrep.bpePairs(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -79,5 +80,6 @@ object LlmQueries {
     "llm_blocklist" -> LlmPrepSql.blocklistSql,
     "llm_bm25" -> LlmPrepSql.bm25Sql,
     "llm_chunk" -> LlmPrepSql.chunkSql,
-    "llm_boilerplate" -> LlmPrepSql.boilerplateSql)
+    "llm_boilerplate" -> LlmPrepSql.boilerplateSql,
+    "llm_bpe_pairs" -> LlmPrepSql.bpePairsSql)
 }

@@ -175,6 +175,22 @@ class LlmPrepSpec extends GraftSuite {
       3L -> ((5L, "post"))))
   }
 
+  test("bpe pairs: adjacent counts with multiplicity, lexical ties") {
+    // "a b" occurs 3 times (twice in doc 1 - overlapping "a b a b" -
+    // once in doc 2); "b a"/"b c" once each, tie broken lexically;
+    // one-token and empty docs add none
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "x"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = LlmPrep.bpePairs(docs, k = 3)
+      .collect().map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"),
+        r.getAs[Long]("rank")))
+    assert(out.toSeq == Seq(("a b", 3L, 1L), ("b a", 1L, 2L),
+      ("b c", 1L, 3L)))
+  }
+
   test("vocab ranks tokens by count with deterministic ties and coverage") {
     // counts: b=4, a=3, c=2, d=1 (total 10); tie-free by construction,
     // plus a tie pair (c vs cc both 2 → lexical order c, cc)... use:
