@@ -103,9 +103,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .getOrCreate()
+    val spark = GraftSession.builderFromEnv().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // End-to-end pipeline timing (VERDICT r3 #5): RcoEtl.run + load of

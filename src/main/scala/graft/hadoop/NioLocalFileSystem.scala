@@ -108,7 +108,14 @@ class NioRawLocalFileSystem extends RawLocalFileSystem {
       val names = file.list()
       if (names == null)
         throw new IOException(s"Error accessing directory $f")
-      names.sorted.map(n => getFileStatus(new Path(f, n)))
+      names.sorted.flatMap { n =>
+        // 3-arg Path: a ':' in a child name must not parse as a URI
+        // scheme; and a child deleted between readdir and stat (temp
+        // files of a concurrent writer) is skipped, not fatal — the
+        // stock RawLocalFileSystem contract for both.
+        try Some(getFileStatus(new Path(f, new Path(null, null, n))))
+        catch { case _: FileNotFoundException => None }
+      }
     }
   }
 }

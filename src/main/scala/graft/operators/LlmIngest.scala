@@ -70,43 +70,52 @@ object LlmIngest {
     * First call creates the index. */
   def ingestDedup(spark: SparkSession, newDocs: DataFrame,
       indexPath: String): DataFrame = {
-    val bands = CacheScope.pin(bandRows(newDocs))
-    val indexExists = {
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    // Everything that reads the index runs inside one scope whose pins
+    // are released before return; the frame handed back depends only on
+    // `newDocs` and the checkpointed reject set, never on the index
+    // files the append below swaps out — a caller may collect it at any
+    // later time without racing the sink.
+    val (rejected, release) = CacheScope.collect {
+      val bands = CacheScope.pin(bandRows(newDocs))
+      val indexExists = {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      // batch → index candidates: bucket-pruned scan, equi-join on the
+      // band key, self-matches excluded (re-ingest), agreement-confirmed
+      val dupVsIndex =
+        if (!indexExists) spark.emptyDataFrame.select(lit(0L).as("doc_id"))
+          .limit(0)
+        else ParquetSinks.readBucketsFor(spark, indexPath, "key", bands)
+          .select(col("key"), col("doc_id").as("idx_id"),
+            col("sig").as("idx_sig"))
+          .join(bands, Seq("key"))
+          .filter(col("doc_id") =!= col("idx_id"))
+          .filter(agree("sig", "idx_sig") >= AgreeMin)
+          .select(col("doc_id")).distinct()
+      // intra-batch screen: same collision+agreement rule, keep smaller id
+      val dupInBatch = bands.as("x")
+        .join(bands.as("y"),
+          col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .filter(agree("x.sig", "y.sig") >= AgreeMin)
+        .select(col("y.doc_id").as("doc_id")).distinct()
+      // eager localCheckpoint = the pre-append barrier AND the lineage
+      // cut: the reject decision (batch-bounded, one id column) is
+      // computed against the CURRENT index state and stored; nothing
+      // downstream can re-scan the bucket files the append replaces.
+      // (Blocks live on executors — on a cluster, losing one fails the
+      // job instead of silently re-deciding against a mutated index.)
+      val rejectedIds = dupVsIndex.unionByName(dupInBatch).distinct()
+        .localCheckpoint(true)
+      val acceptedBands = bands.join(rejectedIds,
+        Seq("doc_id"), "left_anti")
+        .select(col("key"), col("doc_id"), col("sig"))
+      ParquetSinks.upsertByKeyBucketed(spark, acceptedBands, indexPath,
+        Seq("key", "doc_id"), "key")
+      rejectedIds
     }
-    // batch → index candidates: bucket-pruned scan, equi-join on the
-    // band key, self-matches excluded (re-ingest), agreement-confirmed
-    val dupVsIndex =
-      if (!indexExists) spark.emptyDataFrame.select(lit(0L).as("doc_id"))
-        .limit(0)
-      else ParquetSinks.readBucketsFor(spark, indexPath, "key", bands)
-        .select(col("key"), col("doc_id").as("idx_id"),
-          col("sig").as("idx_sig"))
-        .join(bands, Seq("key"))
-        .filter(col("doc_id") =!= col("idx_id"))
-        .filter(agree("sig", "idx_sig") >= AgreeMin)
-        .select(col("doc_id")).distinct()
-    // intra-batch screen: same collision+agreement rule, keep smaller id
-    val dupInBatch = bands.as("x")
-      .join(bands.as("y"),
-        col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .filter(agree("x.sig", "y.sig") >= AgreeMin)
-      .select(col("y.doc_id").as("doc_id")).distinct()
-    val accepted = CacheScope.pin(newDocs.join(
-      dupVsIndex.unionByName(dupInBatch).distinct(),
-      Seq("doc_id"), "left_anti"))
-    // materialize BEFORE the index append: the accept decision reads
-    // the index, and the append below swaps the very bucket files that
-    // lazy plan would re-scan — a caller collecting the returned frame
-    // afterwards would hit FAILED_READ_FILE on the replaced parquet
-    accepted.count()
-    val acceptedBands = bands.join(accepted.select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-      .select(col("key"), col("doc_id"), col("sig"))
-    ParquetSinks.upsertByKeyBucketed(spark, acceptedBands, indexPath,
-      Seq("key", "doc_id"), "key")
-    accepted
+    release()
+    newDocs.join(rejected, Seq("doc_id"), "left_anti")
   }
 }

@@ -23,6 +23,37 @@ object LlmPrep {
   private def toks(c: Column): Column =
     call_function("graft_tokens", c)
 
+  /** Global rank over an already-limited head frame (≤k rows) without
+    * a window: count-of-predecessors via a broadcast self-join. An
+    * unpartitioned window would do the same single-partition work but
+    * logs a `WindowExec: No Partition Defined` warning per run, and at
+    * bench time that spam drowns the one-line metric JSON the driver
+    * parses from stdout; a constant partition key does not help —
+    * Catalyst's EliminateWindowPartitions folds it away again. `tie`
+    * must be unique per row. Ranks by (`by` DESC, `tie` ASC);
+    * `runningSum = Some((src, dst))` additionally emits the inclusive
+    * prefix sum of `src` in rank order as `dst`. O(k²) comparisons —
+    * driver-scale by construction, never corpus-scale. */
+  private def headRanked(headRaw: DataFrame, by: String, tie: String,
+      rankName: String,
+      runningSum: Option[(String, String)] = None): DataFrame = {
+    // Both join sides reference the head; without the pin the whole
+    // corpus-scale subtree above the limit would execute twice.
+    val head = CacheScope.pin(headRaw)
+    val pred = (col(s"b.$by") > col(s"a.$by")) ||
+      (col(s"b.$by") === col(s"a.$by") &&
+        col(s"b.$tie") <= col(s"a.$tie"))
+    val rank = count(lit(1)).cast("long").as(rankName)
+    val aggs = runningSum match {
+      case Some((src, dst)) => Seq(rank, sum(col(s"b.$src")).as(dst))
+      case None             => Seq(rank)
+    }
+    head.as("a").join(broadcast(head.as("b")), pred)
+      .groupBy(head.columns.map(c => col(s"a.$c")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col(rankName))
+  }
+
   /** Every doc_id ≡ 0 (mod [[EvalMod]]) plays the held-out eval set in
     * [[contamination]]; the rest is the training corpus. A real
     * pipeline would read a separate eval table — the split keeps the
@@ -320,13 +351,11 @@ object LlmPrep {
     // empty then, so the division never evaluates.
     val total = Option(counts.agg(sum(col("n"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val wRank = Window.orderBy(col("n").desc, col("token"))
-    counts.orderBy(col("n").desc, col("token")).limit(k)
-      .withColumn("rank", row_number().over(wRank).cast("long"))
+    val head = counts.orderBy(col("n").desc, col("token")).limit(k)
+    headRanked(head, "n", "token", "rank", Some(("n", "__cum")))
       .withColumn("coverage",
-        round(sum(col("n")).over(
-          wRank.rowsBetween(Window.unboundedPreceding, 0)) /
-          lit(total.toDouble), 6))
+        round(col("__cum") / lit(total.toDouble), 6))
+      .drop("__cum")
   }
 
   /** Top-K cap of [[bpePairs]]. */
@@ -352,9 +381,8 @@ object LlmPrep {
             element_at(col("t"), i + 1))))
         .otherwise(array().cast("array<string>"))).as("pair"))
     val counts = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
-    val wRank = Window.orderBy(col("n").desc, col("pair"))
-    counts.orderBy(col("n").desc, col("pair")).limit(k)
-      .withColumn("rank", row_number().over(wRank).cast("long"))
+    headRanked(counts.orderBy(col("n").desc, col("pair")).limit(k),
+      "n", "pair", "rank")
   }
 
   /** Synthetic blocklist for [[blocklistFilter]]: content hashes of
@@ -553,11 +581,9 @@ object LlmPrep {
       size(col("toks")).as("dl"), explode(col("toks")).as("term")))
     val dfTbl = posting.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
-    val queryTerms = dfTbl
-      .orderBy(col("df").desc, col("term"))
-      .limit(qSkip + qTerms)
-      .withColumn("__rk", row_number().over(
-        Window.orderBy(col("df").desc, col("term"))))
+    val queryTerms = headRanked(
+      dfTbl.orderBy(col("df").desc, col("term")).limit(qSkip + qTerms),
+      "df", "term", "__rk")
       .filter(col("__rk") > qSkip).drop("__rk")
     // exact-int corpus stats: dl sums are exact in double, so avgdl is
     // bit-identical across engines and safe inside the score formula
@@ -578,10 +604,9 @@ object LlmPrep {
             (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("contrib")), 6).as("score"))
-    scored
-      .orderBy(col("score").desc, col("doc_id")).limit(topK)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    headRanked(
+      scored.orderBy(col("score").desc, col("doc_id")).limit(topK),
+      "score", "doc_id", "rk")
   }
 }
 
@@ -625,8 +650,8 @@ object LlmPrepSql {
 
   val packSql: String =
     s"""SELECT doc_id, shard, n_tokens,
-      coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         AS token_offset,
       CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
         ORDER BY doc_id

@@ -64,6 +64,16 @@ class NioLocalFileSystemSpec extends AnyFunSuite {
       stock.listStatus(f).map(_.getPath).toSeq)
   }
 
+  test("listStatus survives ':' in child names (no URI-scheme parse)") {
+    val (nio, _, dir) = fresh()
+    Files.write(new java.io.File(dir, "part:0:of:4.txt").toPath,
+      "x".getBytes(StandardCharsets.UTF_8))
+    val kids = nio.listStatus(new Path(dir.getAbsolutePath))
+    assert(kids.length === 1)
+    assert(kids.head.getPath.getName === "part:0:of:4.txt")
+    assert(kids.head.getLen === 1L)
+  }
+
   test("setPermission round-trips through real file modes") {
     val (nio, stock, dir) = fresh()
     val f = new java.io.File(dir, "perm.bin")
