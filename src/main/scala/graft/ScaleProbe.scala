@@ -25,7 +25,7 @@ import graft.sources.Tables
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
-    val knownSections = Set("rco", "emb", "text", "fleet")
+    val knownSections = Set("rco", "emb", "text", "fleet", "ingest")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -238,6 +238,62 @@ object ScaleProbe {
         }
       timeFleet("base1x")
       timeFleet("wide")
+    }
+
+    // Incremental-ingest probe: a FIXED small batch against a band
+    // index grown 1×→K× — the O(batch) claim of LlmIngest.ingestDedup
+    // (probe scan and append touch only the batch's buckets). Bucket
+    // geometry is the at-scale shape reproduced small: rows-per-bucket
+    // shrunk so bucket COUNT grows with the index while bucket SIZE
+    // stays fixed, exactly what RowsPerBucket=8M yields on a real
+    // corpus. Under the default the whole probe-scale index sits in
+    // MinBuckets=8 dirs, every probe touches all of them, and the
+    // numbers measure O(index) geometry instead of the plan. Passing
+    // looks like: probe seconds and bytes_read ~flat while index_rows
+    // grows K×.
+    if (sections("ingest")) {
+      spark.conf.set(graft.sinks.ParquetSinks.RowsPerBucketConf, "1000")
+      val probeDir = "/tmp/graft_scale_ingest_probe"
+      docBase.filter(pmod(col("doc_id"), lit(2500)) === 7)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "pr_$1"))
+        .write.mode("overwrite").parquet(probeDir)
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      def timeIngest(tag: String, corpus: DataFrame,
+          silent: Boolean = false): Unit = {
+        val idx = s"/tmp/graft_scale_ingest_$tag"
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        LlmIngest.ingestDedup(spark, corpus, idx) // seed index, untimed
+        // GC barrier: the K× seed leaves a full young gen plus the
+        // ContextCleaner's backlog of its dropped cache blocks; without
+        // this the timed probe absorbs the seed's collection pauses
+        // (measured 3.7–54 s at 20× on identical code)
+        System.gc(); Thread.sleep(1000)
+        val probe = spark.read.parquet(probeDir)
+        bytesRead.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val accepted = LlmIngest.ingestDedup(spark, probe, idx).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // listener bus drains async
+        spark.sparkContext.removeSparkListener(listener)
+        if (!silent)
+          println(f"ingest_$tag%-8s probe $secs%8.2f s accepted=$accepted" +
+            s" bytes_read=${bytesRead.get}" +
+            s" index_rows=${spark.read.parquet(idx).count()}")
+      }
+      timeIngest("warm", docBase, silent = true) // JIT warmup, see rco
+      timeIngest("1x", docBase)
+      timeIngest(s"${k}x", docK)
+      spark.conf.unset(graft.sinks.ParquetSinks.RowsPerBucketConf)
     }
     spark.stop()
   }

@@ -608,6 +608,86 @@ object LlmPrep {
       scored.orderBy(col("score").desc, col("doc_id")).limit(topK),
       "score", "doc_id", "rk")
   }
+
+  /** Fixture query count for [[bm25Multi]]'s gate entry. */
+  val Bm25NQueries = 3
+
+  /** Deterministic (query_id, term) fixture for [[bm25Multi]]:
+    * consecutive [[Bm25QTerms]]-sized slices of the df ranking below
+    * the saturated head — query 1 is exactly [[bm25]]'s query, queries
+    * 2..n the next slices down. Same corpus-derived stand-in rationale
+    * as [[bm25]]'s query: keeps the operator runnable and
+    * oracle-checkable on the one `documents` table. */
+  def bm25FixtureQueries(documents: DataFrame,
+      nQueries: Int = Bm25NQueries): DataFrame = {
+    val posting = documents
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val dfTbl = posting.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    headRanked(
+      dfTbl.orderBy(col("df").desc, col("term"))
+        .limit(Bm25QSkip + nQueries * Bm25QTerms),
+      "df", "term", "__rk")
+      .filter(col("__rk") > Bm25QSkip)
+      .select((((col("__rk") - lit(Bm25QSkip) - lit(1)) / lit(Bm25QTerms))
+        .cast("long") + lit(1)).as("query_id"), col("term"))
+  }
+
+  /** Caller-supplied multi-query BM25 — the production shape the
+    * single-query [[bm25]] stands in for: `queries` is a
+    * (query_id, term) table, every query is scored in ONE corpus pass,
+    * and the result is the exact top-`topK` per query.
+    *
+    * Same scale shape as [[bm25]]: document frequencies aggregated for
+    * all terms once; the query table (rows = queries × terms per
+    * query — broadcast-sized by construction, a query workload is
+    * human-written text) is joined to its dfs and broadcast into the
+    * posting scan, so only postings of query terms survive the map
+    * side; tf aggregation shuffles O(matching docs × query-term rows).
+    * A query term absent from the corpus has tf=0 in every document
+    * and scores nothing — the inner df join dropping it IS the BM25
+    * semantics. The per-query top-k is a query_id-partitioned rank
+    * window over the already-aggregated O(queries × matching docs)
+    * frame — each query's sort is one partition's work, distributed
+    * across queries. */
+  def bm25Multi(documents: DataFrame, queries: DataFrame,
+      topK: Int = Bm25TopK): DataFrame = {
+    val tk = documents
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // pinned: consumed by the df aggregate AND the tf scorer
+    val posting = CacheScope.pin(tk.select(col("doc_id"),
+      size(col("toks")).as("dl"), explode(col("toks")).as("term")))
+    val dfTbl = posting.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qt = dfTbl.join(
+      broadcast(queries.select(col("query_id"), col("term")).distinct()),
+      Seq("term"))
+    val stats = tk.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("toks"))).as("avgdl"))
+    val scored = posting
+      .join(broadcast(qt), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"), col("df"),
+        col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(stats))
+      // association order matters for float parity with the twin SQL —
+      // keep character-for-character parallel to [[bm25]]
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("score"))
+    scored.withColumn("rk", row_number().over(
+      Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rk") <= topK)
+  }
 }
 
 /** DuckDB twin of [[LlmPrep]] — same tokenization, same md5 sample
@@ -859,5 +939,45 @@ object LlmPrepSql {
       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
         AS rk
     FROM sc ORDER BY score DESC, doc_id LIMIT $Bm25TopK"""
+  }
+
+  /** Twin of [[LlmPrep.bm25Multi]] over the [[LlmPrep.bm25FixtureQueries]]
+    * fixture — same df-ranked query slices, same association order in
+    * the score formula, same per-query rank cut. */
+  val bm25MultiSql: String = {
+    import LlmPrep.{Bm25B, Bm25K1, Bm25NQueries, Bm25QSkip, Bm25QTerms,
+      Bm25TopK}
+    val last = Bm25QSkip + Bm25NQueries * Bm25QTerms
+    s"""WITH $toksCte,
+    tk2 AS (SELECT doc_id, toks FROM tk WHERE len(toks) > 0),
+    posting AS (SELECT doc_id, len(toks) AS dl, t.term
+      FROM tk2, UNNEST(toks) AS t(term)),
+    dft AS (SELECT term, count(DISTINCT doc_id) AS df
+      FROM posting GROUP BY 1),
+    qt AS (SELECT
+        CAST((rk - $Bm25QSkip - 1) // $Bm25QTerms + 1 AS BIGINT)
+          AS query_id, term, df
+      FROM (
+        SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM dft)
+      WHERE rk > $Bm25QSkip AND rk <= $last),
+    stats AS (SELECT count(*) AS n_docs,
+      avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM tk2),
+    tf AS (SELECT qt.query_id, p.doc_id, p.term, qt.df, p.dl,
+        count(*) AS tf
+      FROM posting p JOIN qt USING (term) GROUP BY 1, 2, 3, 4, 5),
+    sc AS (SELECT tf.query_id, tf.doc_id,
+      round(sum(
+        ln(1.0 + (s.n_docs - tf.df + 0.5) / (tf.df + 0.5))
+          * tf.tf * ${Bm25K1 + 1.0} /
+          (tf.tf + $Bm25K1 *
+            (${1.0 - Bm25B} + $Bm25B * tf.dl / s.avgdl))), 6) AS score
+      FROM tf, stats s GROUP BY 1, 2)
+    SELECT query_id, doc_id, score,
+      CAST(row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+    FROM sc
+    QUALIFY rk <= $Bm25TopK
+    ORDER BY query_id, rk"""
   }
 }

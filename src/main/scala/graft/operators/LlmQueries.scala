@@ -49,6 +49,10 @@ object LlmQueries {
       LlmPrep.blocklistFilter(dd, LlmPrep.syntheticBlocklist(dd))
     }),
     "llm_bm25" -> ((s, d) => LlmPrep.bm25(docs(s, d))),
+    "llm_bm25_multi" -> ((s, d) => {
+      val dd = docs(s, d)
+      LlmPrep.bm25Multi(dd, LlmPrep.bm25FixtureQueries(dd))
+    }),
     "llm_chunk" -> ((s, d) => LlmPrep.chunk(docs(s, d))),
     "llm_boilerplate" -> ((s, d) => LlmPrep.boilerplateScrub(docs(s, d))),
     "llm_bpe_pairs" -> ((s, d) => LlmPrep.bpePairs(docs(s, d))))
@@ -79,6 +83,7 @@ object LlmQueries {
     "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql,
     "llm_blocklist" -> LlmPrepSql.blocklistSql,
     "llm_bm25" -> LlmPrepSql.bm25Sql,
+    "llm_bm25_multi" -> LlmPrepSql.bm25MultiSql,
     "llm_chunk" -> LlmPrepSql.chunkSql,
     "llm_boilerplate" -> LlmPrepSql.boilerplateSql,
     "llm_bpe_pairs" -> LlmPrepSql.bpePairsSql)

@@ -240,10 +240,21 @@ object ParquetSinks {
   val MinBuckets = 8
   val MaxBuckets = 1024
 
-  private[graft] def chooseBuckets(rows: Long): Int =
+  /** Session conf overriding [[RowsPerBucket]] at table CREATION (the
+    * modulus is then persisted in the [[BucketMarker]] as usual).
+    * Deployment tuning for row widths far from the ~few-hundred-byte
+    * assumption behind the default — and what lets ScaleProbe
+    * reproduce the at-scale bucket geometry (count grows with the
+    * table, size fixed) on probe-sized data. */
+  val RowsPerBucketConf = "graft.buckets.rowsPerBucket"
+
+  private[graft] def chooseBuckets(rows: Long): Int = {
+    val per = SparkSession.getActiveSession
+      .flatMap(_.conf.getOption(RowsPerBucketConf)).map(_.toLong)
+      .getOrElse(RowsPerBucket)
     math.max(MinBuckets.toLong,
-      math.min(MaxBuckets.toLong,
-        (rows + RowsPerBucket - 1) / RowsPerBucket)).toInt
+      math.min(MaxBuckets.toLong, (rows + per - 1) / per)).toInt
+  }
 
   /** Sidecar recording the table's bucket modulus (underscore-prefixed:
     * invisible to partition discovery, like `_SUCCESS`). Absent on

@@ -354,4 +354,50 @@ class LlmPrepSpec extends GraftSuite {
     assert(LlmPrep.bm25(Seq((1L, "   ")).toDF("doc_id", "text"))
       .count() === 0)
   }
+
+  test("bm25Multi: per-query scoring matches single-query bm25") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "apple cherry cherry cherry"),
+      (3L, "banana banana banana")).toDF("doc_id", "text")
+    val queries = Seq((1L, "apple"), (2L, "banana"), (2L, "cherry"))
+      .toDF("query_id", "term")
+    val out = LlmPrep.bm25Multi(docs, queries, topK = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"),
+        r.getAs[Long]("rk")))
+    // query 1 = {apple} must reproduce the single-query operator
+    val single = LlmPrep.bm25(docs, qSkip = 0, qTerms = 1, topK = 10)
+      .collect().map(r => (1L, r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"), r.getAs[Long]("rk")))
+    assert(out.filter(_._1 == 1L).sortBy(_._4).toSeq === single.toSeq)
+    // query 2 = {banana, cherry}: doc 3 (banana×3) and doc 2 (cherry×3)
+    // score on one term each, doc 1 on banana×1 — all three ranked
+    val q2 = out.filter(_._1 == 2L).sortBy(_._4).map(_._2).toSeq
+    assert(q2.toSet === Set(1L, 2L, 3L) && q2.length === 3)
+  }
+
+  test("bm25Multi: terms absent from the corpus score nothing") {
+    val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val queries = Seq((1L, "zzz"), (2L, "apple"))
+      .toDF("query_id", "term")
+    val out = LlmPrep.bm25Multi(docs, queries)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("doc_id")))
+    assert(out.toSeq === Seq((2L, 1L)),
+      "query 1's unseen term yields no rows; query 2 scores doc 1")
+  }
+
+  test("bm25FixtureQueries: consecutive df slices below the head") {
+    // 14 distinct terms with descending df so the ranking is exact:
+    // term_01 in 14 docs, term_02 in 13, ..., term_14 in 1
+    val docs = (1 to 14).map { d =>
+      (d.toLong, (1 to d).map(i => f"term_$i%02d").mkString(" "))
+    }.toDF("doc_id", "text")
+    val fix = LlmPrep.bm25FixtureQueries(docs, nQueries = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[String]("term"))).toSeq
+    // skip=10 drops term_01..term_10 (df 14..5); query 1 = ranks 11-13
+    assert(fix === Seq((1L, "term_11"), (1L, "term_12"), (1L, "term_13")))
+  }
 }
