@@ -191,6 +191,10 @@ object ScaleProbe {
         // plus the prefiltered anti-join — both inside the timing
         time("blocklist")(
           LlmPrep.blocklistFilter(d, LlmPrep.syntheticBlocklist(d)))
+        // multi-query BM25: fixture derivation + one-pass scoring of 3
+        // queries; scale term is the posting scan, same as bm25
+        time("bm25_multi")(
+          LlmPrep.bm25Multi(d, LlmPrep.bm25FixtureQueries(d)))
       }
       release()
     }
