@@ -167,4 +167,48 @@ class LlmPrepPropertySpec extends GraftSuite {
       }
     }
   }
+
+  test("vocab rank/coverage match brute-force counting (headRanked)") {
+    import spark.implicits._
+    for (i <- 0 until nRuns) {
+      val docs = corpus(100 + i)
+      val k = 4
+      val counts = docs.flatMap(d => toks(d._2)).groupBy(identity)
+        .map { case (t, v) => t -> v.size.toLong }
+      val total = counts.values.sum
+      val ranked = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+      val expected = ranked.zipWithIndex.map { case ((t, n), idx) =>
+        val cum = ranked.take(idx + 1).map(_._2).sum
+        (t, n, (idx + 1).toLong,
+          BigDecimal(cum.toDouble / total)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val out = LlmPrep.vocab(docs.toDF("doc_id", "text"), k = k)
+        .select("token", "n", "rank", "coverage").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(out.sortBy(_._3).toSeq === expected, s"seed=${2100 + i}")
+    }
+  }
+
+  test("bpePairs matches brute-force adjacent-pair counting") {
+    import spark.implicits._
+    for (i <- 0 until nRuns) {
+      val docs = corpus(200 + i)
+      val k = 4
+      val pairs = docs.flatMap { case (_, t) =>
+        val ts = toks(t)
+        if (ts.size < 2) Nil else ts.sliding(2).map(_.mkString(" ")).toList
+      }
+      val counts = pairs.groupBy(identity)
+        .map { case (p, v) => p -> v.size.toLong }
+      val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }
+        .take(k).zipWithIndex
+        .map { case ((p, n), idx) => (p, n, (idx + 1).toLong) }
+      val out = LlmPrep.bpePairs(docs.toDF("doc_id", "text"), k = k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(out.sortBy(_._3).toSeq === expected, s"seed=${2200 + i}")
+    }
+  }
 }
