@@ -131,6 +131,28 @@ object LlmSim {
     * Keep in sync with [[LlmSimSql.knnIvfTrainedSql]]. */
   def knnIvfTrained(embeddings: DataFrame,
       exactFold: Boolean = true): DataFrame = {
+    val sims = trainedSims(embeddings, exactFold)
+    val corpus = sims.filter(col("nr") === 1)
+      .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
+    val probes = sims
+      .filter(col("vec_id") % QueryMod === 0 && col("nr") <= Nprobe)
+      .select(col("cent_id"), col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    val pairs = probes.join(corpus, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    ranked(pairs, IvfTopK)
+  }
+
+  /** Shared trainer+assigner behind [[knnIvfTrained]] and [[semDedup]]:
+    * one Lloyd step from the deterministic sign-cell seeds, then every
+    * vector scored against the ≤16-row broadcast codebook. Returns the
+    * pinned (vec_id, v, norm, cent_id, sim_r, nr) frame where nr ranks
+    * a vector's centroids by round(cosine, 6) desc (nr = 1 is its
+    * cluster assignment). */
+  private def trainedSims(embeddings: DataFrame,
+      exactFold: Boolean): DataFrame = {
     val e = withVec(embeddings).withColumn("cell", cell(col("v")))
     val dims = e.select(col("cell"), col("vec_id"),
       posexplode(col("v")).as(Seq("pos", "x")))
@@ -158,21 +180,59 @@ object LlmSim {
     // the materialized inverted index of a production deployment.
     // Re-invocations build an identical plan, which the CacheManager
     // dedups against the existing blocks.
-    val sims = CacheScope.pin(e.crossJoin(broadcast(cents))
+    CacheScope.pin(e.crossJoin(broadcast(cents))
       .withColumn("sim_r",
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
       .withColumn("nr", row_number().over(simw)))
-    val corpus = sims.filter(col("nr") === 1)
-      .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
-    val probes = sims
-      .filter(col("vec_id") % QueryMod === 0 && col("nr") <= Nprobe)
-      .select(col("cent_id"), col("vec_id").as("qid"), col("v").as("qv"),
-        col("norm").as("qnorm"))
-    val pairs = probes.join(corpus, Seq("cent_id"))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
-    ranked(pairs, IvfTopK)
+  }
+
+  /** Same synthetic-corpus calibration rationale as
+    * [[EmbedDupThreshold]]; production corpora use ~0.99+. */
+  val SemDedupThreshold = 0.4
+
+  /** Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the trained codebook,
+    * then inside each cluster mark cosine-near-duplicate groups and
+    * keep, per group, the member FARTHEST from its centroid (the
+    * paper's keep-low-centroid-similarity rule — the member that adds
+    * the most diversity). One row per input vector: its cluster, its
+    * centroid similarity, and the keep verdict.
+    *
+    * Drop rule, deterministic and transitivity-free: x is dropped iff
+    * some same-cluster y has round(cos(x, y), 6) ≥
+    * [[SemDedupThreshold]] and (y.cent_sim, y.vec_id) < (x.cent_sim,
+    * x.vec_id) lexicographically — every near-dup neighborhood keeps
+    * exactly its minimal members, and the witness ordering makes the
+    * verdict independent of evaluation order on both engines.
+    *
+    * Scale shape: identical to [[dedupEmbed]] — clustering is a
+    * map-side broadcast score, the pair search is an EQUI-JOIN on the
+    * cluster id (never all-pairs), and the verdict is a left-anti
+    * membership probe. At 100 TB the cluster count grows with the
+    * codebook (a k-means with k ~ thousands), keeping per-cluster
+    * candidate lists bounded. Keep in sync with
+    * [[LlmSimSql.semDedupSql]]. */
+  def semDedup(embeddings: DataFrame,
+      exactFold: Boolean = true): DataFrame = {
+    val assigned = trainedSims(embeddings, exactFold)
+      .filter(col("nr") === 1)
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("cent_id"), col("sim_r"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("norm").as("na"), col("sim_r").as("ca"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("norm").as("nb"), col("sim_r").as("cb"))
+    val drops = a.join(b, Seq("cent_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(dot(col("va"), col("vb")) / (col("na") * col("nb")),
+        6) >= SemDedupThreshold)
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("vec_id")).distinct()
+    assigned
+      .join(drops.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id").as("cluster"),
+        col("sim_r").as("cent_sim"), col("__drop").isNull.as("keep"))
   }
 }
 
@@ -237,10 +297,11 @@ object LlmSimSql {
       FROM pairs)
     SELECT qid, vec_id, cosine, rank FROM rk WHERE rank <= $IvfTopK"""
 
-  /** Twin of [[LlmSim.knnIvfTrained]]: same seed cells, same vec_id-
-    * ordered centroid fold, same round(·,6)+id tie-break ranking. */
-  val knnIvfTrainedSql: String =
-    s"""WITH $eCte,
+  /** Shared trainer+assigner CTE chain — twin of
+    * [[LlmSim.trainedSims]]: same seed cells, same vec_id-ordered
+    * centroid fold, same round(·,6)+cent_id assignment ranking. */
+  private val trainedCtes =
+    s"""$eCte,
     ec AS (SELECT *, $cellExpr AS cell FROM e),
     dims AS (SELECT cell, vec_id, t.i AS pos, v[t.i] AS x
       FROM ec CROSS JOIN generate_series(1, 64) AS t(i)),
@@ -258,7 +319,11 @@ object LlmSimSql {
       FROM ec CROSS JOIN centn c),
     sims AS (SELECT *, row_number() OVER (PARTITION BY vec_id
         ORDER BY sim_r DESC, cent_id) AS nr
-      FROM sims0),
+      FROM sims0)"""
+
+  /** Twin of [[LlmSim.knnIvfTrained]]. */
+  val knnIvfTrainedSql: String =
+    s"""WITH $trainedCtes,
     corpus AS (SELECT cent_id, vec_id, v, norm FROM sims WHERE nr = 1),
     probes AS (SELECT cent_id, vec_id AS qid, v AS qv, norm AS qnorm
       FROM sims WHERE vec_id % $QueryMod = 0 AND nr <= ${LlmSim.Nprobe}),
@@ -271,4 +336,21 @@ object LlmSimSql {
         ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank
       FROM pairs)
     SELECT qid, vec_id, cosine, rank FROM rk WHERE rank <= $IvfTopK"""
+
+  /** Twin of [[LlmSim.semDedup]]: same trained assignment, same
+    * round(·,6) pair cosine, same (cent_sim, vec_id) witness order. */
+  val semDedupSql: String =
+    s"""WITH $trainedCtes,
+    assigned AS (SELECT vec_id, v, norm, cent_id, sim_r
+      FROM sims WHERE nr = 1),
+    drops AS (SELECT DISTINCT a.vec_id
+      FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id
+        AND a.vec_id <> b.vec_id
+        AND round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6)
+          >= ${LlmSim.SemDedupThreshold}
+        AND (b.sim_r < a.sim_r
+          OR (b.sim_r = a.sim_r AND b.vec_id < a.vec_id)))
+    SELECT a.vec_id, a.cent_id AS cluster, a.sim_r AS cent_sim,
+      d.vec_id IS NULL AS keep
+    FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
 }

@@ -256,4 +256,60 @@ class LlmSpec extends GraftSuite {
       key(LlmSim.knnIvfTrained(emb)),
       "avg-trained centroids must yield the same top-k at round(·,6)")
   }
+
+  test("semDedup: one verdict per vector; cluster minima always kept") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val out = LlmSim.semDedup(emb).collect()
+    assert(out.length == emb.count())
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length)
+    // the (cent_sim, vec_id)-minimal member of a cluster has no valid
+    // drop witness, so it must survive regardless of its neighbors
+    val minima = out.groupBy(_.getAs[String]("cluster")).values.map(rs =>
+      rs.minBy(r =>
+        (r.getAs[Double]("cent_sim"), r.getAs[Long]("vec_id"))))
+    assert(minima.forall(_.getAs[Boolean]("keep")))
+    assert(out.exists(!_.getAs[Boolean]("keep")),
+      "fixture sanity: the sf0.01 corpus must contain semantic dups")
+  }
+
+  test("semDedup keep verdicts match a single-threaded reference") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val out = LlmSim.semDedup(emb).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[String]("cluster"),
+        r.getAs[Double]("cent_sim"), r.getAs[Boolean]("keep")))
+    val vecs = emb.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def rnd6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val norm = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    // re-derive every drop verdict from the drop rule, trusting only
+    // the cluster assignment (already oracle-checked via llm_knn_ivf2)
+    val expectedDropped = (for {
+      members <- out.groupBy(_._2).values
+      (idA, _, ca, _) <- members
+      if members.exists { case (idB, _, cb, _) =>
+        idB != idA &&
+          rnd6(dot(vecs(idA), vecs(idB)) / (norm(idA) * norm(idB))) >=
+            LlmSim.SemDedupThreshold &&
+          (cb < ca || (cb == ca && idB < idA))
+      }
+    } yield idA).toSet
+    assert(out.filterNot(_._4).map(_._1).toSet == expectedDropped)
+  }
+
+  test("semDedup: production avg centroids match the oracle-exact fold") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .toSet
+    assert(key(LlmSim.semDedup(emb, exactFold = false)) ==
+      key(LlmSim.semDedup(emb)))
+  }
 }
