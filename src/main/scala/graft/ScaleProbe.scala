@@ -111,15 +111,24 @@ object ScaleProbe {
       .withColumn("embedding",
         transform(col("embedding"), x => x + lit(i * 0.01f))))
       .reduce(_ unionByName _)
-    def timeEmb(tag: String, e: DataFrame,
+    def timeEmb(tag: String, e: DataFrame, kx: Int,
         silent: Boolean = false): Unit = {
       val dir = s"/tmp/graft_scale_emb_$tag"
       e.write.mode("overwrite").parquet(dir)
       val ev = spark.read.parquet(dir)
+      // semDedup's codebook must GROW with the corpus (the SemDeDup
+      // k ∝ corpus rule): +log2(kx) sign dims keeps expected cluster
+      // size fixed. semddK0 is the fixed-k foil — its within-cluster
+      // pair join is quadratic in cluster size by design.
+      val grownDims = LlmSim.IvfDims +
+        math.ceil(math.log(kx.toDouble) / math.log(2)).toInt
       // exactFold=false: the production avg-centroid training path —
       // the oracle-exact fold is only for the correctness gate
       Seq("ivf2" -> (() => LlmSim.knnIvfTrained(ev, exactFold = false)),
           "ivf1" -> (() => LlmSim.knnIvf(ev)),
+          "semdd" -> (() =>
+            LlmSim.semDedup(ev, exactFold = false, cellDims = grownDims)),
+          "semddK0" -> (() => LlmSim.semDedup(ev, exactFold = false)),
           "brute" -> (() => LlmSim.knnBrute(ev))).foreach { case (n, f) =>
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()
@@ -129,9 +138,9 @@ object ScaleProbe {
       }
     }
     if (sections("emb")) {
-      timeEmb("warm", embBase, silent = true) // JIT warmup, see rco
-      timeEmb("1x", embBase)
-      timeEmb(s"${k}x", embK)
+      timeEmb("warm", embBase, 1, silent = true) // JIT warmup, see rco
+      timeEmb("1x", embBase, 1)
+      timeEmb(s"${k}x", embK, k)
     }
 
     // Text operators: K× corpus with per-copy token prefixes — DISJOINT

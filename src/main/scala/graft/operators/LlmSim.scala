@@ -70,9 +70,10 @@ object LlmSim {
     ranked(pairs, TopK)
   }
 
-  /** Sign-quantizer cell id over the first [[IvfDims]] dimensions. */
-  private def cell(v: Column): Column =
-    concat((1 to IvfDims).map(i =>
+  /** Sign-quantizer cell id over the first `dims` dimensions —
+    * 2^dims seed cells, the codebook-size knob. */
+  private def cell(v: Column, dims: Int = IvfDims): Column =
+    concat((1 to dims).map(i =>
       when(element_at(v, i) >= 0, "1").otherwise("0")): _*)
 
   /** Embedding-cosine near-dup pairs, cell-bucketed: candidate pairs
@@ -145,15 +146,9 @@ object LlmSim {
     ranked(pairs, IvfTopK)
   }
 
-  /** Shared trainer+assigner behind [[knnIvfTrained]] and [[semDedup]]:
-    * one Lloyd step from the deterministic sign-cell seeds, then every
-    * vector scored against the ≤16-row broadcast codebook. Returns the
-    * pinned (vec_id, v, norm, cent_id, sim_r, nr) frame where nr ranks
-    * a vector's centroids by round(cosine, 6) desc (nr = 1 is its
-    * cluster assignment). */
-  private def trainedSims(embeddings: DataFrame,
-      exactFold: Boolean): DataFrame = {
-    val e = withVec(embeddings).withColumn("cell", cell(col("v")))
+  /** One Lloyd step from the deterministic sign-cell seeds: the
+    * trained codebook (cent_id, cv, cnorm), 2^cellDims rows. */
+  private def codebook(e: DataFrame, exactFold: Boolean): DataFrame = {
     val dims = e.select(col("cell"), col("vec_id"),
       posexplode(col("v")).as(Seq("pos", "x")))
     val sums =
@@ -168,11 +163,25 @@ object LlmSim {
             lit(0.0), (acc, v) => acc + v).as("sum"),
           count(lit(1)).as("n"))
         .withColumn("c", col("sum") / col("n"))
-    val cents = sums.groupBy(col("cell"))
+    sums.groupBy(col("cell"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s("c")).as("cv"))
       .withColumn("cnorm", sqrt(dot(col("cv"), col("cv"))))
       .select(col("cell").as("cent_id"), col("cv"), col("cnorm"))
+  }
+
+  /** Shared trainer+assigner behind [[knnIvfTrained]]: every vector
+    * scored against the ≤16-row broadcast codebook. Returns the pinned
+    * (vec_id, v, norm, cent_id, sim_r, nr) frame where nr ranks a
+    * vector's centroids by round(cosine, 6) desc (nr = 1 is its
+    * cluster assignment). The full ranking costs a (corpus × k) window
+    * shuffle — right for knn's nprobe>1, wasteful when only nr=1 is
+    * needed (see [[assignTrained]]). */
+  private def trainedSims(embeddings: DataFrame,
+      exactFold: Boolean, cellDims: Int = IvfDims): DataFrame = {
+    val e = withVec(embeddings)
+      .withColumn("cell", cell(col("v"), cellDims))
+    val cents = codebook(e, exactFold)
     val simw = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim_r").desc, col("cent_id"))
     // consumed by BOTH the corpus (nr=1) and probe (nr<=Nprobe)
@@ -184,6 +193,36 @@ object LlmSim {
       .withColumn("sim_r",
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
       .withColumn("nr", row_number().over(simw)))
+  }
+
+  /** Cluster assignment ONLY — the argmax of [[trainedSims]] computed
+    * entirely map-side: the codebook collapses to a single broadcast
+    * row holding the cent_id-sorted centroid array, and each vector
+    * folds over it picking the best round(cosine, 6) (ties → first =
+    * smallest cent_id, identical to the window's (sim_r desC, cent_id)
+    * order). No (corpus × k) row blowup, no array-carrying shuffle —
+    * the assignment stage stays O(corpus) rows regardless of k, which
+    * is what lets [[semDedup]]'s codebook grow with the corpus. */
+  private def assignTrained(embeddings: DataFrame,
+      exactFold: Boolean, cellDims: Int): DataFrame = {
+    val e = withVec(embeddings)
+      .withColumn("cell", cell(col("v"), cellDims))
+    val book = codebook(e, exactFold)
+      .agg(array_sort(collect_list(
+        struct(col("cent_id"), col("cv"), col("cnorm")))).as("bk"))
+    e.crossJoin(broadcast(book))
+      .withColumn("best", aggregate(
+        col("bk"),
+        struct(lit("").as("cent_id"), lit(-2.0).as("sim_r")),
+        (acc, c) => {
+          val s = round(dot(col("v"), c("cv")) /
+            (col("norm") * c("cnorm")), 6)
+          when(s > acc("sim_r"),
+            struct(c("cent_id").as("cent_id"), s.as("sim_r")))
+            .otherwise(acc)
+        }))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("best.cent_id").as("cent_id"), col("best.sim_r").as("sim_r"))
   }
 
   /** Same synthetic-corpus calibration rationale as
@@ -205,19 +244,21 @@ object LlmSim {
     * exactly its minimal members, and the witness ordering makes the
     * verdict independent of evaluation order on both engines.
     *
-    * Scale shape: identical to [[dedupEmbed]] — clustering is a
-    * map-side broadcast score, the pair search is an EQUI-JOIN on the
-    * cluster id (never all-pairs), and the verdict is a left-anti
-    * membership probe. At 100 TB the cluster count grows with the
-    * codebook (a k-means with k ~ thousands), keeping per-cluster
-    * candidate lists bounded. Keep in sync with
-    * [[LlmSimSql.semDedupSql]]. */
+    * Scale shape: clustering is a map-side broadcast score, the pair
+    * search is an EQUI-JOIN on the cluster id (never all-pairs), and
+    * the verdict is a left-anti membership probe. Within-cluster work
+    * is inherently quadratic in CLUSTER SIZE — the SemDeDup bargain —
+    * so `cellDims` is the knob that must grow with the corpus:
+    * 2^cellDims codebook seeds, i.e. the paper's k ∝ corpus rule
+    * (134M docs / 11k clusters). The ScaleProbe emb section measures
+    * exactly this: at 10× corpus with cellDims+4 (16× the cells,
+    * ~fixed cluster size) wall time stays linear, while the fixed-k
+    * foil goes quadratic. Keep in sync with
+    * [[LlmSimSql.semDedupSql]] (which pins the gate's default dims). */
   def semDedup(embeddings: DataFrame,
-      exactFold: Boolean = true): DataFrame = {
-    val assigned = trainedSims(embeddings, exactFold)
-      .filter(col("nr") === 1)
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("cent_id"), col("sim_r"))
+      exactFold: Boolean = true, cellDims: Int = IvfDims): DataFrame = {
+    val assigned = CacheScope.pin(
+      assignTrained(embeddings, exactFold, cellDims))
     val a = assigned.select(col("cent_id"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"), col("sim_r").as("ca"))
     val b = assigned.select(col("cent_id"), col("vec_id").as("id_b"),
