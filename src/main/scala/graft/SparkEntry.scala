@@ -48,6 +48,7 @@ object SparkEntry {
     "llm_dedup_ngram",
     "llm_knn",
     "llm_knn_ivf2",
+    "llm_semdedup",
     "llm_textstats",
     "llm_contamination",
     "llm_bm25",
