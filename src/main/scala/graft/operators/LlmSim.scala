@@ -177,7 +177,7 @@ object LlmSim {
     * cluster assignment). The full ranking costs a (corpus × k) window
     * shuffle — right for knn's nprobe>1, wasteful when only nr=1 is
     * needed (see [[assignTrained]]). */
-  private def trainedSims(embeddings: DataFrame,
+  private[graft] def trainedSims(embeddings: DataFrame,
       exactFold: Boolean, cellDims: Int = IvfDims): DataFrame = {
     val e = withVec(embeddings)
       .withColumn("cell", cell(col("v"), cellDims))
@@ -203,7 +203,7 @@ object LlmSim {
     * order). No (corpus × k) row blowup, no array-carrying shuffle —
     * the assignment stage stays O(corpus) rows regardless of k, which
     * is what lets [[semDedup]]'s codebook grow with the corpus. */
-  private def assignTrained(embeddings: DataFrame,
+  private[graft] def assignTrained(embeddings: DataFrame,
       exactFold: Boolean, cellDims: Int): DataFrame = {
     val e = withVec(embeddings)
       .withColumn("cell", cell(col("v"), cellDims))

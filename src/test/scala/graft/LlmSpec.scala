@@ -303,6 +303,25 @@ class LlmSpec extends GraftSuite {
     assert(out.filterNot(_._4).map(_._1).toSet == expectedDropped)
   }
 
+  test("map-side argmax assignment equals the window ranking, grown dims") {
+    // the gate exercises cellDims=4 only; the ScaleProbe scale claim
+    // rests on grown codebooks, so pin fold ≡ window at a larger k too
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    for (dims <- Seq(LlmSim.IvfDims, 6)) {
+      val viaWindow = LlmSim
+        .trainedSims(emb, exactFold = false, cellDims = dims)
+        .filter(col("nr") === 1)
+        .select("vec_id", "cent_id", "sim_r").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val viaFold = LlmSim
+        .assignTrained(emb, exactFold = false, cellDims = dims)
+        .select("vec_id", "cent_id", "sim_r").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(viaFold == viaWindow, s"cellDims=$dims")
+    }
+  }
+
   test("semDedup: production avg centroids match the oracle-exact fold") {
     val emb = graft.sources.Tables
       .embeddings(spark, "/root/testdata/sf0.001")
