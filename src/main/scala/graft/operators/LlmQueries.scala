@@ -31,6 +31,7 @@ object LlmQueries {
     "llm_knn_ivf2" -> ((s, d) => LlmSim.knnIvfTrained(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     "llm_semdedup" -> ((s, d) => LlmSim.semDedup(embs(s, d))),
+    "llm_label_noise" -> ((s, d) => LlmSim.labelNoise(embs(s, d))),
     "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
     "llm_curation" -> ((s, d) => LlmText.curate(docs(s, d))),
     "llm_contamination" -> ((s, d) => LlmPrep.contamination(docs(s, d))),
@@ -72,6 +73,7 @@ object LlmQueries {
     "llm_knn_ivf2" -> LlmSimSql.knnIvfTrainedSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     "llm_semdedup" -> LlmSimSql.semDedupSql,
+    "llm_label_noise" -> LlmSimSql.labelNoiseSql,
     "llm_multimodal" -> MultimodalSql.mediaStatsSql,
     "llm_curation" -> LlmTextSql.curateSql(),
     "llm_contamination" -> LlmPrepSql.contaminationSql,

@@ -275,6 +275,55 @@ object LlmSim {
       .select(col("vec_id"), col("cent_id").as("cluster"),
         col("sim_r").as("cent_sim"), col("__drop").isNull.as("keep"))
   }
+
+  /** Neighborhood size for [[labelNoise]]. */
+  val LabelK = 3
+
+  /** Label-noise screen (neighbor-agreement, confident-learning
+    * style): a vector whose [[LabelK]] nearest same-cell neighbors
+    * majority-vote a different label is a mislabeling suspect — the
+    * standard embedding-space audit before training on labeled data.
+    * One row per vector that HAS at least one same-cell neighbor
+    * (lone vectors carry no evidence and are excluded): its own
+    * label, the neighborhood's majority label, and the agree verdict.
+    *
+    * Determinism: neighbors rank by (round(cos, 6) desc, vec_id); the
+    * majority vote breaks ties by (count desc, label asc).
+    *
+    * Scale shape: [[dedupEmbed]]'s — candidates come from a sign-cell
+    * EQUI-JOIN (never all-pairs), the top-k window partitions by the
+    * left vector id, and the vote is two bounded aggregations. At
+    * 100 TB the cell width grows with the corpus exactly like
+    * [[semDedup]]'s codebook. Keep in sync with
+    * [[LlmSimSql.labelNoiseSql]]. */
+  def labelNoise(embeddings: DataFrame, k: Int = LabelK): DataFrame = {
+    val ec = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("cell", cell(col("v")))
+    val a = ec.select(col("cell"), col("vec_id"), col("v"), col("norm"),
+      col("label"))
+    val b = ec.select(col("cell"), col("vec_id").as("nid"),
+      col("v").as("nv"), col("norm").as("nn"),
+      col("label").as("nlabel"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_r").desc, col("nid"))
+    val topk = a.join(b, Seq("cell"))
+      .filter(col("vec_id") =!= col("nid"))
+      .withColumn("cos_r",
+        round(dot(col("v"), col("nv")) / (col("norm") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val vw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("nlabel"))
+    topk.groupBy(col("vec_id"), col("label"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("vec_id"), col("label"),
+        col("nlabel").as("neigh_label"),
+        (col("nlabel") === col("label")).as("agree"))
+  }
 }
 
 /** DuckDB twin of [[LlmSim]]. The dot product is spelled as the same
@@ -394,4 +443,30 @@ object LlmSimSql {
     SELECT a.vec_id, a.cent_id AS cluster, a.sim_r AS cent_sim,
       d.vec_id IS NULL AS keep
     FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
+
+  /** Twin of [[LlmSim.labelNoise]]: same cell equi-join, same
+    * (round(cos, 6) desc, id) neighbor rank, same (votes desc, label)
+    * majority tie-break. */
+  val labelNoiseSql: String =
+    s"""WITH el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      sqrt(${dot("CAST(embedding AS DOUBLE[])",
+      "CAST(embedding AS DOUBLE[])")}) AS norm, label
+      FROM embeddings),
+    ec AS (SELECT *, $cellExpr AS cell FROM el),
+    topk AS (SELECT * FROM (
+      SELECT a.vec_id, a.label, b.label AS nlabel,
+        row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) DESC,
+          b.vec_id) AS rk
+      FROM ec a JOIN ec b ON a.cell = b.cell
+        AND a.vec_id <> b.vec_id)
+      WHERE rk <= ${LlmSim.LabelK}),
+    votes AS (SELECT vec_id, label, nlabel, count(*) AS n
+      FROM topk GROUP BY vec_id, label, nlabel),
+    top1 AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY n DESC, nlabel) AS vr
+      FROM votes)
+    SELECT vec_id, label, nlabel AS neigh_label,
+      nlabel = label AS agree
+    FROM top1 WHERE vr = 1"""
 }

@@ -322,6 +322,66 @@ class LlmSpec extends GraftSuite {
     }
   }
 
+  test("labelNoise flags a planted mislabel via its neighbors") {
+    // cluster of three near-identical vectors: two labeled 1, the
+    // planted suspect labeled 9; a far-away pair that agrees on 2
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f, 0f, 0f), 1),
+      (2L, Array(1.0f, 0.02f, 0f, 0f), 1),
+      (3L, Array(1.0f, 0.03f, 0f, 0f), 9), // suspect
+      (10L, Array(-1.0f, 0.01f, 0f, 0f), 2),
+      (11L, Array(-1.0f, 0.02f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = LlmSim.labelNoise(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("neigh_label"), r.getAs[Boolean]("agree"))).toMap
+    assert(out(3L) == (1, false), "planted mislabel must be flagged")
+    assert(out(1L) == (1, true) && out(2L) == (1, true))
+    assert(out(10L) == (2, true) && out(11L) == (2, true))
+  }
+
+  test("labelNoise matches a single-threaded reference on the corpus") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01")
+    val out = LlmSim.labelNoise(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("label"), r.getAs[Int]("neigh_label"),
+          r.getAs[Boolean]("agree"))).toMap
+    val rows = emb.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray,
+      r.getAs[Int]("label")))
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def rnd6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cellOf(v: Array[Double]): String =
+      (0 until LlmSim.IvfDims).map(i => if (v(i) >= 0) '1' else '0')
+        .mkString
+    val byCell = rows.groupBy { case (_, v, _) => cellOf(v) }
+    val expected = (for {
+      members <- byCell.values
+      (id, v, lab) <- members
+      neigh = members.filter(_._1 != id)
+      if neigh.nonEmpty
+    } yield {
+      val n = math.sqrt(dotp(v, v))
+      val top = neigh
+        .map { case (nid, nv, nl) =>
+          (rnd6(dotp(v, nv) / (n * math.sqrt(dotp(nv, nv)))), nid, nl)
+        }
+        .sortBy { case (c, nid, _) => (-c, nid) }
+        .take(LlmSim.LabelK)
+      val maj = top.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (l, cnt) => (-cnt, l) }.head._1
+      id -> ((lab, maj, maj == lab))
+    }).toMap
+    assert(out == expected)
+    assert(out.values.exists(!_._3),
+      "fixture sanity: the sf0.01 labels must contain disagreements")
+  }
+
   test("semDedup: production avg centroids match the oracle-exact fold") {
     val emb = graft.sources.Tables
       .embeddings(spark, "/root/testdata/sf0.001")
