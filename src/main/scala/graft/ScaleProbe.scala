@@ -129,6 +129,8 @@ object ScaleProbe {
           "semdd" -> (() =>
             LlmSim.semDedup(ev, exactFold = false, cellDims = grownDims)),
           "semddK0" -> (() => LlmSim.semDedup(ev, exactFold = false)),
+          "lblnoise" -> (() =>
+            LlmSim.labelNoise(ev, cellDims = grownDims)),
           "brute" -> (() => LlmSim.knnBrute(ev))).foreach { case (n, f) =>
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()

@@ -296,11 +296,12 @@ object LlmSim {
     * 100 TB the cell width grows with the corpus exactly like
     * [[semDedup]]'s codebook. Keep in sync with
     * [[LlmSimSql.labelNoiseSql]]. */
-  def labelNoise(embeddings: DataFrame, k: Int = LabelK): DataFrame = {
+  def labelNoise(embeddings: DataFrame, k: Int = LabelK,
+      cellDims: Int = IvfDims): DataFrame = {
     val ec = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("cell", cell(col("v")))
+      .withColumn("cell", cell(col("v"), cellDims))
     val a = ec.select(col("cell"), col("vec_id"), col("v"), col("norm"),
       col("label"))
     val b = ec.select(col("cell"), col("vec_id").as("nid"),
