@@ -199,7 +199,7 @@ object LlmSim {
     * entirely map-side: the codebook collapses to a single broadcast
     * row holding the cent_id-sorted centroid array, and each vector
     * folds over it picking the best round(cosine, 6) (ties → first =
-    * smallest cent_id, identical to the window's (sim_r desC, cent_id)
+    * smallest cent_id, identical to the window's (sim_r desc, cent_id)
     * order). No (corpus × k) row blowup, no array-carrying shuffle —
     * the assignment stage stays O(corpus) rows regardless of k, which
     * is what lets [[semDedup]]'s codebook grow with the corpus. */
