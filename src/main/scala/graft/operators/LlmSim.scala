@@ -298,18 +298,32 @@ object LlmSim {
     * [[LlmSimSql.labelNoiseSql]]. */
   def labelNoise(embeddings: DataFrame, k: Int = LabelK,
       cellDims: Int = IvfDims): DataFrame = {
-    val ec = embeddings.select(col("vec_id"),
+    val ec = labeled(embeddings, cellDims)
+    labelVerdicts(ec, ec, k)
+  }
+
+  /** The (cell, vec_id, v, norm, label) projection shared by
+    * [[labelNoise]] and the streaming audit. */
+  private[graft] def labeled(embeddings: DataFrame,
+      cellDims: Int): DataFrame =
+    embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
       .withColumn("cell", cell(col("v"), cellDims))
-    val a = ec.select(col("cell"), col("vec_id"), col("v"), col("norm"),
-      col("label"))
-    val b = ec.select(col("cell"), col("vec_id").as("nid"),
+
+  /** [[labelNoise]]'s kernel: verdicts for every `left` vector whose
+    * neighbor candidates come from `right` (same-id pairs excluded, so
+    * left ≡ right is the batch self-screen and a disjoint `right` is
+    * the audit-against-reference shape). Both frames must be
+    * [[labeled]] projections built with the same cell width. */
+  private[graft] def labelVerdicts(left: DataFrame, right: DataFrame,
+      k: Int = LabelK): DataFrame = {
+    val b = right.select(col("cell"), col("vec_id").as("nid"),
       col("v").as("nv"), col("norm").as("nn"),
       col("label").as("nlabel"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_r").desc, col("nid"))
-    val topk = a.join(b, Seq("cell"))
+    val topk = left.join(b, Seq("cell"))
       .filter(col("vec_id") =!= col("nid"))
       .withColumn("cos_r",
         round(dot(col("v"), col("nv")) / (col("norm") * col("nn")), 6))
