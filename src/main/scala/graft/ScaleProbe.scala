@@ -131,6 +131,9 @@ object ScaleProbe {
           "semddK0" -> (() => LlmSim.semDedup(ev, exactFold = false)),
           "lblnoise" -> (() =>
             LlmSim.labelNoise(ev, cellDims = grownDims)),
+          // quant is a pure per-row projection — the probe documents
+          // that it stays shuffle-free (flat per-row cost) at K×
+          "quant" -> (() => LlmSim.embedQuant(ev)),
           "brute" -> (() => LlmSim.knnBrute(ev))).foreach { case (n, f) =>
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()
@@ -206,6 +209,13 @@ object ScaleProbe {
         // queries; scale term is the posting scan, same as bm25
         time("bm25_multi")(
           LlmPrep.bm25Multi(d, LlmPrep.bm25FixtureQueries(d)))
+        // corpus ops: shuffle-shard is one hash projection + the shard
+        // exchange the export write needs anyway; unigram LM is two
+        // term-keyed shuffles (count + score join); substr_dup is the
+        // span-df window — all should stay ~linear in corpus size
+        time("shards")(LlmCorpus.shuffleShards(d))
+        time("unigram_lm")(LlmCorpus.unigramLm(d))
+        time("substr_dup")(LlmCorpus.substrDup(d))
       }
       release()
     }

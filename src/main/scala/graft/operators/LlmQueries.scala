@@ -57,7 +57,11 @@ object LlmQueries {
     }),
     "llm_chunk" -> ((s, d) => LlmPrep.chunk(docs(s, d))),
     "llm_boilerplate" -> ((s, d) => LlmPrep.boilerplateScrub(docs(s, d))),
-    "llm_bpe_pairs" -> ((s, d) => LlmPrep.bpePairs(docs(s, d))))
+    "llm_bpe_pairs" -> ((s, d) => LlmPrep.bpePairs(docs(s, d))),
+    "llm_shuffle_shards" -> ((s, d) => LlmCorpus.shuffleShards(docs(s, d))),
+    "llm_unigram_lm" -> ((s, d) => LlmCorpus.unigramLm(docs(s, d))),
+    "llm_substr_dup" -> ((s, d) => LlmCorpus.substrDup(docs(s, d))),
+    "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
@@ -90,5 +94,9 @@ object LlmQueries {
     "llm_bm25_multi" -> LlmPrepSql.bm25MultiSql,
     "llm_chunk" -> LlmPrepSql.chunkSql,
     "llm_boilerplate" -> LlmPrepSql.boilerplateSql,
-    "llm_bpe_pairs" -> LlmPrepSql.bpePairsSql)
+    "llm_bpe_pairs" -> LlmPrepSql.bpePairsSql,
+    "llm_shuffle_shards" -> LlmCorpusSql.shuffleShardsSql,
+    "llm_unigram_lm" -> LlmCorpusSql.unigramLmSql,
+    "llm_substr_dup" -> LlmCorpusSql.substrDupSql,
+    "llm_embed_quant" -> LlmSimSql.embedQuantSql)
 }

@@ -339,6 +339,32 @@ object LlmSim {
         col("nlabel").as("neigh_label"),
         (col("nlabel") === col("label")).as("agree"))
   }
+
+  /** Int8 symmetric-quantization audit per embedding: the per-vector
+    * scale (max |x| / 127) and the RMS reconstruction error of
+    * round-to-nearest int8 quantization. The audit a pipeline runs
+    * before shipping a quantized ANN index — vectors whose rms_err is
+    * an outlier (heavy-tailed coordinates) need a different codec.
+    *
+    * Pure per-row projection: no shuffle, no state — embarrassingly
+    * parallel at any scale. Determinism: the quantized value is spelled
+    * floor(x/scale + 0.5) (identical IEEE ops in both engines — no
+    * engine-specific rounding mode), the squared error is a
+    * multiplication (exact), and the error sum is the same
+    * left-to-right fold as the [[dot]] kernel. Keep in sync with
+    * [[LlmSimSql.embedQuantSql]]. */
+  def embedQuant(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", col("amax") / 127)
+      .withColumn("sqerr", when(col("amax") === 0, lit(0.0)).otherwise(
+        expr("""aggregate(v, cast(0.0 as double), (acc, x) ->
+          acc + (x - floor(x / scale + 0.5) * scale)
+              * (x - floor(x / scale + 0.5) * scale))""")))
+      .select(col("vec_id"), size(col("v")).cast("long").as("n_dims"),
+        round(col("scale"), 6).as("scale"),
+        round(sqrt(col("sqerr") / size(col("v"))), 6).as("rms_err"))
 }
 
 /** DuckDB twin of [[LlmSim]]. The dot product is spelled as the same
@@ -484,4 +510,27 @@ object LlmSimSql {
     SELECT vec_id, label, nlabel AS neigh_label,
       nlabel = label AS agree
     FROM top1 WHERE vr = 1"""
+
+  /** Twin of [[LlmSim.embedQuant]]: same floor(x/scale + 0.5)
+    * quantization, exact-multiplication squared error, same
+    * left-to-right fold. */
+  val embedQuantSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    a AS (SELECT vec_id, v,
+      list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+      FROM e),
+    s AS (SELECT vec_id, v, amax, amax / 127 AS scale FROM a),
+    q AS (SELECT vec_id, len(v) AS n_dims, scale,
+      CASE WHEN amax = 0 THEN 0.0 ELSE
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(v, x ->
+            (x - floor(x / scale + 0.5) * scale)
+              * (x - floor(x / scale + 0.5) * scale))),
+          (acc, x) -> acc + x) END AS sqerr
+      FROM s)
+    SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+      round(scale, 6) AS scale,
+      round(sqrt(sqerr / n_dims), 6) AS rms_err
+    FROM q"""
 }
