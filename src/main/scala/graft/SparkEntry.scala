@@ -52,6 +52,8 @@ object SparkEntry {
     "llm_textstats",
     "llm_contamination",
     "llm_bm25",
+    "llm_unigram_lm",
+    "llm_substr_dup",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —
     // and the 3-site heterogeneous fleet (the production entry point)

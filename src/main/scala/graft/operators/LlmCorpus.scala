@@ -81,21 +81,37 @@ object LlmCorpus {
     * hot terms fan out but never explode), then aggregates per doc.
     * No driver-side model object: the "model" is a DataFrame. */
   def unigramLm(documents: DataFrame): DataFrame = {
-    val t = documents
+    val cnt = unigramCounts(documents)
+    unigramScore(documents, cnt,
+      cnt.agg(sum(col("c")).as("n_total"), count(lit(1)).as("v_size")))
+  }
+
+  /** The trained unigram LM: (tok, c) corpus term counts — one shuffle
+    * keyed by term. The "model" both [[unigramLm]] and the streaming
+    * quality screen score against. */
+  def unigramCounts(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+  /** Score `documents` against a trained LM (`cnt` = (tok, c), `stats`
+    * = one (n_total, v_size) row): add-one smoothing, so a token
+    * UNSEEN in training scores ln(1) - ln(N + V) — the left join +
+    * coalesce(0) is what makes out-of-vocabulary scoring well-defined
+    * when the scored stream is not the training corpus. */
+  def unigramScore(documents: DataFrame, cnt: DataFrame,
+      stats: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-    val cnt = t.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val stats = cnt.agg(sum(col("c")).as("n_total"),
-      count(lit(1)).as("v_size"))
-    t.join(cnt, "tok")
+      .join(cnt, Seq("tok"), "left")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        (log(col("c") + 1) - log(col("n_total") + col("v_size")))
-          .as("logp"))
+        (log(coalesce(col("c"), lit(0L)) + 1) -
+          log(col("n_total") + col("v_size"))).as("logp"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         round(avg(col("logp")), 6).as("avg_logp"),
         round(exp(-avg(col("logp"))), 6).as("ppl"))
-  }
 
   /** Duplicated-span gram length (tokens) for [[substrDup]]: any
     * verbatim shared token span of ≥ DupN tokens is caught regardless
