@@ -148,6 +148,148 @@ object LlmCorpus {
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
       .withColumn("dup_ratio", round(col("n_dup") / col("n_spans"), 6))
   }
+
+  /** Trusted-source fixture set for [[qualityClf]]: the classifier's
+    * positive class is "documents from these sources" — the
+    * WebText/CCNet recipe where a curated reference corpus defines
+    * "high quality" and the model generalizes that judgment to
+    * everything else. A real pipeline passes its own curated-source
+    * list; the fixture keeps the operator runnable (and
+    * oracle-checkable) on the one `documents` table. */
+  val TrustedSources: Seq[String] = (1 to 5).map(i => s"src$i")
+
+  /** Per-token class counts of the naive-Bayes quality model:
+    * (tok, c_pos, c_neg) where `c_pos` counts occurrences inside
+    * trusted-source documents. One shuffle keyed by token,
+    * vocab-sized result — the trained "model" is a DataFrame, never a
+    * driver object, exactly like [[unigramCounts]]. */
+  def nbCounts(documents: DataFrame, trusted: Seq[String]): DataFrame =
+    documents
+      .select(col("source").isin(trusted: _*).as("trusted"),
+        explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(sum(when(col("trusted"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("trusted"), 1L).otherwise(0L)).as("c_neg"))
+
+  /** One-row model statistics for [[nbScore]]: class token totals and
+    * vocabulary size from `cnt`, class document counts (the prior)
+    * from `documents`. Both classes must be non-empty — a one-class
+    * "classifier" has no log-odds to score. */
+  def nbStats(documents: DataFrame, cnt: DataFrame,
+      trusted: Seq[String]): DataFrame =
+    cnt.agg(sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),
+        count(lit(1)).as("v_size"))
+      .crossJoin(documents.agg(
+        sum(when(col("source").isin(trusted: _*), 1L).otherwise(0L))
+          .as("d_pos"),
+        sum(when(!col("source").isin(trusted: _*), 1L).otherwise(0L))
+          .as("d_neg")))
+
+  /** Score `documents` against a trained naive-Bayes quality model
+    * (`cnt` = [[nbCounts]], `stats` = [[nbStats]]): per-token
+    * log-odds with add-one smoothing plus the class-prior log-ratio;
+    * `pred` is the classifier's accept verdict (score > 0). A token
+    * UNSEEN in training contributes the smoothed floor odds — the
+    * left join + coalesce(0) that makes scoring a NEW stream against
+    * a frozen model well-defined, same contract as [[unigramScore]].
+    *
+    * Scale shape: the model is vocab-sized and broadcast-joined into
+    * the posting scan (stats is one row); the only corpus-sized
+    * shuffle is the per-doc aggregation. */
+  def nbScore(documents: DataFrame, cnt: DataFrame,
+      stats: DataFrame): DataFrame = {
+    val logOdds =
+      log(coalesce(col("c_pos"), lit(0L)) + 1) -
+        log(col("n_pos") + col("v_size")) -
+        log(coalesce(col("c_neg"), lit(0L)) + 1) +
+        log(col("n_neg") + col("v_size"))
+    val prior = log(col("d_pos")) - log(col("d_neg"))
+    documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .join(broadcast(cnt), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("d_pos"), col("d_neg"),
+        logOdds.as("lo"))
+      .groupBy(col("doc_id"), col("d_pos"), col("d_neg"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("lo")).as("slo"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(prior + col("slo"), 6).as("score"),
+        (prior + col("slo") > 0).as("pred"))
+  }
+
+  /** Naive-Bayes quality classifier — the fastText/WebText-style
+    * quality-filter shape: train token log-odds on
+    * trusted-vs-untrusted sources, score every document, emit the
+    * accept verdict. Train = [[nbCounts]] + [[nbStats]] (one
+    * vocab-keyed shuffle + two one-row aggregates), score =
+    * [[nbScore]] (model broadcast into the posting scan) — split so a
+    * streaming screen can score arrivals against a frozen model. */
+  def qualityClf(documents: DataFrame,
+      trusted: Seq[String] = TrustedSources): DataFrame = {
+    val cnt = nbCounts(documents, trusted)
+    nbScore(documents, cnt, nbStats(documents, cnt, trusted))
+  }
+
+  /** Keywords kept per document by [[keywords]]. */
+  val KeywordsK = 3
+
+  /** Per-document TF-IDF keyword extraction — the topic-tagging /
+    * index-term signal: `tfidf = tf * (ln((N+1)/(df+1)) + 1)` (the
+    * smoothed-idf variant that never goes negative), top
+    * [[KeywordsK]] terms per document, ties broken by term.
+    *
+    * Scale shape: tf is one (doc_id, term)-keyed aggregation over the
+    * posting scan; df reuses tf's result (one row per (doc, term), so
+    * counting rows per term IS document frequency — no second corpus
+    * scan); N is a one-row broadcast; the rank window partitions by
+    * doc_id, so no global ordering is ever materialized. All linear
+    * in corpus size. */
+  def keywords(documents: DataFrame, k: Int = KeywordsK): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = documents.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfc, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .withColumn("tfidf",
+        col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+            lit(1.0)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"), col("rk"))
+  }
+
+  /** Encode every document into vocabulary token ids — the
+    * tokenize-to-ids step a trainer runs before [[LlmPrep.pack]]:
+    * each token becomes the rank of its entry in the
+    * [[LlmPrep.vocab]] table (1 = most frequent), out-of-vocabulary
+    * tokens become id 0 (the UNK convention). Output is one row per
+    * token: (doc_id, pos, token_id) with `pos` 1-based within the
+    * document.
+    *
+    * Scale shape: the vocab is top-k bounded by construction and
+    * broadcast into the token scan; `pos` comes from posexplode (a
+    * per-row generator, no shuffle) — encoding is map-side after the
+    * one vocab-build aggregation. */
+  def vocabEncode(documents: DataFrame,
+      k: Int = LlmPrep.VocabSize): DataFrame = {
+    val ids = LlmPrep.vocab(documents, k)
+      .select(col("token").as("tok"), col("rank").as("token_id"))
+    documents
+      .select(col("doc_id"), posexplode(toks(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+      .join(broadcast(ids), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("token_id"), lit(0L)).as("token_id"))
+  }
 }
 
 /** DuckDB twin of [[LlmCorpus]] — same hash family, same window/stride
@@ -201,4 +343,59 @@ object LlmCorpusSql {
       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*), 6)
         AS dup_ratio
     FROM pdf GROUP BY doc_id"""
+
+  private val trustedInSql =
+    TrustedSources.map(s => s"'$s'").mkString(", ")
+
+  val qualityClfSql: String =
+    s"""WITH t AS (SELECT doc_id, source IN ($trustedInSql) AS trusted,
+      unnest($toksSql) AS tok FROM documents),
+    cnt AS (SELECT tok,
+      sum(CASE WHEN trusted THEN 1 ELSE 0 END) AS c_pos,
+      sum(CASE WHEN NOT trusted THEN 1 ELSE 0 END) AS c_neg
+      FROM t GROUP BY tok),
+    st AS (SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+      count(*) AS v_size FROM cnt),
+    d AS (SELECT
+      sum(CASE WHEN source IN ($trustedInSql) THEN 1 ELSE 0 END) AS d_pos,
+      sum(CASE WHEN source NOT IN ($trustedInSql) THEN 1 ELSE 0 END)
+        AS d_neg
+      FROM documents),
+    sc AS (SELECT doc_id,
+      ln(c_pos + 1) - ln(n_pos + v_size)
+        - ln(c_neg + 1) + ln(n_neg + v_size) AS lo
+      FROM t JOIN cnt USING (tok) CROSS JOIN st)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      round(ln(d_pos) - ln(d_neg) + sum(lo), 6) AS score,
+      (ln(d_pos) - ln(d_neg) + sum(lo)) > 0 AS pred
+    FROM sc CROSS JOIN d GROUP BY doc_id, d_pos, d_neg"""
+
+  val keywordsSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    x AS (SELECT doc_id, term,
+      tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN dfc USING (term) CROSS JOIN nd),
+    r AS (SELECT doc_id, term, tfidf,
+      CAST(row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+      FROM x)
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, rk
+    FROM r WHERE rk <= $KeywordsK"""
+
+  val vocabEncodeSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok,
+      generate_subscripts(toks, 1) AS pos FROM tk),
+    cnt AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+    v AS (SELECT tok,
+      CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+        AS token_id
+      FROM cnt ORDER BY n DESC, tok LIMIT ${LlmPrep.VocabSize})
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+      CAST(coalesce(token_id, 0) AS BIGINT) AS token_id
+    FROM t LEFT JOIN v USING (tok)"""
 }

@@ -61,6 +61,9 @@ object LlmQueries {
     "llm_shuffle_shards" -> ((s, d) => LlmCorpus.shuffleShards(docs(s, d))),
     "llm_unigram_lm" -> ((s, d) => LlmCorpus.unigramLm(docs(s, d))),
     "llm_substr_dup" -> ((s, d) => LlmCorpus.substrDup(docs(s, d))),
+    "llm_quality_clf" -> ((s, d) => LlmCorpus.qualityClf(docs(s, d))),
+    "llm_keywords" -> ((s, d) => LlmCorpus.keywords(docs(s, d))),
+    "llm_vocab_encode" -> ((s, d) => LlmCorpus.vocabEncode(docs(s, d))),
     "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))))
 
   val oracles: Map[String, String] = Map(
@@ -98,5 +101,8 @@ object LlmQueries {
     "llm_shuffle_shards" -> LlmCorpusSql.shuffleShardsSql,
     "llm_unigram_lm" -> LlmCorpusSql.unigramLmSql,
     "llm_substr_dup" -> LlmCorpusSql.substrDupSql,
+    "llm_quality_clf" -> LlmCorpusSql.qualityClfSql,
+    "llm_keywords" -> LlmCorpusSql.keywordsSql,
+    "llm_vocab_encode" -> LlmCorpusSql.vocabEncodeSql,
     "llm_embed_quant" -> LlmSimSql.embedQuantSql)
 }

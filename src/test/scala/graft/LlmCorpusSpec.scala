@@ -108,4 +108,102 @@ class LlmCorpusSpec extends GraftSuite {
     assert(out(1L) == ((3L, r6(s), r6(rms))))
     assert(out(2L) == ((2L, 0.0, 0.0)), "zero vector quantizes exactly")
   }
+
+  private def r6(x: Double) = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("qualityClf matches a single-threaded naive-Bayes reference") {
+    val corpus = Seq(
+      (1L, "good good clean", "srcA"),
+      (2L, "good spam", "srcA"),
+      (3L, "spam spam junk", "srcB"),
+      (4L, "clean junk", "srcB"))
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val out = LlmCorpus.qualityClf(docs, trusted = Seq("srcA")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("score"),
+          r.getAs[Boolean]("pred")))).toMap
+    // single-threaded reference over the same contract
+    val toks = corpus.map { case (id, t, s) =>
+      (id, t.split("\\s+").toSeq, s == "srcA")
+    }
+    val cPos = toks.filter(_._3).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cNeg = toks.filterNot(_._3).flatMap(_._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocab = (cPos.keySet ++ cNeg.keySet)
+    val (nPos, nNeg, v) = (cPos.values.sum, cNeg.values.sum,
+      vocab.size.toLong)
+    val prior = math.log(2.0) - math.log(2.0)
+    def lo(t: String) =
+      math.log(cPos.getOrElse(t, 0L) + 1.0) - math.log(nPos + v.toDouble) -
+        math.log(cNeg.getOrElse(t, 0L) + 1.0) + math.log(nNeg + v.toDouble)
+    toks.foreach { case (id, ts, _) =>
+      val score = prior + ts.map(lo).sum
+      assert(out(id)._1 == ts.size.toLong)
+      assert(math.abs(out(id)._2 - score) < 1e-6, s"doc $id")
+      assert(out(id)._3 == (score > 0), s"doc $id pred")
+    }
+    // trusted-language docs score positive, junk-heavy ones negative
+    assert(out(1L)._3 && !out(3L)._3)
+  }
+
+  test("nbScore gives unseen tokens the smoothed floor odds") {
+    val train = Seq(
+      (1L, "good clean", "srcA"),
+      (2L, "spam junk", "srcB")).toDF("doc_id", "text", "source")
+    val cnt = LlmCorpus.nbCounts(train, Seq("srcA"))
+    val stats = LlmCorpus.nbStats(train, cnt, Seq("srcA"))
+    val fresh = Seq((9L, "novel novel")).toDF("doc_id", "text")
+    val out = LlmCorpus.nbScore(fresh, cnt, stats).collect()
+    assert(out.length == 1)
+    // c_pos = c_neg = 0, n_pos = n_neg = 2, V = 4 → every term of the
+    // log-odds cancels pairwise; prior ln(1/1) = 0 → score exactly 0,
+    // pred false (strict >)
+    assert(out.head.getAs[Double]("score") == 0.0)
+    assert(!out.head.getAs[Boolean]("pred"))
+  }
+
+  test("keywords ranks by tf-idf with term tiebreak") {
+    val docs = Seq(
+      (1L, "alpha alpha common beta"),
+      (2L, "common beta"),
+      (3L, "common gamma gamma gamma"),
+      (4L, "zed yed")).toDF("doc_id", "text")
+    val out = LlmCorpus.keywords(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        ((r.getAs[String]("term"), r.getAs[Double]("tfidf")))).toMap
+    // N=4; df: common=3 beta=2 alpha=1 gamma=1 zed=1 yed=1
+    def idf(df: Long) = math.log(5.0 / (df + 1.0)) + 1.0
+    assert(out((1L, 1L)) == (("alpha", r6(2 * idf(1)))))
+    assert(out((1L, 2L)) == (("beta", r6(idf(2)))))
+    assert(out((1L, 3L)) == (("common", r6(idf(3)))))
+    assert(out((3L, 1L)) == (("gamma", r6(3 * idf(1)))))
+    assert(out((3L, 2L)) == (("common", r6(idf(3)))))
+    // doc 4: zed and yed tie on tfidf → term-asc breaks it
+    assert(out((4L, 1L))._1 == "yed" && out((4L, 2L))._1 == "zed")
+    // doc 2 has only two terms — no rank 3 row
+    assert(!out.contains((2L, 3L)) && out((2L, 1L))._1 == "beta")
+  }
+
+  test("vocabEncode maps tokens to vocab ranks with OOV id 0") {
+    val docs = Seq((1L, "b a b c b a"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=3 b=3 c=1 d=1; k=2 → vocab rank 1 = a, 2 = b
+    // (count desc, token asc); c and d are out-of-vocabulary
+    val out = LlmCorpus.vocabEncode(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")) ->
+        r.getAs[Long]("token_id")).toMap
+    assert(out == Map(
+      (1L, 1L) -> 2L, (1L, 2L) -> 1L, (1L, 3L) -> 2L,
+      (1L, 4L) -> 0L, (1L, 5L) -> 2L, (1L, 6L) -> 1L,
+      (2L, 1L) -> 1L, (2L, 2L) -> 0L))
+  }
+
+  test("vocabEncode positions are 1-based and contiguous per doc") {
+    val docs = Seq((1L, "x  y\tz"), (2L, "")).toDF("doc_id", "text")
+    val pos = LlmCorpus.vocabEncode(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("pos")).sorted.toSeq).toMap
+    assert(pos == Map(1L -> Seq(1L, 2L, 3L)), "empty doc emits no rows")
+  }
 }
