@@ -216,6 +216,13 @@ object ScaleProbe {
         time("shards")(LlmCorpus.shuffleShards(d))
         time("unigram_lm")(LlmCorpus.unigramLm(d))
         time("substr_dup")(LlmCorpus.substrDup(d))
+        // classifier/keywords/encode: all posting-scan shaped — one
+        // term-keyed shuffle plus a broadcast model (clf), a
+        // doc-partitioned rank window (keywords), a broadcast vocab
+        // join (encode) — each should stay ~linear in corpus size
+        time("quality_clf")(LlmCorpus.qualityClf(d))
+        time("keywords")(LlmCorpus.keywords(d))
+        time("vocab_encode")(LlmCorpus.vocabEncode(d))
       }
       release()
     }

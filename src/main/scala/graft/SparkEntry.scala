@@ -54,6 +54,8 @@ object SparkEntry {
     "llm_bm25",
     "llm_unigram_lm",
     "llm_substr_dup",
+    "llm_quality_clf",
+    "llm_vocab_encode",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —
     // and the 3-site heterogeneous fleet (the production entry point)

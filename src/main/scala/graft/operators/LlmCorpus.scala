@@ -193,9 +193,12 @@ object LlmCorpus {
     * left join + coalesce(0) that makes scoring a NEW stream against
     * a frozen model well-defined, same contract as [[unigramScore]].
     *
-    * Scale shape: the model is vocab-sized and broadcast-joined into
-    * the posting scan (stats is one row); the only corpus-sized
-    * shuffle is the per-doc aggregation. */
+    * Scale shape: the model join is a term-keyed equi-join (the model
+    * is vocab-sized — sublinear in corpus size but unbounded, so it is
+    * NOT broadcast-hinted; AQE broadcasts it whenever it fits, and
+    * falls back to a linear shuffle join when a 100 TB corpus's
+    * vocabulary doesn't); stats is one broadcast row; the only
+    * corpus-sized shuffle is the per-doc aggregation. */
   def nbScore(documents: DataFrame, cnt: DataFrame,
       stats: DataFrame): DataFrame = {
     val logOdds =
@@ -206,7 +209,7 @@ object LlmCorpus {
     val prior = log(col("d_pos")) - log(col("d_neg"))
     documents
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-      .join(broadcast(cnt), Seq("tok"), "left")
+      .join(cnt, Seq("tok"), "left")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("d_pos"), col("d_neg"),
         logOdds.as("lo"))
@@ -223,8 +226,8 @@ object LlmCorpus {
     * trusted-vs-untrusted sources, score every document, emit the
     * accept verdict. Train = [[nbCounts]] + [[nbStats]] (one
     * vocab-keyed shuffle + two one-row aggregates), score =
-    * [[nbScore]] (model broadcast into the posting scan) — split so a
-    * streaming screen can score arrivals against a frozen model. */
+    * [[nbScore]] (model equi-joined into the posting scan) — split so
+    * a streaming screen can score arrivals against a frozen model. */
   def qualityClf(documents: DataFrame,
       trusted: Seq[String] = TrustedSources): DataFrame = {
     val cnt = nbCounts(documents, trusted)
