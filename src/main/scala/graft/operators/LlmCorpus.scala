@@ -230,7 +230,9 @@ object LlmCorpus {
     * a streaming screen can score arrivals against a frozen model. */
   def qualityClf(documents: DataFrame,
       trusted: Seq[String] = TrustedSources): DataFrame = {
-    val cnt = nbCounts(documents, trusted)
+    // pinned: cnt feeds both the stats aggregate and the score join —
+    // without the pin the training scan would run twice
+    val cnt = CacheScope.pin(nbCounts(documents, trusted))
     nbScore(documents, cnt, nbStats(documents, cnt, trusted))
   }
 
@@ -243,21 +245,23 @@ object LlmCorpus {
     * [[KeywordsK]] terms per document, ties broken by term.
     *
     * Scale shape: tf is one (doc_id, term)-keyed aggregation over the
-    * posting scan; df reuses tf's result (one row per (doc, term), so
-    * counting rows per term IS document frequency — no second corpus
-    * scan); N is a one-row broadcast; the rank window partitions by
-    * doc_id, so no global ordering is ever materialized. All linear
-    * in corpus size. */
+    * posting scan; df is a count window over tf keyed by term (one
+    * row per (doc, term), so counting rows per term IS document
+    * frequency — same one-pass trick as [[substrDup]]'s span df, and
+    * it avoids both a second posting scan and a tf⋈df self-join); N
+    * is a one-row broadcast; the rank window partitions by doc_id, so
+    * no global ordering is ever materialized. All linear in corpus
+    * size. */
   def keywords(documents: DataFrame, k: Int = KeywordsK): DataFrame = {
     val tf = documents
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = documents.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(dfc, Seq("term"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nd))
       .withColumn("tfidf",
         col("tf") *
