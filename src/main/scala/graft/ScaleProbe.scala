@@ -134,6 +134,10 @@ object ScaleProbe {
           // quant is a pure per-row projection — the probe documents
           // that it stays shuffle-free (flat per-row cost) at K×
           "quant" -> (() => LlmSim.embedQuant(ev)),
+          // exact broadcast-eval screen: linear in corpus size with an
+          // n_eval multiplier (eval side grows with the K× fixture
+          // here; production eval suites are fixed-size)
+          "contam" -> (() => LlmSim.contaminationEmbed(ev)),
           "brute" -> (() => LlmSim.knnBrute(ev))).foreach { case (n, f) =>
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()

@@ -30,6 +30,8 @@ object LlmQueries {
     "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))),
     "llm_knn_ivf2" -> ((s, d) => LlmSim.knnIvfTrained(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
+    "llm_contamination_embed" ->
+      ((s, d) => LlmSim.contaminationEmbed(embs(s, d))),
     "llm_semdedup" -> ((s, d) => LlmSim.semDedup(embs(s, d))),
     "llm_label_noise" -> ((s, d) => LlmSim.labelNoise(embs(s, d))),
     "llm_multimodal" -> ((s, d) => Multimodal.mediaStats(docs(s, d))),
@@ -79,6 +81,7 @@ object LlmQueries {
     "llm_knn_ivf" -> LlmSimSql.knnIvfSql,
     "llm_knn_ivf2" -> LlmSimSql.knnIvfTrainedSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
+    "llm_contamination_embed" -> LlmSimSql.contaminationEmbedSql,
     "llm_semdedup" -> LlmSimSql.semDedupSql,
     "llm_label_noise" -> LlmSimSql.labelNoiseSql,
     "llm_multimodal" -> MultimodalSql.mediaStatsSql,

@@ -97,6 +97,39 @@ object LlmSim {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Semantic eval-set contamination — the embedding-space analogue of
+    * [[LlmPrep.contamination]]: a TRAIN vector whose cosine to any EVAL
+    * vector reaches [[EmbedDupThreshold]] is a paraphrase-contamination
+    * suspect the n-gram screen cannot see (same split convention:
+    * vec_id ≡ 0 mod [[QueryMod]] plays the held-out eval set).
+    * Output is the contamination edge list (eval_id, train_id, cosine).
+    *
+    * Scale shape: deliberately EXACT, not cell-bucketed — an eval
+    * suite is bounded by construction (thousands of rows, not corpus-
+    * scale), so broadcasting it turns the screen into one linear scan
+    * of the corpus with n_eval dot products per row and ZERO recall
+    * loss; decontamination is recall-critical, which is why the
+    * quantizer-cell shortcut ([[dedupEmbed]]'s shape) is wrong here —
+    * a contaminated pair straddling a cell boundary must still be
+    * caught. The threshold reuses [[EmbedDupThreshold]]'s calibration
+    * to the synthetic corpus (max pairwise cosine ≈ 0.51); production
+    * would use ~0.9. */
+  def contaminationEmbed(embeddings: DataFrame,
+      evalMod: Int = QueryMod,
+      threshold: Double = EmbedDupThreshold): DataFrame = {
+    val e = withVec(embeddings)
+    val ev = e.filter(col("vec_id") % evalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("norm").as("en"))
+    e.filter(col("vec_id") % evalMod =!= 0)
+      .select(col("vec_id").as("train_id"), col("v"), col("norm"))
+      .crossJoin(broadcast(ev))
+      .withColumn("cosine",
+        round(dot(col("v"), col("ev")) / (col("norm") * col("en")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("eval_id"), col("train_id"), col("cosine"))
+  }
+
   /** IVF(nprobe=1) top-k: candidates share the query's quantizer cell. */
   def knnIvf(embeddings: DataFrame): DataFrame = {
     val e = withVec(embeddings).withColumn("cell", cell(col("v")))
@@ -412,6 +445,18 @@ object LlmSimSql {
       round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) AS cosine
       FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, cosine FROM pairs
+    WHERE cosine >= ${LlmSim.EmbedDupThreshold}"""
+
+  val contaminationEmbedSql: String =
+    s"""WITH $eCte,
+    ev AS (SELECT vec_id AS eval_id, v AS ev, norm AS en FROM e
+           WHERE vec_id % $QueryMod = 0),
+    tr AS (SELECT vec_id AS train_id, v, norm FROM e
+           WHERE vec_id % $QueryMod <> 0),
+    pairs AS (SELECT eval_id, train_id,
+      round(${dot("v", "ev")} / (norm * en), 6) AS cosine
+      FROM tr, ev)
+    SELECT eval_id, train_id, cosine FROM pairs
     WHERE cosine >= ${LlmSim.EmbedDupThreshold}"""
 
   val knnIvfSql: String =

@@ -236,6 +236,40 @@ class LlmSpec extends GraftSuite {
     assert(out.last.getAs[Double]("cosine") == -1.0)
   }
 
+  test("contaminationEmbed flags only train-eval pairs over threshold") {
+    // ids ≡ 0 mod 20 play the eval set; the rest are train
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),    // eval, x-axis
+      (20L, Array(0.0f, 1.0f)),   // eval, y-axis
+      (1L, Array(0.9f, 0.1f)),    // near eval 0
+      (2L, Array(-1.0f, 0.0f)),   // opposite of eval 0
+      (3L, Array(0.1f, 0.9f)))    // near eval 20
+      .toDF("vec_id", "embedding")
+    val out = LlmSim.contaminationEmbed(vecs, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val near = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    // only the two near pairs survive; eval-eval and train-train pairs
+    // are never emitted, nor is the anti-correlated train vector
+    assert(out.keySet == Set((0L, 1L), (20L, 3L)))
+    assert(out((0L, 1L)) == r6(near) && out((20L, 3L)) == r6(near))
+  }
+
+  test("contaminationEmbed catches pairs a cell-bucketed screen drops") {
+    // train vector 1 sits across the sign boundary from eval 0 in dim 1
+    // (different quantizer cell) yet is ~identical by cosine — the
+    // recall case the scaladoc names as the reason the screen is exact
+    val vecs = Seq(
+      (0L, Array(0.001f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(-0.001f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = LlmSim.contaminationEmbed(vecs).collect()
+    assert(out.length == 1 &&
+      out.head.getAs[Double]("cosine") > 0.99)
+  }
+
   test("ivf probes only the query's sign cell") {
     val vecs = Seq(
       (0L, Array(1.0f, 1.0f, 1.0f, 1.0f, 0.5f)),
