@@ -273,6 +273,45 @@ object LlmCorpus {
         round(col("tfidf"), 6).as("tfidf"), col("rk"))
   }
 
+  /** Cross-modality curation report — the final per-document
+    * selection card a corpus release ships: every document with its
+    * verdict from each curation stage and the conjunction that decides
+    * training membership. Stages: text-side curation
+    * ([[LlmText.curate]] — quality + language + near-dup), the
+    * naive-Bayes classifier accept ([[qualityClf]]), embedding-side
+    * semantic dedup ([[LlmSim.semDedup]] keep, vec_id = doc_id), and
+    * semantic eval decontamination ([[LlmSim.contaminationEmbed]] —
+    * a flagged train vector disqualifies its document).
+    *
+    * Scale shape: each stage keeps its own audited plan; the report
+    * itself is four doc_id-keyed left equi-joins over the document
+    * spine — shuffle-bounded at any corpus size, no new hot path. */
+  def curationReport(documents: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val text = LlmText.curate(documents)
+      .select(col("doc_id"), lit(true).as("text_kept"))
+    val clf = qualityClf(documents)
+      .select(col("doc_id"), col("pred").as("clf_kept"))
+    val sem = LlmSim.semDedup(embeddings)
+      .select(col("vec_id").as("doc_id"), col("keep").as("sem_kept"))
+    val contam = LlmSim.contaminationEmbed(embeddings)
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    documents.select(col("doc_id"))
+      .join(text, Seq("doc_id"), "left")
+      .join(clf, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_kept"), lit(false)).as("text_kept"),
+        coalesce(col("clf_kept"), lit(false)).as("clf_kept"),
+        coalesce(col("sem_kept"), lit(false)).as("sem_kept"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .withColumn("kept",
+        col("text_kept") && col("clf_kept") && col("sem_kept") &&
+          !col("contaminated"))
+  }
+
   /** Encode every document into vocabulary token ids — the
     * tokenize-to-ids step a trainer runs before [[LlmPrep.pack]]:
     * each token becomes the rank of its entry in the
@@ -392,6 +431,29 @@ object LlmCorpusSql {
       FROM x)
     SELECT doc_id, term, round(tfidf, 6) AS tfidf, rk
     FROM r WHERE rk <= $KeywordsK"""
+
+  /** Twin of [[LlmCorpus.curationReport]] — each stage's twin runs as
+    * a subquery (DuckDB scopes their CTEs locally), joined over the
+    * document spine exactly like the operator. */
+  val curationReportSql: String =
+    s"""WITH text AS (SELECT doc_id FROM (${LlmTextSql.curateSql()})),
+    clf AS (SELECT doc_id, pred FROM ($qualityClfSql)),
+    sem AS (SELECT vec_id AS doc_id, keep
+      FROM (${LlmSimSql.semDedupSql})),
+    contam AS (SELECT DISTINCT train_id AS doc_id
+      FROM (${LlmSimSql.contaminationEmbedSql}))
+    SELECT d.doc_id,
+      t.doc_id IS NOT NULL AS text_kept,
+      coalesce(c.pred, false) AS clf_kept,
+      coalesce(s.keep, false) AS sem_kept,
+      ct.doc_id IS NOT NULL AS contaminated,
+      (t.doc_id IS NOT NULL AND coalesce(c.pred, false)
+        AND coalesce(s.keep, false) AND ct.doc_id IS NULL) AS kept
+    FROM documents d
+    LEFT JOIN text t ON d.doc_id = t.doc_id
+    LEFT JOIN clf c ON d.doc_id = c.doc_id
+    LEFT JOIN sem s ON d.doc_id = s.doc_id
+    LEFT JOIN contam ct ON d.doc_id = ct.doc_id"""
 
   val vocabEncodeSql: String =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

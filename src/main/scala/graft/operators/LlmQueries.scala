@@ -66,6 +66,8 @@ object LlmQueries {
     "llm_quality_clf" -> ((s, d) => LlmCorpus.qualityClf(docs(s, d))),
     "llm_keywords" -> ((s, d) => LlmCorpus.keywords(docs(s, d))),
     "llm_vocab_encode" -> ((s, d) => LlmCorpus.vocabEncode(docs(s, d))),
+    "llm_curation_report" ->
+      ((s, d) => LlmCorpus.curationReport(docs(s, d), embs(s, d))),
     "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))))
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +109,6 @@ object LlmQueries {
     "llm_quality_clf" -> LlmCorpusSql.qualityClfSql,
     "llm_keywords" -> LlmCorpusSql.keywordsSql,
     "llm_vocab_encode" -> LlmCorpusSql.vocabEncodeSql,
+    "llm_curation_report" -> LlmCorpusSql.curationReportSql,
     "llm_embed_quant" -> LlmSimSql.embedQuantSql)
 }

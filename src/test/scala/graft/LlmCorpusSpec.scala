@@ -199,6 +199,40 @@ class LlmCorpusSpec extends GraftSuite {
       (2L, 1L) -> 1L, (2L, 2L) -> 0L))
   }
 
+  test("curationReport flags agree with each component operator") {
+    import graft.operators.{LlmSim, LlmText}
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val embs = graft.sources.Tables.embeddings(spark, sf)
+    val out = LlmCorpus.curationReport(docs, embs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("text_kept"), r.getAs[Boolean]("clf_kept"),
+          r.getAs[Boolean]("sem_kept"),
+          r.getAs[Boolean]("contaminated"),
+          r.getAs[Boolean]("kept")))).toMap
+    // one row per document, no dup spine rows from the joins
+    assert(out.size == docs.count())
+    val text = LlmText.curate(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val clf = LlmCorpus.qualityClf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("pred"))
+      .toMap
+    val sem = LlmSim.semDedup(embs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep"))
+      .toMap
+    val contam = LlmSim.contaminationEmbed(embs).collect()
+      .map(_.getAs[Long]("train_id")).toSet
+    out.foreach { case (id, (tk, ck, sk, ct, kept)) =>
+      assert(tk == text.contains(id), s"text $id")
+      assert(ck == clf.getOrElse(id, false), s"clf $id")
+      assert(sk == sem.getOrElse(id, false), s"sem $id")
+      assert(ct == contam.contains(id), s"contam $id")
+      assert(kept == (tk && ck && sk && !ct), s"kept $id")
+    }
+    // the report must be a real filter, not all-true/all-false
+    assert(out.values.exists(_._5) && !out.values.forall(_._5))
+  }
+
   test("vocabEncode positions are 1-based and contiguous per doc") {
     val docs = Seq((1L, "x  y\tz"), (2L, "")).toDF("doc_id", "text")
     val pos = LlmCorpus.vocabEncode(docs).collect()
