@@ -56,6 +56,7 @@ object SparkEntry {
     "llm_substr_dup",
     "llm_quality_clf",
     "llm_vocab_encode",
+    "llm_curation_report",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —
     // and the 3-site heterogeneous fleet (the production entry point)
