@@ -118,4 +118,68 @@ object LlmIngest {
     release()
     newDocs.join(rejected, Seq("doc_id"), "left_anti")
   }
+
+  /** Incremental VECTOR ingestion — [[ingestDedup]]'s embedding-side
+    * sibling, the vector-database ingestion flow: near-dedup a new
+    * batch of embeddings against a PERSISTED quantizer-cell index
+    * (cosine ≥ `threshold` to any already-accepted same-cell vector
+    * rejects), then extend the index with the accepted vectors.
+    *
+    * Index layout: one row per (cell, vec_id) carrying the vector and
+    * its norm, bucketed on the cell — the same two-sided scale
+    * argument as the MinHash index: the probe reads only the buckets
+    * the batch's cells hash into ([[ParquetSinks.readBucketsFor]], the
+    * measured-O(batch) machinery of the `ingest` ScaleProbe), and the
+    * append rewrites only those buckets. The cell kernel is
+    * [[LlmSim.cellRows]], shared with the batch-side operators so the
+    * two sides cannot drift. Candidate generation is cell-bucketed
+    * (the [[LlmSim.dedupEmbed]] screen, NOT the exact broadcast of
+    * [[LlmSim.contaminationEmbed]] — ingest dedup is a throughput
+    * screen over an unbounded index, where the equi-join is the only
+    * shape that scales; a boundary-straddling near-dup slipping
+    * through costs a duplicate, not a correctness failure).
+    * Intra-batch near-dups keep the smaller vec_id, greedily, and
+    * re-ingesting a batch is a no-op — both by the [[ingestDedup]]
+    * argument (self-matches excluded, keyed index merge idempotent).
+    */
+  def ingestVectors(spark: SparkSession, newVecs: DataFrame,
+      indexPath: String,
+      threshold: Double = LlmSim.EmbedDupThreshold): DataFrame = {
+    val cos = (va: String, na: String, vb: String, nb: String) =>
+      round(call_function("graft_dot", col(va), col(vb)) /
+        (col(na) * col(nb)), 6)
+    val (rejected, release) = CacheScope.collect {
+      val rows = CacheScope.pin(LlmSim.cellRows(newVecs))
+      val indexExists = {
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      }
+      val dupVsIndex =
+        if (!indexExists) spark.emptyDataFrame
+          .select(lit(0L).as("vec_id")).limit(0)
+        else ParquetSinks.readBucketsFor(spark, indexPath, "cell", rows)
+          .select(col("cell"), col("vec_id").as("idx_id"),
+            col("v").as("iv"), col("norm").as("inorm"))
+          .join(rows, Seq("cell"))
+          .filter(col("vec_id") =!= col("idx_id"))
+          .filter(cos("v", "norm", "iv", "inorm") >= threshold)
+          .select(col("vec_id")).distinct()
+      val dupInBatch = rows.as("x")
+        .join(rows.as("y"),
+          col("x.cell") === col("y.cell") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .filter(cos("x.v", "x.norm", "y.v", "y.norm") >= threshold)
+        .select(col("y.vec_id").as("vec_id")).distinct()
+      // same pre-append barrier + lineage cut as the document ingest
+      val rejectedIds = dupVsIndex.unionByName(dupInBatch).distinct()
+        .localCheckpoint(true)
+      val acceptedRows = rows.join(rejectedIds, Seq("vec_id"), "left_anti")
+        .select(col("cell"), col("vec_id"), col("v"), col("norm"))
+      ParquetSinks.upsertByKeyBucketed(spark, acceptedRows, indexPath,
+        Seq("cell", "vec_id"), "cell")
+      rejectedIds
+    }
+    release()
+    newVecs.join(rejected, Seq("vec_id"), "left_anti")
+  }
 }

@@ -47,6 +47,13 @@ object LlmSim {
       col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
+  /** (vec_id, v, norm, cell) rows of a batch — the quantizer-cell
+    * kernel shared with [[LlmIngest.ingestVectors]] so the index and
+    * probe sides can never drift apart. */
+  private[graft] def cellRows(embeddings: DataFrame,
+      cellDims: Int = IvfDims): DataFrame =
+    withVec(embeddings).withColumn("cell", cell(col("v"), cellDims))
+
   private def ranked(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_r").desc, col("vec_id"))

@@ -71,4 +71,56 @@ class LlmIngestSpec extends GraftSuite {
     assert(spark.read.parquet(idx).count() ===
       2L * graft.operators.LlmText.NumBands)
   }
+
+  // ---- vector ingest ----
+
+  private val baseVec = Array(1.0f, 1.0f, 1.0f, 1.0f)
+  private val nearVec = Array(1.0f, 1.0f, 1.0f, 0.9f)  // cos ≈ 0.999
+  private val otherVec = Array(1.0f, -1.0f, 1.0f, -1.0f)
+
+  private def vecs(rows: (Long, Array[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def ingestV(batch: DataFrame, idx: String): Seq[Long] =
+    LlmIngest.ingestVectors(spark, batch, idx, threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+
+  test("vector ingest: first batch accepts all distinct vectors") {
+    val idx = freshIndex()
+    assert(ingestV(vecs(1L -> baseVec, 2L -> otherVec), idx) ==
+      Seq(1L, 2L))
+    assert(spark.read.parquet(idx).count() === 2L)
+  }
+
+  test("vector ingest: near-dup of an indexed vector rejected") {
+    val idx = freshIndex()
+    ingestV(vecs(1L -> baseVec), idx)
+    assert(ingestV(vecs(11L -> nearVec, 12L -> otherVec), idx) ==
+      Seq(12L))
+  }
+
+  test("vector ingest: intra-batch near-dups keep the smaller id") {
+    val idx = freshIndex()
+    assert(ingestV(vecs(5L -> baseVec, 6L -> nearVec, 7L -> otherVec),
+      idx) == Seq(5L, 7L))
+  }
+
+  test("vector ingest: re-ingest is a no-op on result and index") {
+    val idx = freshIndex()
+    val batch = vecs(1L -> baseVec, 2L -> otherVec)
+    val first = ingestV(batch, idx)
+    val rows = spark.read.parquet(idx).count()
+    assert(ingestV(batch, idx) == first)
+    assert(spark.read.parquet(idx).count() === rows)
+  }
+
+  test("vector ingest: cell-boundary near-dup slips through (contract)") {
+    // near-identical by cosine but in different sign cells — the
+    // documented throughput-vs-recall trade the scaladoc names
+    // (contaminationEmbed is the exact screen for recall-critical use)
+    val idx = freshIndex()
+    ingestV(vecs(1L -> Array(0.001f, 1.0f, 1.0f, 1.0f)), idx)
+    assert(ingestV(vecs(2L -> Array(-0.001f, 1.0f, 1.0f, 1.0f)), idx) ==
+      Seq(2L))
+  }
 }
