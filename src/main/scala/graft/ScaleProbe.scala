@@ -25,7 +25,8 @@ import graft.sources.Tables
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
-    val knownSections = Set("rco", "emb", "text", "fleet", "ingest")
+    val knownSections =
+      Set("rco", "emb", "text", "fleet", "ingest", "vecingest")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -329,6 +330,71 @@ object ScaleProbe {
       timeIngest("warm", docBase, silent = true) // JIT warmup, see rco
       timeIngest("1x", docBase)
       timeIngest(s"${k}x", docK)
+      spark.conf.unset(graft.sinks.ParquetSinks.RowsPerBucketConf)
+    }
+
+    // Vector-ingest probe: the same FIXED-batch-vs-grown-index
+    // measurement for LlmIngest.ingestVectors — same bucket geometry
+    // reproduction, same pass criterion (probe seconds and bytes_read
+    // ~flat while index_rows grows K×). Two fixture requirements the
+    // doc probe meets with token prefixes and this one meets with
+    // sign-flip patterns: K× content must be NOVEL (a scaled/shifted
+    // copy keeps its direction, is cosine-rejected by the seed dedup,
+    // and the "10×" index barely grows), and the CODEBOOK must grow
+    // with the index (+log2 K sign dims — the ingestVectors scaladoc's
+    // k ∝ corpus rule; at fixed 2^4 cells, per-cell membership and
+    // with it probe cost is linear in the index, by construction).
+    if (sections("vecingest")) {
+      // flip ~half the dims by a pattern that varies with the copy
+      // seed: cosine to any other seed's copy ≈ 0 — novel content
+      def flipped(e: DataFrame, seed: Int): DataFrame = e
+        .withColumn("embedding",
+          transform(col("embedding"), (x, idx) =>
+            when(pmod(lit(seed.toLong * 2654435761L) + idx * lit(40503L),
+              lit(100)) < 50, x).otherwise(-x)))
+      val embNovelK = (0 until k).map(i =>
+        flipped(embBase, i)
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+      spark.conf.set(graft.sinks.ParquetSinks.RowsPerBucketConf, "100")
+      val probeDir = "/tmp/graft_scale_vecingest_probe"
+      flipped(embBase.filter(pmod(col("vec_id"), lit(1000)) === 7), 999)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L))
+        .write.mode("overwrite").parquet(probeDir)
+      val bytesRead = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+      }
+      def timeVecIngest(tag: String, corpus: DataFrame, dims: Int,
+          silent: Boolean = false): Unit = {
+        val idx = s"/tmp/graft_scale_vecingest_$tag"
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        // seed index, untimed (dims fixed per index lifetime)
+        LlmIngest.ingestVectors(spark, corpus, idx, cellDims = dims)
+        System.gc(); Thread.sleep(1000) // see the ingest section
+        val probe = spark.read.parquet(probeDir)
+        bytesRead.set(0L)
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        val accepted = LlmIngest
+          .ingestVectors(spark, probe, idx, cellDims = dims).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+        if (!silent)
+          println(f"vecingest_$tag%-8s probe $secs%8.2f s" +
+            s" accepted=$accepted bytes_read=${bytesRead.get}" +
+            s" index_rows=${spark.read.parquet(idx).count()}")
+      }
+      val grownDims = LlmSim.IvfDims +
+        math.ceil(math.log(k.toDouble) / math.log(2)).toInt
+      timeVecIngest("warm", embBase, LlmSim.IvfDims, silent = true)
+      timeVecIngest("1x", embBase, LlmSim.IvfDims)
+      timeVecIngest(s"${k}x", embNovelK, grownDims)
       spark.conf.unset(graft.sinks.ParquetSinks.RowsPerBucketConf)
     }
     spark.stop()

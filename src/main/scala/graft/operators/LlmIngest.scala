@@ -141,15 +141,24 @@ object LlmIngest {
     * Intra-batch near-dups keep the smaller vec_id, greedily, and
     * re-ingesting a batch is a no-op — both by the [[ingestDedup]]
     * argument (self-matches excluded, keyed index merge idempotent).
+    *
+    * `cellDims` is the same k ∝ corpus knob as [[LlmSim.semDedup]]'s
+    * codebook: at a fixed cell count, per-cell membership — and with
+    * it probe cost — grows linearly with the index, so a corpus 10×
+    * bigger wants +log2(10) ≈ 3-4 more sign dims to keep the
+    * per-batch probe O(batch). Fixed for the lifetime of one index
+    * (the cell is the storage key); growing it means re-celling, an
+    * offline rebuild, exactly like re-training an IVF codebook.
     */
   def ingestVectors(spark: SparkSession, newVecs: DataFrame,
       indexPath: String,
-      threshold: Double = LlmSim.EmbedDupThreshold): DataFrame = {
+      threshold: Double = LlmSim.EmbedDupThreshold,
+      cellDims: Int = LlmSim.IvfDims): DataFrame = {
     val cos = (va: String, na: String, vb: String, nb: String) =>
       round(call_function("graft_dot", col(va), col(vb)) /
         (col(na) * col(nb)), 6)
     val (rejected, release) = CacheScope.collect {
-      val rows = CacheScope.pin(LlmSim.cellRows(newVecs))
+      val rows = CacheScope.pin(LlmSim.cellRows(newVecs, cellDims))
       val indexExists = {
         val p = new org.apache.hadoop.fs.Path(indexPath)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
