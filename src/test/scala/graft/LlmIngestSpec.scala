@@ -114,6 +114,49 @@ class LlmIngestSpec extends GraftSuite {
     assert(spark.read.parquet(idx).count() === rows)
   }
 
+  test("vector ingest matches a greedy single-threaded reference") {
+    import graft.operators.LlmSim
+    val rnd = new scala.util.Random(77177)
+    val thr = 0.5
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cell(v: Seq[Double]) =
+      v.take(LlmSim.IvfDims).map(x => if (x >= 0) '1' else '0').mkString
+    def near(a: Seq[Double], b: Seq[Double]) =
+      cell(a) == cell(b) &&
+        r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))) >=
+          thr
+    val batches = (0 until 3).map(b => (0L until 15L).map(i =>
+      (b * 100L + i,
+        Array.fill(6)((rnd.nextDouble() * 2 - 1).toFloat))))
+    // reference transcription of the operator's contract: reject a
+    // vector if it is near an already-ACCEPTED earlier-batch vector,
+    // or near ANY smaller-id sibling in its own batch (greedy — the
+    // sibling's own fate does not matter)
+    val index = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Double])]
+    val wantAccepted = batches.flatMap { batch =>
+      val ds = batch.map { case (id, v) => id -> v.map(_.toDouble).toSeq }
+      val acc = ds.filterNot { case (id, v) =>
+        index.exists { case (_, iv) => near(v, iv) } ||
+          ds.exists { case (jd, jv) => jd < id && near(jv, v) }
+      }
+      index ++= acc
+      acc.map(_._1)
+    }.sorted
+    val idx = freshIndex()
+    val got = batches.flatMap(b =>
+      LlmIngest.ingestVectors(spark, vecs(b.map(t => (t._1, t._2)): _*),
+          idx, threshold = thr)
+        .select("vec_id").as[Long].collect()).sorted
+    assert(got.toSeq == wantAccepted.toSeq)
+    // and the index holds exactly the accepted membership
+    assert(spark.read.parquet(idx).select("vec_id").as[Long]
+      .collect().sorted.toSeq == wantAccepted.toSeq)
+  }
+
   test("vector ingest: cell-boundary near-dup slips through (contract)") {
     // near-identical by cosine but in different sign cells — the
     // documented throughput-vs-recall trade the scaladoc names

@@ -257,6 +257,36 @@ class LlmSpec extends GraftSuite {
     assert(out((0L, 1L)) == r6(near) && out((20L, 3L)) == r6(near))
   }
 
+  test("contaminationEmbed matches a brute-force reference on random vectors") {
+    val rnd = new scala.util.Random(424242)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 0 until 3) {
+      val vecs = (0L until 60L).map(i =>
+        (i, Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat)))
+      val out = LlmSim
+        .contaminationEmbed(vecs.toDF("vec_id", "embedding"),
+          threshold = 0.5)
+        .collect()
+        .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id")) ->
+          r.getAs[Double]("cosine")).toMap
+      // single-threaded reference: same cast, same left-to-right fold
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val ds = vecs.map { case (id, v) => id -> v.map(_.toDouble).toSeq }
+      val norms = ds.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+        .toMap
+      val dm = ds.toMap
+      val expected = (for {
+        (e, _) <- ds if e % 20 == 0
+        (t, _) <- ds if t % 20 != 0
+        c = r6(dot(dm(t), dm(e)) / (norms(t) * norms(e)))
+        if c >= 0.5
+      } yield (e, t) -> c).toMap
+      assert(out == expected)
+    }
+  }
+
   test("contaminationEmbed catches pairs a cell-bucketed screen drops") {
     // train vector 1 sits across the sign boundary from eval 0 in dim 1
     // (different quantizer cell) yet is ~identical by cosine — the
