@@ -26,7 +26,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val knownSections =
-      Set("rco", "emb", "text", "fleet", "ingest", "vecingest")
+      Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -396,6 +396,47 @@ object ScaleProbe {
       timeVecIngest("1x", embBase, LlmSim.IvfDims)
       timeVecIngest(s"${k}x", embNovelK, grownDims)
       spark.conf.unset(graft.sinks.ParquetSinks.RowsPerBucketConf)
+    }
+    // Temporal-join probe: asofBackward + intervalJoinPoints on the
+    // scaled event log, both sides grown together. `dense` is the
+    // stress shape: K× points AND K× intervals per user key, where a
+    // naive per-key theta join does K² work — the merged-stream window
+    // (one sort per key) and the time-bucketed equi-join (copies are
+    // time-shifted, so bucket keys stay selective) should both stay
+    // ~linear. Passing looks like: wide and dense ≈ K × base1x, not K².
+    if (sections("temporal")) {
+      def timeTemporal(tag: String, events: DataFrame,
+          silent: Boolean = false): Unit = {
+        val dir = s"/tmp/graft_scale_tmpjoin_$tag"
+        events.write.mode("overwrite").parquet(dir)
+        val ev = spark.read.parquet(dir)
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          if (!silent)
+            println(f"tmp_$tag%-8s $name%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("view_value"))
+        time("asof")(TemporalJoins.asofBackward(
+          purchases, views, Seq("user_id"), "ts", "ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val iv = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("ws"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("we"),
+            col("event_id").as("ivid"))
+        time("interval")(TemporalJoins.intervalJoinPoints(
+          clicks, iv, Seq("user_id"), "ts", "ws", "we",
+          bucketWidthSec = 3600L))
+      }
+      timeTemporal("warm", base, silent = true) // JIT warmup, see rco
+      timeTemporal("1x", base)
+      timeTemporal("wide", wide)
+      timeTemporal("dense", dense)
     }
     spark.stop()
   }

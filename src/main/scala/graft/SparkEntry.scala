@@ -38,6 +38,8 @@ object SparkEntry {
     "cls_semi_join",
     "cls_anti_join",
     "cls_top_orders_per_customer",
+    "cls_asof_join",
+    "cls_range_join",
     "rco_sessionize",
     "rco_co_agg",
     "rco_brandcode",

@@ -135,7 +135,107 @@ object ClassicQueries {
       .orderBy(col("o_custkey"), col("rank"))
   }
 
+  /** Backward as-of join via [[TemporalJoins.asofBackward]]: each
+    * purchase event picks up the user's most recent view at-or-before
+    * it. The right side is pre-aggregated to one row per (user, ts) —
+    * the determinism contract every as-of engine shares (a duplicate
+    * instant has no "latest"). Oracle = DuckDB's native `ASOF LEFT
+    * JOIN`, so the gate proves the merged-stream window IS as-of
+    * semantics. Reference analogue: the J7 interval/as-of lookups
+    * (`App/etl/transform/mes_etl.py:204-213`), here as the generic
+    * reusable operator. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    TemporalJoins.asofBackward(purchases, views,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        asofTsCol = "view_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 4).as("purchase_value"),
+        col("view_ts"), round(col("view_value"), 4).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Point-in-interval range join via [[TemporalJoins.intervalJoinPoints]]:
+    * events landing in each order's first week (key = customer), counted
+    * per order. The oracle is the naive inequality join — which in Spark
+    * would be a broadcast-nested-loop; the operator's bucketized
+    * equi-join computes the same relation shuffle-joined (asserted in
+    * TemporalJoinsSpec). 1-day buckets ≈ the 7-day interval length / 7. */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val iv = o.select(col("o_orderkey"), col("o_custkey").as("user_id"),
+      col("o_orderdate").as("win_start"),
+      (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("win_end"))
+    val matched = TemporalJoins.intervalJoinPoints(
+        points = ev, intervals = iv, on = Seq("user_id"),
+        pointTime = "ts", startCol = "win_start", endCol = "win_end",
+        bucketWidthSec = 86400L)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("n_events"))
+    o.select(col("o_orderkey"))
+      .join(matched, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Trailing 30-day rolling aggregate per customer: an event-time RANGE
+    * window (`rangeBetween` on epoch seconds), the declarative form of
+    * the reference's cumulative per-key walks (SURVEY §2.7 W8). One
+    * shuffle on the key, linear per partition; ties on the date enter
+    * the frame together so the result is order-independent. */
+  def rollingRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400L, 0L)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w), 4).as("rev_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** ROLLUP subtotal lattice over (returnflag, linestatus) — the OLAP
+    * subtotal shape (partial aggregates reuse the same shuffle; Spark
+    * plans one Expand + one aggregate, not one job per level). Rolled-up
+    * levels are surfaced as the sentinel 'ALL' on BOTH engines so the
+    * hash compare never meets a NULL-ordering difference. */
+  def rollupSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** Pivot: quantity by returnflag × linestatus as a wide table, with
+    * the pivot values ENUMERATED (`pivot(col, values)`) — the form that
+    * skips the extra distinct-values job and keeps the pivot a single
+    * groupBy at any scale. Oracle = conditional aggregation. */
+  def pivotSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 4))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_asof_join" -> (asofJoin _),
+    "cls_range_join" -> (rangeJoin _),
+    "cls_rolling_revenue" -> (rollingRevenue _),
+    "cls_rollup" -> (rollupSummary _),
+    "cls_pivot" -> (pivotSummary _),
     "cls_pricing_summary" -> (pricingSummary _),
     "cls_shipping_priority" -> (shippingPriority _),
     "cls_regional_revenue" -> (regionalRevenue _),
@@ -144,6 +244,46 @@ object ClassicQueries {
     "cls_top_orders_per_customer" -> (topOrdersPerCustomer _))
 
   val oracles: Map[String, String] = Map(
+    "cls_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+         round(l.value, 4) AS purchase_value,
+         r.ts AS view_ts, round(r.view_value, 4) AS view_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value
+                         FROM events WHERE event_type = 'view'
+                         GROUP BY user_id, ts) r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "cls_range_join" ->
+      """SELECT o_orderkey, count(e.event_id) AS n_events
+         FROM orders o LEFT JOIN events e
+           ON e.user_id = o.o_custkey
+          AND e.ts >= o.o_orderdate
+          AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "cls_rolling_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+         round(sum(o_totalprice) OVER w, 4) AS rev_30d,
+         count(*) OVER w AS n_orders_30d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    "cls_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "cls_pivot" ->
+      """SELECT l_returnflag,
+         round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
+           AS qty_f,
+         round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
+           AS qty_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "cls_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

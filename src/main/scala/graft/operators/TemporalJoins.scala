@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic temporal joins: backward as-of join and point-in-interval
+  * range join, the two join shapes Spark has no native operator for.
+  *
+  * The reference resolves its interval/as-of lookups (SURVEY §2.5 J7)
+  * with per-key loops (`ref/RCO_Maple_orchestrator.R:214-263` walks COs
+  * one at a time; `App/etl/transform/mes_etl.py:204-213` scans rows per
+  * changeover) — O(lookups × events) per key and driver-bound. The RCO
+  * operators here already re-express those sites as merged-stream window
+  * plans inline (BrandcodeResolve, FirstStopAfterCo, GanttGenerate);
+  * this module is the same idea exposed as a REUSABLE operator pair any
+  * caller can apply to its own tables, the way DuckDB exposes `ASOF
+  * JOIN` and Flink exposes temporal/interval joins as first-class
+  * relational operators.
+  *
+  * Scale shapes (the reason these are not inequality joins):
+  *  - [[asofBackward]]: union + one window over (keys, time) — ONE
+  *    shuffle on the equi-keys, linear scan per partition. A naive
+  *    `l.t >= r.t` theta-join is a broadcast-nested-loop in Spark:
+  *    O(|L|×|R|) per key and un-broadcastable once the right side
+  *    scales with the corpus.
+  *  - [[intervalJoinPoints]]: intervals exploded into fixed-width time
+  *    buckets, points bucketed once, then a plain EQUI-join on
+  *    (keys, bucket) + exact containment filter. Expansion factor is
+  *    `interval_len / bucketWidth + 1` rows per interval — O(1) when
+  *    the width is chosen near the typical interval length — and the
+  *    join stays shuffle-hash/sort-merge at any scale.
+  */
+object TemporalJoins {
+
+  private val T    = "__t"
+  private val SIDE = "__side"
+  private val M    = "__match"
+
+  /** Epoch seconds of a time column. Parquet timestamps arrive as
+    * TIMESTAMP_NTZ in Spark 4, which cannot cast to BIGINT directly —
+    * hop through TIMESTAMP (sessions pin UTC, so the hop is exact). */
+  private def epochSec(c: Column): Column = c.cast("timestamp").cast("long")
+
+  /** Backward as-of join: for every left row, attach the LATEST right
+    * row of the same key with `rightTime <= leftTime` (DuckDB
+    * `ASOF JOIN … ON l.t >= r.t` / pandas `merge_asof` semantics,
+    * left-outer flavor: unmatched left rows survive with nulls).
+    *
+    * Implementation: tag right rows side=0 and left rows side=1, union
+    * by name, then one `last(struct(right cols), ignoreNulls)` window
+    * partitioned by `on` and ordered by (time, side) — at equal
+    * timestamps the right row sorts first, so a left row sees a
+    * same-instant right row (>= semantics). The right payload rides in
+    * ONE struct so a legitimately-NULL right attribute is carried
+    * as-is rather than forward-filled past (last(_, ignoreNulls) on a
+    * bare column would skip it).
+    *
+    * `tolerance`: when set (seconds), matches older than
+    * `leftTime - tolerance` are nulled out — the window still fills
+    * them, the filter is a projection.
+    *
+    * Requires: right unique per (on, rightTime) — duplicate instants
+    * have no deterministic "latest"; pre-aggregate the right side
+    * (e.g. `max_by`) exactly as a DuckDB ASOF caller must. Left and
+    * right non-key column names must not collide.
+    *
+    * The matched right timestamp is emitted as `asofTsCol` (default
+    * `asof_ts`); right value columns keep their names. */
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None,
+      asofTsCol: String = "asof_ts"): DataFrame = {
+    val valueCols = right.columns.toSeq.filterNot(on.contains)
+      .filterNot(_ == rightTime)
+    val lTagged = left
+      .withColumn(T, col(leftTime))
+      .withColumn(SIDE, lit(1))
+    val rTagged = right
+      .withColumn(T, col(rightTime))
+      .withColumn(SIDE, lit(0))
+      .withColumnRenamed(rightTime, asofTsCol)
+    val merged = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col(T), col(SIDE))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = last(
+      when(col(SIDE) === 0, struct((asofTsCol +: valueCols).map(col): _*)),
+      ignoreNulls = true).over(w)
+
+    val inTol: Column = tolerance match {
+      case Some(s) =>
+        epochSec(col(M)(asofTsCol)) >= epochSec(col(T)) - lit(s)
+      case None => lit(true)
+    }
+    merged
+      .withColumn(M, packed)
+      .filter(col(SIDE) === 1)
+      .withColumn(M, when(inTol, col(M)))
+      .select(left.columns.map(col) ++
+        (asofTsCol +: valueCols).map(c => col(M)(c).as(c)): _*)
+  }
+
+  /** Point-in-interval range join: every (point, interval) pair of the
+    * same key with `startCol <= pointTime < endCol` (half-open, the
+    * convention every RCO window in this repo uses), inner flavor.
+    *
+    * Implementation: each interval row explodes into the time buckets
+    * of width `bucketWidthSec` it overlaps; each point lands in exactly
+    * ONE bucket; the join is a plain equi-join on (on…, bucket) plus
+    * the exact containment filter. No duplicate elimination is needed —
+    * a point's single bucket meets each interval at most once.
+    *
+    * `bucketWidthSec` tunes the expansion factor
+    * (`len/width + 1` bucket rows per interval): pick it near the
+    * typical interval length. Degenerate (end < start) intervals
+    * produce no buckets and thus no matches. */
+  def intervalJoinPoints(
+      points: DataFrame,
+      intervals: DataFrame,
+      on: Seq[String],
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      bucketWidthSec: Long): DataFrame = {
+    val B = "__bucket"
+    val w = lit(bucketWidthSec)
+    val bStart = floor(epochSec(col(startCol)) / w)
+    val bEnd   = floor(epochSec(col(endCol)) / w)
+    // Guard: sequence(a, b) with b < a infers step -1 and would emit a
+    // (potentially enormous) DESCENDING bucket list for a degenerate
+    // interval — explode an empty array instead, dropping the row.
+    val iv = intervals.withColumn(B,
+      explode(when(bEnd >= bStart, sequence(bStart, bEnd))
+        .otherwise(array().cast("array<long>"))))
+    val pt = points.withColumn(B, floor(epochSec(col(pointTime)) / w))
+    pt.join(iv, on.map(k => pt(k) === iv(k)).reduce(_ && _) && (pt(B) === iv(B)))
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .select(points.columns.map(pt(_)) ++
+        intervals.columns.filterNot(on.contains).map(iv(_)): _*)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+/** [[TemporalJoins]] — hand-computed fixtures plus differentials against
+  * the naive theta-join formulations the operators replace. */
+class TemporalJoinsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def leftDf(rows: (String, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "lt_raw", "lid")
+      .select(col("k"), timestamp_seconds(col("lt_raw")).as("lt"), col("lid"))
+
+  private def rightDf(rows: (String, Long, String)*): DataFrame =
+    rows.toSeq.toDF("k", "rt_raw", "v")
+      .select(col("k"), timestamp_seconds(col("rt_raw")).as("rt"), col("v"))
+
+  private def asofRows(out: DataFrame): Map[Long, (Option[Long], Option[String])] =
+    out.select(col("lid"), col("asof_ts").cast("long"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2))))
+      .toMap
+
+  test("asofBackward picks latest right at-or-before each left row") {
+    val l = leftDf(("a", 100L, 1L), ("a", 50L, 2L), ("a", 10L, 3L), ("b", 100L, 4L))
+    val r = rightDf(("a", 20L, "r20"), ("a", 100L, "r100"), ("b", 999L, "late"))
+    val out = asofRows(TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt"))
+    assert(out(1L) === (Some(100L), Some("r100"))) // equal instant matches (>=)
+    assert(out(2L) === (Some(20L), Some("r20")))
+    assert(out(3L) === (None, None))               // nothing at-or-before
+    assert(out(4L) === (None, None))               // right exists only after
+  }
+
+  test("asofBackward carries a legitimately-NULL right attribute as-is") {
+    // The newest right row has v=NULL; a per-column ignoreNulls fill
+    // would skip back to the older "old" — the struct pack must not.
+    val l = leftDf(("a", 100L, 1L))
+    val r = Seq(("a", 10L, Some("old")), ("a", 90L, None))
+      .toDF("k", "rt_raw", "v")
+      .select(col("k"), timestamp_seconds(col("rt_raw")).as("rt"), col("v"))
+    val out = asofRows(TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt"))
+    assert(out(1L) === (Some(90L), None))
+  }
+
+  test("asofBackward tolerance nulls out stale matches") {
+    val l = leftDf(("a", 100L, 1L), ("a", 200L, 2L))
+    val r = rightDf(("a", 95L, "x"))
+    val out = asofRows(TemporalJoins.asofBackward(
+      l, r, Seq("k"), "lt", "rt", tolerance = Some(10L)))
+    assert(out(1L) === (Some(95L), Some("x"))) // 5s old, within 10s
+    assert(out(2L) === (None, None))           // 105s old, beyond
+  }
+
+  test("asofBackward differential vs theta-join + argmax") {
+    val rnd = new scala.util.Random(42)
+    val l = leftDf(Seq.tabulate(300)(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong)): _*)
+    // unique (k, rt): one right row per (key, instant) by construction
+    val r = rightDf(Seq.tabulate(500)(i =>
+      (s"k${i % 10}", (i / 10).toLong * 17 + (i % 10), s"v$i")): _*)
+    val got = TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt")
+      .select(col("lid"), col("asof_ts"), col("v"))
+    val naive = l.join(r, l("k") === r("k") && col("lt") >= col("rt"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lid")).orderBy(col("rt").desc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("lid"), col("rt").as("asof_ts"), col("v"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  private def pointsDf(rows: (String, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "pt_raw", "pid")
+      .select(col("k"), timestamp_seconds(col("pt_raw")).as("pt"), col("pid"))
+
+  private def ivDf(rows: (String, Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("k", "s_raw", "e_raw", "ivid")
+      .select(col("k"), timestamp_seconds(col("s_raw")).as("ws"),
+        timestamp_seconds(col("e_raw")).as("we"), col("ivid"))
+
+  test("intervalJoinPoints half-open containment, any interval/bucket ratio") {
+    val pts = pointsDf(("a", 10L, 1L), ("a", 99L, 2L), ("a", 100L, 3L),
+      ("a", 250L, 4L), ("b", 10L, 5L))
+    val iv = ivDf(("a", 10L, 100L, 1L), ("a", 200L, 1000L, 2L))
+    for (width <- Seq(7L, 50L, 1000L)) { // < len, ~len, >> len
+      val got = TemporalJoins.intervalJoinPoints(
+          pts, iv, Seq("k"), "pt", "ws", "we", bucketWidthSec = width)
+        .select(col("pid"), col("ivid")).as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 1L), (2L, 1L), (4L, 2L)), s"width=$width")
+    }
+  }
+
+  test("intervalJoinPoints drops degenerate (end < start) intervals") {
+    val pts = pointsDf(("a", 10L, 1L))
+    val iv = ivDf(("a", 500L, 0L, 1L)) // reversed; naive sequence would explode
+    assert(TemporalJoins.intervalJoinPoints(
+      pts, iv, Seq("k"), "pt", "ws", "we", 60L).isEmpty)
+  }
+
+  test("intervalJoinPoints differential vs inequality join") {
+    val rnd = new scala.util.Random(7)
+    val pts = pointsDf(Seq.tabulate(400)(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(2000).toLong, i.toLong)): _*)
+    val iv = ivDf(Seq.tabulate(80)(i => {
+      val s = rnd.nextInt(2000).toLong
+      (s"k${rnd.nextInt(6)}", s, s + rnd.nextInt(300), i.toLong)
+    }): _*)
+    val got = TemporalJoins.intervalJoinPoints(
+        pts, iv, Seq("k"), "pt", "ws", "we", bucketWidthSec = 100L)
+      .select(col("pid"), col("ivid"))
+    val naive = pts.join(iv,
+        pts("k") === iv("k") && col("pt") >= col("ws") && col("pt") < col("we"))
+      .select(col("pid"), col("ivid"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("intervalJoinPoints plans an equi-join, not a nested loop") {
+    val pts = pointsDf(("a", 10L, 1L))
+    val iv = ivDf(("a", 0L, 100L, 1L))
+    val plan = TemporalJoins.intervalJoinPoints(
+      pts, iv, Seq("k"), "pt", "ws", "we", 60L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
