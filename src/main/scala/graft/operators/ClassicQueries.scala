@@ -230,7 +230,27 @@ object ClassicQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Revenue per order priority through [[SkewJoin.saltedEquiJoin]]
+    * (salts=8): the gate oracle is the PLAIN join, so the green cell
+    * proves salting is row-identical — the operator exists for the hot
+    * keys AQE can't split (streaming plans, bucketed exchanges-free
+    * layouts, post-filter skew); semantics must not move when it's
+    * swapped in. */
+  def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    SkewJoin.saltedEquiJoin(li, o, Seq("l_orderkey"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_skew_join" -> (skewJoin _),
     "cls_asof_join" -> (asofJoin _),
     "cls_range_join" -> (rangeJoin _),
     "cls_rolling_revenue" -> (rollingRevenue _),
@@ -244,6 +264,12 @@ object ClassicQueries {
     "cls_top_orders_per_customer" -> (topOrdersPerCustomer _))
 
   val oracles: Map[String, String] = Map(
+    "cls_skew_join" ->
+      """SELECT o_orderpriority,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "cls_asof_join" ->
       """SELECT l.event_id, l.user_id, l.ts,
          round(l.value, 4) AS purchase_value,
