@@ -336,6 +336,66 @@ object LlmCorpus {
       .select(col("doc_id"), col("pos"),
         coalesce(col("token_id"), lit(0L)).as("token_id"))
   }
+
+  /** HLL precision (lgConfigK) for [[profileSketch]]: 2^12 registers ≈
+    * 1.6% relative error at ~4 KB per sketch — per (source) row, not
+    * per document, so the whole profile table is KBs at any corpus
+    * size. */
+  val ProfileLgK = 12
+
+  /** Mergeable per-source corpus profile — the incremental form of
+    * [[LlmPrep.corpusStats]] for the quantities a recompute cannot
+    * afford at 100 TB: exact doc/token counts (trivially mergeable
+    * sums) plus DataSketches-HLL sketches of distinct document
+    * contents and of the vocabulary. One profile row per source; a
+    * daily batch contributes its own profile and [[mergeProfiles]]
+    * folds it into the running one — distinct counts over the full
+    * history WITHOUT rescanning it (union of HLL states over disjoint
+    * or overlapping data IS the state of the union; overlap is
+    * absorbed, which a sum of counts cannot do).
+    *
+    * No DuckDB gate entry: the estimates are engine-specific
+    * (DataSketches state has no DuckDB twin) — correctness is
+    * spec-pinned instead: split-merge ≡ whole-corpus estimates
+    * exactly, and estimates within the published error envelope of
+    * the exact distincts (LlmCorpusSpec).
+    *
+    * Scale shape: two aggregations (per-doc row, exploded-token row)
+    * shuffled on `source`, each carrying constant-size sketch state
+    * with map-side partial merge — the classic sketch contract. */
+  def profileSketch(documents: DataFrame): DataFrame = {
+    val d = documents.select(col("source"), col("text"),
+      toks(col("text")).as("toks"))
+    val docAgg = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("n_tokens"),
+      hll_sketch_agg(xxhash64(col("text")), ProfileLgK).as("doc_sketch"))
+    val tokAgg = d.select(col("source"), explode(col("toks")).as("tok"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("tok"), ProfileLgK).as("vocab_sketch"))
+    docAgg.join(tokAgg, Seq("source"), "left")
+  }
+
+  /** Fold any number of [[profileSketch]] outputs (whole tables
+    * unioned) into one: sums for the exact counts, HLL union for the
+    * sketch states. Associative and commutative — batch order never
+    * matters. */
+  def mergeProfiles(profiles: DataFrame): DataFrame =
+    profiles.groupBy(col("source")).agg(
+      sum(col("n_docs")).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      hll_union_agg(col("doc_sketch"), allowDifferentLgConfigK = false)
+        .as("doc_sketch"),
+      hll_union_agg(col("vocab_sketch"), allowDifferentLgConfigK = false)
+        .as("vocab_sketch"))
+
+  /** Human-readable estimates off a profile: distinct document
+    * contents (= exact-dup exposure: n_docs − distinct_docs ≈ dup
+    * count) and vocabulary size, per source. */
+  def profileEstimate(profile: DataFrame): DataFrame =
+    profile.select(col("source"), col("n_docs"), col("n_tokens"),
+      hll_sketch_estimate(col("doc_sketch")).as("distinct_docs"),
+      hll_sketch_estimate(col("vocab_sketch")).as("vocab_size"))
 }
 
 /** DuckDB twin of [[LlmCorpus]] — same hash family, same window/stride

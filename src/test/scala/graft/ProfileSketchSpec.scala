@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.LlmCorpus
+
+/** [[LlmCorpus.profileSketch]] — the mergeable-profile contract:
+  * split-merge equals whole-corpus, estimates inside the error
+  * envelope, overlap absorbed by the sketch (not double-counted). */
+class ProfileSketchSpec extends GraftSuite {
+
+  private lazy val docs =
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+
+  private def estimates(profile: DataFrame): Map[String, (Long, Long, Long, Long)] =
+    LlmCorpus.profileEstimate(profile).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))))
+      .toMap
+
+  test("merged split-batch profiles equal the whole-corpus profile") {
+    val whole = estimates(LlmCorpus.profileSketch(docs))
+    assert(whole.size > 1, "fixture sanity: several sources")
+    val parts = (0 until 4).map(i =>
+      LlmCorpus.profileSketch(docs.filter(pmod(col("doc_id"), lit(4)) === i)))
+    val merged = estimates(LlmCorpus.mergeProfiles(parts.reduce(_ unionByName _)))
+    assert(merged === whole)
+  }
+
+  test("estimates land inside the HLL error envelope of the exact counts") {
+    val est = estimates(LlmCorpus.profileSketch(docs))
+    val exact = docs
+      .select(col("source"), col("doc_id"), col("text"),
+        explode_outer(call_function("graft_tokens", col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("text")).as("dd"),
+        countDistinct(col("tok")).as("vs"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    for ((src, (_, _, distinctDocs, vocab)) <- est) {
+      val (dd, vs) = exact(src)
+      // lgK=12 → ~1.6% stderr; 5% is > 3 sigma
+      assert(math.abs(distinctDocs - dd) <= math.max(1L, dd / 20),
+        s"$src distinct_docs est=$distinctDocs exact=$dd")
+      assert(math.abs(vocab - vs) <= math.max(1L, vs / 20),
+        s"$src vocab est=$vocab exact=$vs")
+    }
+  }
+
+  test("re-merging the same batch doubles counts but not distincts") {
+    val p = LlmCorpus.profileSketch(docs)
+    val once = estimates(p)
+    val twice = estimates(LlmCorpus.mergeProfiles(p.unionByName(p)))
+    for ((src, (nd, nt, dd, vs)) <- twice) {
+      val (nd1, nt1, dd1, vs1) = once(src)
+      assert(nd === 2 * nd1 && nt === 2 * nt1, s"$src counts sum")
+      assert(dd === dd1 && vs === vs1, s"$src overlap absorbed")
+    }
+  }
+}
