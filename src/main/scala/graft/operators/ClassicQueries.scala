@@ -237,7 +237,11 @@ object ClassicQueries {
     * layouts, post-filter skew); semantics must not move when it's
     * swapped in. */
   def skewJoin(s: SparkSession, dir: String): DataFrame = {
+    // project BEFORE salting: the salt hashes the whole projected row,
+    // so an unpruned frame would pin all 11 lineitem columns into the
+    // scan (caught by the Explain audit — ReadSchema is 3 columns now)
     val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     SkewJoin.saltedEquiJoin(li, o, Seq("l_orderkey"), salts = 8)
@@ -249,7 +253,20 @@ object ClassicQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Generic gap sessionization over the event stream (per-user 30-min
+    * gap) via [[TemporalJoins.sessionizeByGap]]. The RCO
+    * `rco_sessionize` query exercises the reference's full trigger
+    * semantics; this entry gates the GENERIC API against a plain
+    * lag+running-sum SQL twin. */
+  def gapSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    TemporalJoins.sessionizeByGap(ev, Seq("user_id"), "ts", gapSec = 1800L)
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_gap_sessions" -> (gapSessions _),
     "cls_skew_join" -> (skewJoin _),
     "cls_asof_join" -> (asofJoin _),
     "cls_range_join" -> (rangeJoin _),
@@ -264,6 +281,18 @@ object ClassicQueries {
     "cls_top_orders_per_customer" -> (topOrdersPerCustomer _))
 
   val oracles: Map[String, String] = Map(
+    "cls_gap_sessions" ->
+      """SELECT event_id, user_id, ts,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM (SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts
+               FROM events)
+         ORDER BY event_id""",
     "cls_skew_join" ->
       """SELECT o_orderpriority,
          round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

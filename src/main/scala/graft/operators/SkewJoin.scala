@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *  - left rows get `__salt = xxhash64(whole row) mod salts` —
   *    DETERMINISTIC (a `rand()` salt changes under task retry and
   *    breaks exactly-once sinks), and keyed off the full row so
-  *    duplicate-heavy keys still spread;
+  *    duplicate-heavy keys still spread. The hash covers every column
+  *    of the frame AS PASSED, so PROJECT the left side down to the
+  *    columns the query needs BEFORE salting — hashing an unpruned
+  *    row pins every column into the scan and defeats parquet column
+  *    pruning;
   *  - right rows replicate once per salt value (`explode(sequence)`),
   *    a `salts`× blowup of the SMALL side only — pick the side;
   *  - the join runs on `keys :+ __salt`, so each (l, r) pair meets
