@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Generic temporal joins: backward as-of join and point-in-interval
-  * range join, the two join shapes Spark has no native operator for.
+/** Generic temporal operators: backward as-of join and
+  * point-in-interval range join — the two join shapes Spark has no
+  * native operator for — plus gap sessionization as a generic API.
   *
   * The reference resolves its interval/as-of lookups (SURVEY §2.5 J7)
   * with per-key loops (`ref/RCO_Maple_orchestrator.R:214-263` walks COs
@@ -143,5 +144,31 @@ object TemporalJoins {
       .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
       .select(points.columns.map(pt(_)) ++
         intervals.columns.filterNot(on.contains).map(iv(_)): _*)
+  }
+
+  /** Generic gap sessionization: rows of the same key whose times are
+    * within `gapSec` of their predecessor share a `sessionCol` id
+    * (1-based per key). The generic API form of the engine's RCO
+    * [[Sessionize]] (which adds the reference's trigger disjuncts and
+    * overrides on top of this same window shape): one shuffle on the
+    * keys, a lag + running sum per partition.
+    *
+    * Deterministic under timestamp ties WITHOUT a tiebreak column: tied
+    * rows can never open a session against each other (gap 0), and
+    * whichever of them the sort visits first absorbs any boundary
+    * against the preceding row — every tied row ends up with the same
+    * running-boundary count either way. */
+  def sessionizeByGap(
+      df: DataFrame,
+      on: Seq[String],
+      time: String,
+      gapSec: Long,
+      sessionCol: String = "session_id"): DataFrame = {
+    val t = epochSec(col(time))
+    val w = Window.partitionBy(on.map(col): _*).orderBy(t)
+    val prev = lag(t, 1).over(w)
+    val boundary = when(prev.isNull || t - prev > gapSec, 1L).otherwise(0L)
+    df.withColumn(sessionCol, sum(boundary)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 }

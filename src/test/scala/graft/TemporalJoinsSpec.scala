@@ -118,6 +118,20 @@ class TemporalJoinsSpec extends GraftSuite {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("sessionizeByGap numbers sessions per key, ties never split") {
+    val df = Seq(
+      ("a", 0L, 1L), ("a", 50L, 2L), ("a", 50L, 3L), // tie inside session
+      ("a", 200L, 4L),                               // gap 150 > 100 → new
+      ("b", 0L, 5L), ("b", 101L, 6L))                // gap 101 > 100 → new
+      .toDF("k", "t_raw", "id")
+      .select(col("k"), timestamp_seconds(col("t_raw")).as("t"), col("id"))
+    val got = TemporalJoins.sessionizeByGap(df, Seq("k"), "t", gapSec = 100L)
+      .select(col("id"), col("session_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 1L, 6L -> 2L))
+  }
+
   test("intervalJoinPoints plans an equi-join, not a nested loop") {
     val pts = pointsDf(("a", 10L, 1L))
     val iv = ivDf(("a", 0L, 100L, 1L))
