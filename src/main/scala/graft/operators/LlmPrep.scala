@@ -187,6 +187,30 @@ object LlmPrep {
       .select(col("doc_id"), col("source"))
   }
 
+  /** Per-mille split thresholds for [[splitAssign]]: <900 train,
+    * <950 val, rest test. */
+  val SplitTrainPm = 900
+  val SplitValPm   = 950
+
+  /** Deterministic train/val/test split assignment: each document's
+    * membership is a pure function of its id (md5 per-mille bucket),
+    * so it NEVER changes as the corpus grows or is re-partitioned —
+    * the property that keeps eval documents from drifting into train
+    * across corpus releases (a `randomSplit` re-draws every release
+    * and leaks). Zero shuffle: one hash projection, the cheapest plan
+    * at any scale. Same salt-prefix + first-4-hex-chars idiom as
+    * [[LlmCorpus.shuffleShards]] so the DuckDB twin is exact. */
+  def splitAssign(documents: DataFrame,
+      trainPm: Int = SplitTrainPm, valPm: Int = SplitValPm): DataFrame = {
+    val pm = conv(substring(
+      md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4),
+      16, 10).cast("long") % 1000
+    documents.select(col("doc_id"), col("source"),
+      when(pm < trainPm, "train")
+        .when(pm < valPm, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Token budget per packed sequence in [[pack]] (a context window). */
   val PackBudget = 512
 
@@ -831,6 +855,18 @@ object LlmPrepSql {
       CASE source $cases
         ELSE '${LlmPrep.rateThreshold(LlmPrep.MixDefaultRate)}' END"""
   }
+
+  /** Twin of [[LlmPrep.splitAssign]] — same salt, same 4-hex-char
+    * per-mille bucket, same thresholds. */
+  val splitAssignSql: String =
+    s"""SELECT doc_id, source,
+      CASE WHEN pm < ${LlmPrep.SplitTrainPm} THEN 'train'
+           WHEN pm < ${LlmPrep.SplitValPm} THEN 'val'
+           ELSE 'test' END AS split
+    FROM (SELECT doc_id, source,
+        CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)
+          AS BIGINT) % 1000 AS pm
+      FROM documents)"""
 
   /** Twin of [[LlmPrep.syntheticBlocklist]] + [[LlmPrep.blocklistFilter]]
     * — the exact anti-join the bloom-prefiltered plan must equal. */

@@ -44,6 +44,7 @@ object LlmQueries {
     "llm_vocab" -> ((s, d) => LlmPrep.vocab(docs(s, d))),
     "llm_sample_weighted" ->
       ((s, d) => LlmPrep.sampleWeighted(docs(s, d))),
+    "llm_split" -> ((s, d) => LlmPrep.splitAssign(docs(s, d))),
     "llm_repetition" -> ((s, d) => LlmText.repetition(docs(s, d))),
     "llm_pii" ->
       ((s, d) => LlmPrep.piiScrub(LlmPrep.withSyntheticPii(docs(s, d)))),
@@ -94,6 +95,7 @@ object LlmQueries {
     "llm_entropy" -> LlmPrepSql.entropySql,
     "llm_vocab" -> LlmPrepSql.vocabSql,
     "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql,
+    "llm_split" -> LlmPrepSql.splitAssignSql,
     "llm_repetition" -> LlmTextSql.repetitionSql,
     "llm_pii" -> LlmPrepSql.piiSql,
     "llm_corpus_stats" -> LlmPrepSql.corpusStatsSql,

@@ -400,4 +400,21 @@ class LlmPrepSpec extends GraftSuite {
     // skip=10 drops term_01..term_10 (df 14..5); query 1 = ranks 11-13
     assert(fix === Seq((1L, "term_11"), (1L, "term_12"), (1L, "term_13")))
   }
+
+  test("splitAssign: membership is a pure function of doc_id") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val whole = LlmPrep.splitAssign(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(Set("train", "val", "test").subsetOf(whole.values.toSet),
+      "all three splits populated")
+    val nTrain = whole.values.count(_ == "train")
+    assert(math.abs(nTrain.toDouble / whole.size - 0.9) < 0.05,
+      s"~90% train, got $nTrain/${whole.size}")
+    // growing or re-chopping the corpus never moves a document: the
+    // assignment of any subset is the restriction of the whole
+    val subset = LlmPrep.splitAssign(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(subset.nonEmpty && subset.forall { case (id, s) => whole(id) == s })
+  }
 }
