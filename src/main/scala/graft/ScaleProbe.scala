@@ -228,6 +228,9 @@ object ScaleProbe {
         time("quality_clf")(LlmCorpus.qualityClf(d))
         time("keywords")(LlmCorpus.keywords(d))
         time("vocab_encode")(LlmCorpus.vocabEncode(d))
+        // profile: two source-keyed aggs with constant-size HLL state
+        // (map-side partial merge) — should stay linear in corpus size
+        time("profile")(LlmCorpus.profileSketch(d))
       }
       release()
     }

@@ -284,7 +284,7 @@ object ClassicQueries {
     "cls_gap_sessions" ->
       """SELECT event_id, user_id, ts,
          CAST(sum(CASE WHEN prev_ts IS NULL
-                       OR epoch(ts) - epoch(prev_ts) > 1800
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                   THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id

@@ -364,8 +364,11 @@ object LlmCorpus {
     * shuffled on `source`, each carrying constant-size sketch state
     * with map-side partial merge — the classic sketch contract. */
   def profileSketch(documents: DataFrame): DataFrame = {
-    val d = documents.select(col("source"), col("text"),
-      toks(col("text")).as("toks"))
+    // pinned: both aggregations consume the tokenized frame — without
+    // the cache every profile call would scan and tokenize twice (and
+    // StreamingProfile runs this per micro-batch)
+    val d = CacheScope.pin(documents.select(col("source"), col("text"),
+      toks(col("text")).as("toks")))
     val docAgg = d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).cast("long").as("n_tokens"),

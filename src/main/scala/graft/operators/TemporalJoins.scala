@@ -43,6 +43,11 @@ object TemporalJoins {
     * hop through TIMESTAMP (sessions pin UTC, so the hop is exact). */
   private def epochSec(c: Column): Column = c.cast("timestamp").cast("long")
 
+  /** Epoch MICROseconds — for gap/staleness arithmetic, where
+    * second-truncation would mis-classify sub-second phases (a 1800.5 s
+    * gap must exceed an 1800 s threshold; floor(diff)=1800 would not). */
+  private def epochUs(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Backward as-of join: for every left row, attach the LATEST right
     * row of the same key with `rightTime <= leftTime` (DuckDB
     * `ASOF JOIN … ON l.t >= r.t` / pandas `merge_asof` semantics,
@@ -66,6 +71,14 @@ object TemporalJoins {
     * (e.g. `max_by`) exactly as a DuckDB ASOF caller must. Left and
     * right non-key column names must not collide.
     *
+    * Join-semantics parity on NULLs: right rows with a NULL key or
+    * NULL `rightTime` are dropped up front — an equi/inequality join
+    * predicate can never be satisfied by them, but the window
+    * partition WOULD group NULL keys together and an
+    * ascending-nulls-first NULL time would win every `last()`, so
+    * without the filter they'd produce matches no ASOF join makes.
+    * NULL-key left rows pass through unmatched.
+    *
     * The matched right timestamp is emitted as `asofTsCol` (default
     * `asof_ts`); right value columns keep their names. */
   def asofBackward(
@@ -82,6 +95,8 @@ object TemporalJoins {
       .withColumn(T, col(leftTime))
       .withColumn(SIDE, lit(1))
     val rTagged = right
+      .filter(col(rightTime).isNotNull &&
+        on.map(col(_).isNotNull).reduce(_ && _))
       .withColumn(T, col(rightTime))
       .withColumn(SIDE, lit(0))
       .withColumnRenamed(rightTime, asofTsCol)
@@ -96,7 +111,7 @@ object TemporalJoins {
 
     val inTol: Column = tolerance match {
       case Some(s) =>
-        epochSec(col(M)(asofTsCol)) >= epochSec(col(T)) - lit(s)
+        epochUs(col(M)(asofTsCol)) >= epochUs(col(T)) - lit(s * 1000000L)
       case None => lit(true)
     }
     merged
@@ -129,6 +144,10 @@ object TemporalJoins {
       startCol: String,
       endCol: String,
       bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0,
+      s"bucketWidthSec must be positive, got $bucketWidthSec " +
+        "(a non-positive width would flag every interval degenerate " +
+        "and silently return nothing)")
     val B = "__bucket"
     val w = lit(bucketWidthSec)
     val bStart = floor(epochSec(col(startCol)) / w)
@@ -148,7 +167,9 @@ object TemporalJoins {
 
   /** Generic gap sessionization: rows of the same key whose times are
     * within `gapSec` of their predecessor share a `sessionCol` id
-    * (1-based per key). The generic API form of the engine's RCO
+    * (1-based per key). Gaps are compared at MICROsecond precision
+    * (`gap > gapSec` exactly, not `floor(gap) > gapSec` — a 1800.5 s
+    * gap must open a session at gapSec=1800). The generic API form of the engine's RCO
     * [[Sessionize]] (which adds the reference's trigger disjuncts and
     * overrides on top of this same window shape): one shuffle on the
     * keys, a lag + running sum per partition.
@@ -164,10 +185,11 @@ object TemporalJoins {
       time: String,
       gapSec: Long,
       sessionCol: String = "session_id"): DataFrame = {
-    val t = epochSec(col(time))
+    val t = epochUs(col(time))
     val w = Window.partitionBy(on.map(col): _*).orderBy(t)
     val prev = lag(t, 1).over(w)
-    val boundary = when(prev.isNull || t - prev > gapSec, 1L).otherwise(0L)
+    val boundary =
+      when(prev.isNull || t - prev > gapSec * 1000000L, 1L).otherwise(0L)
     df.withColumn(sessionCol, sum(boundary)
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }

@@ -56,13 +56,42 @@ class TemporalJoinsSpec extends GraftSuite {
     assert(out(2L) === (None, None))           // 105s old, beyond
   }
 
+  test("asofBackward drops NULL-key/NULL-time right rows like a join would") {
+    val l = Seq((Some("a"), 100L, 1L), (None, 100L, 2L))
+      .toDF("k", "lt_raw", "lid")
+      .select(col("k"), timestamp_seconds(col("lt_raw")).as("lt"), col("lid"))
+    val r = Seq((Some("a"), Some(10L), "ok"),
+        (Some("a"), None, "null_time"),   // would sort first and win last()
+        (None, Some(5L), "null_key"))     // would pair with the null-key left
+      .toDF("k", "rt_raw", "v")
+      .select(col("k"), timestamp_seconds(col("rt_raw")).as("rt"), col("v"))
+    val out = asofRows(TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt"))
+    assert(out(1L) === (Some(10L), Some("ok"))) // not the NULL-time row
+    assert(out(2L) === (None, None))            // NULL key never matches
+  }
+
+  test("asofBackward tolerance is exact on sub-second timestamps") {
+    val l = Seq(("a", 100900000L, 1L)).toDF("k", "us", "lid") // t=100.9s
+      .select(col("k"), timestamp_micros(col("us")).as("lt"), col("lid"))
+    val r = Seq(("a", 40200000L, "x")).toDF("k", "us", "v")   // rt=40.2s
+      .select(col("k"), timestamp_micros(col("us")).as("rt"), col("v"))
+    // true staleness 60.7s: floor-of-seconds math would keep it at 60s
+    val out = TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt",
+        tolerance = Some(60L))
+      .select(col("v")).collect().map(r0 => Option(r0.getString(0)))
+    assert(out.toSeq === Seq(None))
+  }
+
   test("asofBackward differential vs theta-join + argmax") {
     val rnd = new scala.util.Random(42)
     val l = leftDf(Seq.tabulate(300)(i =>
-      (s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong)): _*)
-    // unique (k, rt): one right row per (key, instant) by construction
+      (if (rnd.nextInt(12) == 0) null else s"k${rnd.nextInt(8)}",
+        rnd.nextInt(1000).toLong, i.toLong)): _*)
+    // unique (k, rt): one right row per (key, instant) by construction;
+    // every 11th key is NULL (must never match, like the theta-join)
     val r = rightDf(Seq.tabulate(500)(i =>
-      (s"k${i % 10}", (i / 10).toLong * 17 + (i % 10), s"v$i")): _*)
+      (if (i % 11 == 0) null else s"k${i % 10}",
+        (i / 10).toLong * 17 + (i % 10), s"v$i")): _*)
     val got = TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt")
       .select(col("lid"), col("asof_ts"), col("v"))
     val naive = l.join(r, l("k") === r("k") && col("lt") >= col("rt"), "left")
@@ -116,6 +145,19 @@ class TemporalJoinsSpec extends GraftSuite {
         pts("k") === iv("k") && col("pt") >= col("ws") && col("pt") < col("we"))
       .select(col("pid"), col("ivid"))
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("sessionizeByGap compares gaps at microsecond precision") {
+    // 1800.5s gap must open a session at gapSec=1800 (floor math says
+    // 1800, not > 1800); 1799.5s must not
+    val df = Seq(("a", 0L, 1L), ("a", 1800500000L, 2L),
+        ("b", 0L, 3L), ("b", 1799500000L, 4L))
+      .toDF("k", "us", "id")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("id"))
+    val got = TemporalJoins.sessionizeByGap(df, Seq("k"), "t", 1800L)
+      .select(col("id"), col("session_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
   test("sessionizeByGap numbers sessions per key, ties never split") {
