@@ -160,6 +160,25 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join: each purchase picks up the user's NEXT view
+    * at-or-after it — [[asofJoin]]'s mirror, gate-checked against
+    * DuckDB `ASOF LEFT JOIN … ON l.ts <= r.ts`. */
+  def asofJoinFwd(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    TemporalJoins.asofForward(purchases, views,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        asofTsCol = "view_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 4).as("purchase_value"),
+        col("view_ts"), round(col("view_value"), 4).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Point-in-interval range join via [[TemporalJoins.intervalJoinPoints]]:
     * events landing in each order's first week (key = customer), counted
     * per order. The oracle is the naive inequality join — which in Spark
@@ -269,6 +288,7 @@ object ClassicQueries {
     "cls_gap_sessions" -> (gapSessions _),
     "cls_skew_join" -> (skewJoin _),
     "cls_asof_join" -> (asofJoin _),
+    "cls_asof_join_fwd" -> (asofJoinFwd _),
     "cls_range_join" -> (rangeJoin _),
     "cls_rolling_revenue" -> (rollingRevenue _),
     "cls_rollup" -> (rollupSummary _),
@@ -309,6 +329,17 @@ object ClassicQueries {
                          FROM events WHERE event_type = 'view'
                          GROUP BY user_id, ts) r
            ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "cls_asof_join_fwd" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+         round(l.value, 4) AS purchase_value,
+         r.ts AS view_ts, round(r.view_value, 4) AS view_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value
+                         FROM events WHERE event_type = 'view'
+                         GROUP BY user_id, ts) r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY l.event_id""",
     "cls_range_join" ->
       """SELECT o_orderkey, count(e.event_id) AS n_events

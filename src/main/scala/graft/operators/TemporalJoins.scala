@@ -88,7 +88,35 @@ object TemporalJoins {
       leftTime: String,
       rightTime: String,
       tolerance: Option[Long] = None,
-      asofTsCol: String = "asof_ts"): DataFrame = {
+      asofTsCol: String = "asof_ts"): DataFrame =
+    asofImpl(left, right, on, leftTime, rightTime, tolerance, asofTsCol,
+      forward = false)
+
+  /** Forward as-of join: the EARLIEST right row with
+    * `rightTime >= leftTime` (pandas `merge_asof(direction='forward')`,
+    * DuckDB `ASOF … ON l.t <= r.t`). Same machinery as
+    * [[asofBackward]] with the scan order reversed; `tolerance` bounds
+    * how far AHEAD the match may be. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None,
+      asofTsCol: String = "asof_ts"): DataFrame =
+    asofImpl(left, right, on, leftTime, rightTime, tolerance, asofTsCol,
+      forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long],
+      asofTsCol: String,
+      forward: Boolean): DataFrame = {
     val valueCols = right.columns.toSeq.filterNot(on.contains)
       .filterNot(_ == rightTime)
     val lTagged = left
@@ -102,14 +130,20 @@ object TemporalJoins {
       .withColumnRenamed(rightTime, asofTsCol)
     val merged = lTagged.unionByName(rTagged, allowMissingColumns = true)
 
+    // backward scans time ascending (last seen = latest ≤ t); forward
+    // scans descending (last seen = earliest ≥ t). Right sorts before
+    // left at equal instants either way, so both directions include
+    // the same-instant match (>= / <= semantics).
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col(T), col(SIDE))
+      .orderBy(if (forward) col(T).desc else col(T).asc, col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val packed = last(
       when(col(SIDE) === 0, struct((asofTsCol +: valueCols).map(col): _*)),
       ignoreNulls = true).over(w)
 
     val inTol: Column = tolerance match {
+      case Some(s) if forward =>
+        epochUs(col(M)(asofTsCol)) <= epochUs(col(T)) + lit(s * 1000000L)
       case Some(s) =>
         epochUs(col(M)(asofTsCol)) >= epochUs(col(T)) - lit(s * 1000000L)
       case None => lit(true)

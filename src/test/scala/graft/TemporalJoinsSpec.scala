@@ -102,6 +102,34 @@ class TemporalJoinsSpec extends GraftSuite {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("asofForward picks earliest right at-or-after; tolerance bounds ahead") {
+    val l = leftDf(("a", 100L, 1L), ("a", 300L, 2L), ("a", 999L, 3L))
+    val r = rightDf(("a", 100L, "r100"), ("a", 250L, "r250"), ("a", 400L, "r400"))
+    val out = asofRows(TemporalJoins.asofForward(l, r, Seq("k"), "lt", "rt"))
+    assert(out(1L) === (Some(100L), Some("r100"))) // equal instant (<=)
+    assert(out(2L) === (Some(400L), Some("r400")))
+    assert(out(3L) === (None, None))               // nothing at-or-after
+    val tol = asofRows(TemporalJoins.asofForward(l, r, Seq("k"), "lt", "rt",
+      tolerance = Some(50L)))
+    assert(tol(2L) === (None, None)) // next match is 100s ahead, > 50s
+  }
+
+  test("asofForward differential vs theta-join + argmin") {
+    val rnd = new scala.util.Random(21)
+    val l = leftDf(Seq.tabulate(300)(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong)): _*)
+    val r = rightDf(Seq.tabulate(500)(i =>
+      (s"k${i % 10}", (i / 10).toLong * 17 + (i % 10), s"v$i")): _*)
+    val got = TemporalJoins.asofForward(l, r, Seq("k"), "lt", "rt")
+      .select(col("lid"), col("asof_ts"), col("v"))
+    val naive = l.join(r, l("k") === r("k") && col("lt") <= col("rt"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lid")).orderBy(col("rt").asc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("lid"), col("rt").as("asof_ts"), col("v"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   private def pointsDf(rows: (String, Long, Long)*): DataFrame =
     rows.toSeq.toDF("k", "pt_raw", "pid")
       .select(col("k"), timestamp_seconds(col("pt_raw")).as("pt"), col("pid"))
