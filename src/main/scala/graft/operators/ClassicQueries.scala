@@ -204,6 +204,27 @@ object ClassicQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Interval-overlap join via [[TemporalJoins.intervalJoinIntervals]]:
+    * per user, 4-hour error windows × 1-hour click windows that
+    * overlap. Oracle = the naive inequality join; the operator emits
+    * each overlapping pair exactly once from a bucketed equi-join
+    * (first-shared-bucket trick, no distinct). */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        col("ts").as("es"),
+        (col("ts") + expr("INTERVAL 4 HOURS")).as("ee"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("cs"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("ce"))
+    TemporalJoins.intervalJoinIntervals(errs, clicks, Seq("user_id"),
+        "es", "ee", "cs", "ce", bucketWidthSec = 3600L)
+      .select(col("error_id"), col("click_id"))
+      .orderBy(col("error_id"), col("click_id"))
+  }
+
   /** Trailing 30-day rolling aggregate per customer: an event-time RANGE
     * window (`rangeBetween` on epoch seconds), the declarative form of
     * the reference's cumulative per-key walks (SURVEY §2.7 W8). One
@@ -290,6 +311,7 @@ object ClassicQueries {
     "cls_asof_join" -> (asofJoin _),
     "cls_asof_join_fwd" -> (asofJoinFwd _),
     "cls_range_join" -> (rangeJoin _),
+    "cls_interval_overlap" -> (intervalOverlap _),
     "cls_rolling_revenue" -> (rollingRevenue _),
     "cls_rollup" -> (rollupSummary _),
     "cls_pivot" -> (pivotSummary _),
@@ -348,6 +370,16 @@ object ClassicQueries {
           AND e.ts >= o.o_orderdate
           AND e.ts < o.o_orderdate + INTERVAL 7 DAY
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "cls_interval_overlap" ->
+      """SELECT e.event_id AS error_id, c.event_id AS click_id
+         FROM (SELECT user_id, event_id, ts AS es,
+                 ts + INTERVAL 4 HOUR AS ee
+               FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, event_id, ts AS cs,
+                 ts + INTERVAL 1 HOUR AS ce
+               FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.es < c.ce AND c.cs < e.ee
+         ORDER BY error_id, click_id""",
     "cls_rolling_revenue" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
          round(sum(o_totalprice) OVER w, 4) AS rev_30d,

@@ -199,6 +199,45 @@ object TemporalJoins {
         intervals.columns.filterNot(on.contains).map(iv(_)): _*)
   }
 
+  /** Interval-overlap join: every (left, right) interval pair of the
+    * same key whose half-open ranges overlap
+    * (`lStart < rEnd && rStart < lEnd`), inner flavor — the
+    * interval × interval sibling of [[intervalJoinPoints]].
+    *
+    * Same bucketization, plus the FIRST-SHARED-BUCKET trick in place
+    * of a dedup: two overlapping intervals co-occupy every bucket of
+    * their overlap range, so the equi-join would emit the pair once
+    * per shared bucket; instead the join keeps only the bucket both
+    * ranges start sharing (`greatest(floor(lStart/w), floor(rStart/w))`)
+    * — exactly one emission per pair, no `distinct` shuffle. The
+    * exact overlap filter then discards bucket-level false positives. */
+  def intervalJoinIntervals(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      bucketWidthSec: Long): DataFrame = {
+    require(bucketWidthSec > 0,
+      s"bucketWidthSec must be positive, got $bucketWidthSec")
+    val B = "__bucket"
+    val w = lit(bucketWidthSec)
+    def buckets(s: String, e: String): Column = {
+      val bs = floor(epochSec(col(s)) / w)
+      val be = floor(epochSec(col(e)) / w)
+      explode(when(be >= bs, sequence(bs, be))
+        .otherwise(array().cast("array<long>")))
+    }
+    val l = left.withColumn(B, buckets(lStart, lEnd))
+    val r = right.withColumn(B, buckets(rStart, rEnd))
+    l.join(r, on.map(k => l(k) === r(k)).reduce(_ && _) && (l(B) === r(B)))
+      .filter(l(B) === greatest(
+        floor(epochSec(col(lStart)) / w), floor(epochSec(col(rStart)) / w)))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .select(left.columns.map(l(_)) ++
+        right.columns.filterNot(on.contains).map(r(_)): _*)
+  }
+
   /** Generic gap sessionization: rows of the same key whose times are
     * within `gapSec` of their predecessor share a `sessionCol` id
     * (1-based per key). Gaps are compared at MICROsecond precision

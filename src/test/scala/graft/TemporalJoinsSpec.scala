@@ -202,6 +202,42 @@ class TemporalJoinsSpec extends GraftSuite {
       5L -> 1L, 6L -> 2L))
   }
 
+  test("intervalJoinIntervals: overlap pairs exactly once, any width") {
+    val l = ivDf(("a", 0L, 100L, 1L), ("a", 500L, 600L, 2L), ("b", 0L, 50L, 3L))
+    val r = Seq(("a", 90L, 510L, 10L), ("a", 600L, 700L, 11L), ("b", 50L, 99L, 12L))
+      .toDF("k", "s_raw", "e_raw", "rid")
+      .select(col("k"), timestamp_seconds(col("s_raw")).as("rs"),
+        timestamp_seconds(col("e_raw")).as("re"), col("rid"))
+    for (width <- Seq(7L, 100L, 5000L)) {
+      val got = TemporalJoins.intervalJoinIntervals(
+          l, r, Seq("k"), "ws", "we", "rs", "re", width)
+        .select(col("ivid"), col("rid")).as[(Long, Long)].collect().toSeq
+      // iv1×r10 overlap [90,100); iv2×r10 overlap [500,510); iv2×r11
+      // touch only at 600 (half-open, no); b: [0,50)×[50,99) touch, no
+      assert(got.sorted === Seq((1L, 10L), (2L, 10L)), s"width=$width")
+      assert(got.size === got.distinct.size, s"dupes at width=$width")
+    }
+  }
+
+  test("intervalJoinIntervals differential vs inequality join") {
+    val rnd = new scala.util.Random(13)
+    def ivs(n: Int, tag: Long) = Seq.tabulate(n) { i =>
+      val s = rnd.nextInt(2000).toLong
+      (s"k${rnd.nextInt(5)}", s, s + rnd.nextInt(400), tag + i)
+    }
+    val l = ivDf(ivs(120, 0L): _*)
+    val r = Seq(ivs(150, 1000L): _*).toDF("k", "s_raw", "e_raw", "rid")
+      .select(col("k"), timestamp_seconds(col("s_raw")).as("rs"),
+        timestamp_seconds(col("e_raw")).as("re"), col("rid"))
+    val got = TemporalJoins.intervalJoinIntervals(
+        l, r, Seq("k"), "ws", "we", "rs", "re", bucketWidthSec = 150L)
+      .select(col("ivid"), col("rid"))
+    val naive = l.join(r,
+        l("k") === r("k") && col("ws") < col("re") && col("rs") < col("we"))
+      .select(col("ivid"), col("rid"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("intervalJoinPoints plans an equi-join, not a nested loop") {
     val pts = pointsDf(("a", 10L, 1L))
     val iv = ivDf(("a", 0L, 100L, 1L))
