@@ -426,6 +426,8 @@ object ScaleProbe {
           .agg(max(col("value")).as("view_value"))
         time("asof")(TemporalJoins.asofBackward(
           purchases, views, Seq("user_id"), "ts", "ts"))
+        time("asof_fwd")(TemporalJoins.asofForward(
+          purchases, views, Seq("user_id"), "ts", "ts"))
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts"))
         val iv = ev.filter(col("event_type") === "error")
@@ -434,6 +436,13 @@ object ScaleProbe {
             col("event_id").as("ivid"))
         time("interval")(TemporalJoins.intervalJoinPoints(
           clicks, iv, Seq("user_id"), "ts", "ws", "we",
+          bucketWidthSec = 3600L))
+        val iv2 = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cs"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("ce"),
+            col("event_id").as("cid"))
+        time("overlap")(TemporalJoins.intervalJoinIntervals(
+          iv, iv2, Seq("user_id"), "ws", "we", "cs", "ce",
           bucketWidthSec = 3600L))
       }
       timeTemporal("warm", base, silent = true) // JIT warmup, see rco
