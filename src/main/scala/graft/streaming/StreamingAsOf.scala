@@ -22,12 +22,11 @@ import graft.operators.{CacheScope, TemporalJoins}
   * two sides cannot drift; StreamingAsOfSpec asserts streamed ≡ batch
   * across arbitrary batch splits.
   *
-  * Scope note: this is the pinned-snapshot variant (Flink's
-  * processing-time temporal table join). A bi-temporal as-of where the
-  * dimension ALSO streams needs keyed state holding each key's
-  * version history — when the dimension legitimately changes
-  * mid-query, restart with a fresh snapshot or run the batch operator
-  * over closed windows instead.
+  * Scope note: this is the pinned-snapshot variant. When the
+  * dimension ALSO streams, use [[StreamingAsOfDual]] (keyed
+  * newest-version state, ordered-arrival contract); when it
+  * legitimately changes mid-query outside that contract, restart with
+  * a fresh snapshot or run the batch operator over closed windows.
   */
 object StreamingAsOf {
 
