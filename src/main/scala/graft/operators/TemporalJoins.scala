@@ -4,9 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Generic temporal operators: backward as-of join and
-  * point-in-interval range join — the two join shapes Spark has no
-  * native operator for — plus gap sessionization as a generic API.
+/** Generic temporal operators: as-of joins (backward and forward),
+  * point-in-interval and interval-overlap range joins — the join
+  * shapes Spark has no native operator for — plus gap sessionization
+  * as a generic API.
   *
   * The reference resolves its interval/as-of lookups (SURVEY §2.5 J7)
   * with per-key loops (`ref/RCO_Maple_orchestrator.R:214-263` walks COs
@@ -14,7 +15,7 @@ import org.apache.spark.sql.functions._
   * changeover) — O(lookups × events) per key and driver-bound. The RCO
   * operators here already re-express those sites as merged-stream window
   * plans inline (BrandcodeResolve, FirstStopAfterCo, GanttGenerate);
-  * this module is the same idea exposed as a REUSABLE operator pair any
+  * this module is the same idea exposed as REUSABLE operators any
   * caller can apply to its own tables, the way DuckDB exposes `ASOF
   * JOIN` and Flink exposes temporal/interval joins as first-class
   * relational operators.
