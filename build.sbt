@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the metric JSON; sbt's "[success] Total time: …" epilogue would
+// otherwise print after it and break the parse (BENCH_r10 recorded
+// parsed:null for exactly this reason).
+showSuccess := false
+// showSuccess is consumed by sbt's own command layer, which the
+// lintUnused check can't see.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -78,7 +78,10 @@ object TemporalJoins {
     * partition WOULD group NULL keys together and an
     * ascending-nulls-first NULL time would win every `last()`, so
     * without the filter they'd produce matches no ASOF join makes.
-    * NULL-key left rows pass through unmatched.
+    * NULL-key left rows pass through unmatched, and so do left rows
+    * with a NULL `leftTime` — in BOTH directions (DuckDB ASOF /
+    * pandas merge_asof semantics; the forward scan's descending order
+    * would otherwise hand them the earliest right row).
     *
     * The matched right timestamp is emitted as `asofTsCol` (default
     * `asof_ts`); right value columns keep their names. */
@@ -120,6 +123,22 @@ object TemporalJoins {
       forward: Boolean): DataFrame = {
     val valueCols = right.columns.toSeq.filterNot(on.contains)
       .filterNot(_ == rightTime)
+    // Fail fast on the collision contract instead of silently
+    // mis-projecting: the merged-stream union would fold a colliding
+    // left column and right value column into ONE column, and the
+    // final `col(M)(c)` projection would then carry left values into
+    // the supposed right payload.
+    val collisions = left.columns.toSeq.intersect(valueCols :+ asofTsCol)
+    require(collisions.isEmpty,
+      s"asof join: left columns collide with right value columns or " +
+        s"asofTsCol: ${collisions.mkString(", ")} — rename one side " +
+        "before joining")
+    val reserved = Seq(T, SIDE, M)
+    val usedReserved =
+      (left.columns ++ right.columns).toSeq.intersect(reserved)
+    require(usedReserved.isEmpty,
+      s"asof join: column names ${usedReserved.mkString(", ")} are " +
+        "reserved for internal use")
     val lTagged = left
       .withColumn(T, col(leftTime))
       .withColumn(SIDE, lit(1))
@@ -149,10 +168,15 @@ object TemporalJoins {
         epochUs(col(M)(asofTsCol)) >= epochUs(col(T)) - lit(s * 1000000L)
       case None => lit(true)
     }
+    // `col(T).isNotNull`: a NULL-time left row must stay unmatched in
+    // BOTH directions. Backward gets this for free (asc puts NULLs
+    // first — nothing precedes them), but forward's desc ordering puts
+    // NULLs LAST, where last() would hand them the EARLIEST right row;
+    // DuckDB ASOF and pandas merge_asof leave them unmatched.
     merged
       .withColumn(M, packed)
       .filter(col(SIDE) === 1)
-      .withColumn(M, when(inTol, col(M)))
+      .withColumn(M, when(col(T).isNotNull && inTol, col(M)))
       .select(left.columns.map(col) ++
         (asofTsCol +: valueCols).map(c => col(M)(c).as(c)): _*)
   }
@@ -169,8 +193,16 @@ object TemporalJoins {
     *
     * `bucketWidthSec` tunes the expansion factor
     * (`len/width + 1` bucket rows per interval): pick it near the
-    * typical interval length. Degenerate (end < start) intervals
-    * produce no buckets and thus no matches. */
+    * typical interval length — [[suggestBucketWidth]] probes the
+    * distribution for you. Degenerate (end < start) intervals
+    * produce no buckets and thus no matches.
+    *
+    * `maxBucketsPerInterval`: when set, an interval whose expansion
+    * exceeds the cap FAILS THE JOB with a clear error instead of
+    * silently inflating the shuffle (one mis-entered year-long
+    * interval at a 60 s width is half a million exploded rows; a
+    * skewed interval table is millions). Production callers should
+    * set it to a small multiple of their expected `len/width`. */
   def intervalJoinPoints(
       points: DataFrame,
       intervals: DataFrame,
@@ -178,26 +210,68 @@ object TemporalJoins {
       pointTime: String,
       startCol: String,
       endCol: String,
-      bucketWidthSec: Long): DataFrame = {
+      bucketWidthSec: Long,
+      maxBucketsPerInterval: Option[Long] = None): DataFrame = {
     require(bucketWidthSec > 0,
       s"bucketWidthSec must be positive, got $bucketWidthSec " +
         "(a non-positive width would flag every interval degenerate " +
         "and silently return nothing)")
     val B = "__bucket"
     val w = lit(bucketWidthSec)
-    val bStart = floor(epochSec(col(startCol)) / w)
-    val bEnd   = floor(epochSec(col(endCol)) / w)
-    // Guard: sequence(a, b) with b < a infers step -1 and would emit a
-    // (potentially enormous) DESCENDING bucket list for a degenerate
-    // interval — explode an empty array instead, dropping the row.
     val iv = intervals.withColumn(B,
-      explode(when(bEnd >= bStart, sequence(bStart, bEnd))
-        .otherwise(array().cast("array<long>"))))
+      explodedBuckets(col(startCol), col(endCol), bucketWidthSec,
+        maxBucketsPerInterval))
     val pt = points.withColumn(B, floor(epochSec(col(pointTime)) / w))
+    // Filters reference columns THROUGH their side's frame — bare
+    // col(name) is ambiguous the moment both sides share a column
+    // name (e.g. points "ts" vs an interval table also carrying "ts").
     pt.join(iv, on.map(k => pt(k) === iv(k)).reduce(_ && _) && (pt(B) === iv(B)))
-      .filter(col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .filter(pt(pointTime) >= iv(startCol) && pt(pointTime) < iv(endCol))
       .select(points.columns.map(pt(_)) ++
         intervals.columns.filterNot(on.contains).map(iv(_)): _*)
+  }
+
+  /** Bucket list of one interval: `[floor(s/w) .. floor(e/w)]`.
+    * Guard 1: sequence(a, b) with b < a infers step -1 and would emit
+    * a (potentially enormous) DESCENDING bucket list for a degenerate
+    * interval — emit an empty array instead, dropping the row.
+    * Guard 2 (`cap`): fail loudly on an interval that would explode
+    * past the caller's expansion budget. */
+  private def explodedBuckets(s: Column, e: Column, widthSec: Long,
+      cap: Option[Long]): Column = {
+    val w = lit(widthSec)
+    val bs = floor(epochSec(s) / w)
+    val be = floor(epochSec(e) / w)
+    val seq = sequence(bs, be)
+    val guarded = cap match {
+      case Some(c) =>
+        when(assert_true(be - bs < lit(c),
+          concat(lit("interval expands into "), be - bs + lit(1L),
+            lit(s" buckets > maxBucketsPerInterval $c at " +
+              s"bucketWidthSec $widthSec — widen the bucket " +
+              "(suggestBucketWidth probes the length distribution) " +
+              "or clean the interval, start="), s, lit(" end="), e))
+          .isNull, seq)
+      case None => seq
+    }
+    explode(when(be >= bs, guarded).otherwise(array().cast("array<long>")))
+  }
+
+  /** Width-selection probe for the interval joins: the `percentile`
+    * (default p75) interval length in seconds, floored at 1 — a
+    * bucket width near the typical interval keeps the expansion
+    * factor O(1) per row. ONE tiny aggregate and a single-row
+    * collect (a scalar probe, not a driver loop); run it once per
+    * table shape, not per query. */
+  def suggestBucketWidth(intervals: DataFrame, startCol: String,
+      endCol: String, percentile: Double = 0.75): Long = {
+    require(percentile > 0 && percentile <= 1,
+      s"percentile must be in (0, 1], got $percentile")
+    val len = epochSec(col(endCol)) - epochSec(col(startCol))
+    val p = intervals.filter(len > 0)
+      .agg(percentile_approx(len, lit(percentile), lit(10000)))
+      .head()
+    if (p.isNullAt(0)) 1L else math.max(1L, p.getLong(0))
   }
 
   /** Interval-overlap join: every (left, right) interval pair of the
@@ -218,23 +292,25 @@ object TemporalJoins {
       on: Seq[String],
       lStart: String, lEnd: String,
       rStart: String, rEnd: String,
-      bucketWidthSec: Long): DataFrame = {
+      bucketWidthSec: Long,
+      maxBucketsPerInterval: Option[Long] = None): DataFrame = {
     require(bucketWidthSec > 0,
       s"bucketWidthSec must be positive, got $bucketWidthSec")
     val B = "__bucket"
     val w = lit(bucketWidthSec)
-    def buckets(s: String, e: String): Column = {
-      val bs = floor(epochSec(col(s)) / w)
-      val be = floor(epochSec(col(e)) / w)
-      explode(when(be >= bs, sequence(bs, be))
-        .otherwise(array().cast("array<long>")))
-    }
-    val l = left.withColumn(B, buckets(lStart, lEnd))
-    val r = right.withColumn(B, buckets(rStart, rEnd))
+    val l = left.withColumn(B,
+      explodedBuckets(col(lStart), col(lEnd), bucketWidthSec,
+        maxBucketsPerInterval))
+    val r = right.withColumn(B,
+      explodedBuckets(col(rStart), col(rEnd), bucketWidthSec,
+        maxBucketsPerInterval))
+    // All bound references go THROUGH l()/r() — with bare col(...)
+    // the query dies with an ambiguous-reference AnalysisException as
+    // soon as both sides name a bound the same (both "start", say).
     l.join(r, on.map(k => l(k) === r(k)).reduce(_ && _) && (l(B) === r(B)))
       .filter(l(B) === greatest(
-        floor(epochSec(col(lStart)) / w), floor(epochSec(col(rStart)) / w)))
-      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+        floor(epochSec(l(lStart)) / w), floor(epochSec(r(rStart)) / w)))
+      .filter(l(lStart) < r(rEnd) && r(rStart) < l(lEnd))
       .select(left.columns.map(l(_)) ++
         right.columns.filterNot(on.contains).map(r(_)): _*)
   }

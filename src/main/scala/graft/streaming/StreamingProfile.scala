@@ -45,15 +45,26 @@ object StreamingProfile {
 
   /** Write one batch's profile shard (exposed for the spec's
     * redelivery case). Dynamic partition overwrite replaces ONLY
-    * partition `batch_id=N`, leaving other shards untouched. */
-  def writeShard(batch: DataFrame, dir: String, batchId: Long): Unit =
-    LlmCorpus.profileSketch(batch)
+    * partition `batch_id=N`, leaving other shards untouched.
+    *
+    * The profile is built inside a [[graft.operators.CacheScope]]
+    * scope and released after the write: profileSketch pins its
+    * tokenized frame (two aggregations consume it), and WITHOUT the
+    * scope each micro-batch of a long-running stream would leave one
+    * more dead cached frame behind — unbounded cache growth on a
+    * query that is supposed to run forever. */
+  def writeShard(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    val (profile, release) =
+      graft.operators.CacheScope.collect(LlmCorpus.profileSketch(batch))
+    try profile
       .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write
       .partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(dir)
+    finally release()
+  }
 
   /** The whole-history profile: read every shard, merge. */
   def currentProfile(spark: SparkSession, dir: String): DataFrame =

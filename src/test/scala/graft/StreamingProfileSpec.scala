@@ -58,4 +58,16 @@ class StreamingProfileSpec extends GraftSuite {
     // and the count columns really are exact sums, not estimates
     assert(before.values.map(_._1).sum === corpus.size)
   }
+
+  test("writeShard releases its pinned frame (no per-batch cache leak)") {
+    // profileSketch pins the tokenized batch; a long-running stream
+    // calls writeShard once per micro-batch — without the CacheScope
+    // release each call would leave one more dead cached frame behind
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_profile_leak").toString
+    val cached0 = spark.sparkContext.getPersistentRDDs.size
+    (0 until 3).foreach(i =>
+      StreamingProfile.writeShard(corpus.take(20).toDF(), dir, i.toLong))
+    assert(spark.sparkContext.getPersistentRDDs.size === cached0)
+  }
 }

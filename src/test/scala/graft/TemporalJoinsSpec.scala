@@ -238,6 +238,99 @@ class TemporalJoinsSpec extends GraftSuite {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("asofForward leaves NULL left-time rows unmatched (both directions)") {
+    // forward's desc scan puts NULLs last, where last() would hand
+    // them the EARLIEST right row — DuckDB ASOF leaves them unmatched
+    val l = Seq(("a", Some(100L), 1L), ("a", None, 2L))
+      .toDF("k", "lt_raw", "lid")
+      .select(col("k"), timestamp_seconds(col("lt_raw")).as("lt"), col("lid"))
+    val r = rightDf(("a", 50L, "r50"), ("a", 200L, "r200"))
+    val fwd = asofRows(TemporalJoins.asofForward(l, r, Seq("k"), "lt", "rt"))
+    assert(fwd(1L) === (Some(200L), Some("r200")))
+    assert(fwd(2L) === (None, None))
+    val bwd = asofRows(TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt"))
+    assert(bwd(1L) === (Some(50L), Some("r50")))
+    assert(bwd(2L) === (None, None))
+  }
+
+  test("asof fails fast on left/right column-name collisions") {
+    val l = leftDf(("a", 100L, 1L)).withColumn("v", lit("mine"))
+    val r = rightDf(("a", 50L, "r50")) // right value col also "v"
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt")
+    }
+    assert(e.getMessage.contains("v"))
+    // asofTsCol colliding with an existing left column is the same bug
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(leftDf(("a", 100L, 1L)), r,
+        Seq("k"), "lt", "rt", asofTsCol = "lid")
+    }
+    assert(e2.getMessage.contains("lid"))
+    // reserved internal names rejected rather than silently clobbered
+    val e3 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(
+        leftDf(("a", 100L, 1L)).withColumn("__side", lit(9)),
+        r, Seq("k"), "lt", "rt")
+    }
+    assert(e3.getMessage.contains("__side"))
+  }
+
+  test("interval joins accept same-named bound columns on both sides") {
+    // both frames call their bounds (s, e) — the post-join filters
+    // must resolve through the per-side frames, not bare col()
+    def mk(tag: Long, rows: (String, Long, Long, Long)*) =
+      rows.toSeq.toDF("k", "s_raw", "e_raw", "id")
+        .select(col("k"), timestamp_seconds(col("s_raw")).as("s"),
+          timestamp_seconds(col("e_raw")).as("e"), (col("id") + tag).as("id"))
+    val l = mk(0L, ("a", 0L, 100L, 1L), ("a", 500L, 600L, 2L))
+    val r = mk(100L, ("a", 90L, 510L, 1L), ("a", 600L, 700L, 2L))
+    // (post-join the two `id` columns are ambiguous by NAME, like any
+    // Spark join with duplicate names — the join itself must work)
+    assert(TemporalJoins.intervalJoinIntervals(
+      l, r, Seq("k"), "s", "e", "s", "e", 100L).count() === 2)
+    // point side sharing the interval's start-bound name
+    val pts = Seq(("a", 50L, 7L)).toDF("k", "s_raw", "pid")
+      .select(col("k"), timestamp_seconds(col("s_raw")).as("s"), col("pid"))
+    val ivs = mk(0L, ("a", 0L, 100L, 1L))
+    val gotP = TemporalJoins.intervalJoinPoints(
+      pts, ivs, Seq("k"), "s", "s", "e", 60L)
+    assert(gotP.count() === 1)
+  }
+
+  test("intervalJoinPoints expansion cap fails loud, passes under cap") {
+    val pts = pointsDf(("a", 10L, 1L))
+    // [0, 36000): 601 buckets at width 60
+    val iv = ivDf(("a", 0L, 36000L, 1L))
+    val e = intercept[Exception] {
+      TemporalJoins.intervalJoinPoints(pts, iv, Seq("k"), "pt", "ws", "we",
+        60L, maxBucketsPerInterval = Some(100L)).count()
+    }
+    assert(e.getMessage.contains("maxBucketsPerInterval"), e.getMessage)
+    val ok = TemporalJoins.intervalJoinPoints(pts, iv, Seq("k"), "pt",
+      "ws", "we", 60L, maxBucketsPerInterval = Some(1000L))
+    assert(ok.count() === 1)
+    val iv2 = Seq(("a", 0L, 36000L, 1L)).toDF("k", "s_raw", "e_raw", "rid")
+      .select(col("k"), timestamp_seconds(col("s_raw")).as("rs"),
+        timestamp_seconds(col("e_raw")).as("re"), col("rid"))
+    val e2 = intercept[Exception] {
+      TemporalJoins.intervalJoinIntervals(iv, iv2, Seq("k"), "ws", "we",
+        "rs", "re", 60L, maxBucketsPerInterval = Some(100L)).count()
+    }
+    assert(e2.getMessage.contains("maxBucketsPerInterval"), e2.getMessage)
+  }
+
+  test("suggestBucketWidth probes the interval-length percentile") {
+    // lengths 10,20,...,100 (plus a degenerate row that must be
+    // ignored); p75 over 10 values = 80, p100 = 100
+    val iv = ivDf((Seq.tabulate(10)(i =>
+      ("a", 0L, (i + 1) * 10L, i.toLong)) :+ ("a", 50L, 40L, 99L)): _*)
+    assert(TemporalJoins.suggestBucketWidth(iv, "ws", "we") === 80L)
+    assert(TemporalJoins.suggestBucketWidth(iv, "ws", "we", 1.0) === 100L)
+    // empty / all-degenerate table → floor of 1, not a crash
+    assert(TemporalJoins.suggestBucketWidth(
+      ivDf(("a", 50L, 40L, 1L)), "ws", "we") === 1L)
+  }
+
   test("intervalJoinPoints plans an equi-join, not a nested loop") {
     val pts = pointsDf(("a", 10L, 1L))
     val iv = ivDf(("a", 0L, 100L, 1L))
