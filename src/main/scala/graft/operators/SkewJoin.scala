@@ -44,10 +44,25 @@ object SkewJoin {
   private[graft] def rowSalt(df: DataFrame, salts: Int): Column =
     pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong))
 
-  /** Equi-join `left` ⋈ `right` on `keys`, with `left`'s shuffle
-    * spread over `salts` sub-partitions per key. `joinType`: "inner"
-    * or "left" (flavors where each left row's matches are complete
-    * within its salt). */
+  /** Equi-join `left` ⋈ `right` on `keys`, with the skewed side's
+    * shuffle spread over `salts` sub-partitions per key.
+    *
+    * Flavors and which side gets salted (= which side is assumed
+    * hot, the other replicated `salts`×):
+    *  - `inner` / `left` / `left_outer`: LEFT salted, right
+    *    replicated — each left row's matches are complete within its
+    *    salt, so left-outer nulls are exact;
+    *  - `right` / `right_outer`: the symmetric shape — RIGHT salted,
+    *    left replicated; each right row's matches are complete within
+    *    its salt;
+    *  - `full` / `full_outer` / `outer`: no single salting covers
+    *    both sides' unmatched rows (whichever side is replicated
+    *    would emit its unmatched rows once PER SALT), so full runs
+    *    TWO salted passes — the left-outer pass plus the right-only
+    *    rows of a right-outer pass (detected via a presence tag, not
+    *    via nullness, so legitimately-NULL left attributes can't be
+    *    mistaken for "unmatched") — 2× the join work, still
+    *    straggler-free. */
   def saltedEquiJoin(
       left: DataFrame,
       right: DataFrame,
@@ -55,12 +70,31 @@ object SkewJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    require(joinType == "inner" || joinType == "left" ||
-      joinType == "left_outer",
-      s"saltedEquiJoin supports inner/left joins, got $joinType")
-    val l = left.withColumn(SaltCol, rowSalt(left, salts))
-    val r = right.withColumn(SaltCol,
-      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
-    l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
+    joinType match {
+      case "inner" | "left" | "left_outer" =>
+        val l = left.withColumn(SaltCol, rowSalt(left, salts))
+        val r = right.withColumn(SaltCol,
+          explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+        l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
+      case "right" | "right_outer" =>
+        val l = left.withColumn(SaltCol,
+          explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+        val r = right.withColumn(SaltCol, rowSalt(right, salts))
+        l.join(r, keys :+ SaltCol, joinType).drop(SaltCol)
+      case "full" | "full_outer" | "outer" =>
+        val tag = "__left_present"
+        require(!(left.columns ++ right.columns).contains(tag),
+          s"column name $tag is reserved for internal use")
+        val tagged = left.withColumn(tag, lit(true))
+        val leftPass =
+          saltedEquiJoin(tagged, right, keys, salts, "left").drop(tag)
+        val rightOnly =
+          saltedEquiJoin(tagged, right, keys, salts, "right")
+            .filter(col(tag).isNull).drop(tag)
+        leftPass.unionByName(rightOnly)
+      case other =>
+        throw new IllegalArgumentException(
+          s"saltedEquiJoin supports inner/left/right/full joins, got $other")
+    }
   }
 }

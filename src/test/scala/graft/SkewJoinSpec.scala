@@ -28,11 +28,26 @@ class SkewJoinSpec extends GraftSuite {
         (if (rnd.nextInt(10) == 0) null
          else s"k${rnd.nextInt(8)}", s"r$i")) ++ Seq(("konlyr", "x")))
       .toDF("k", "v")
-    for (jt <- Seq("inner", "left"); salts <- Seq(1, 7)) {
+    for (jt <- Seq("inner", "left", "right", "full"); salts <- Seq(1, 7)) {
       val salted = SkewJoin.saltedEquiJoin(left, right, Seq("k"), salts, jt)
       val plain = left.join(right, Seq("k"), jt)
       assert(sameRows(salted, plain), s"joinType=$jt salts=$salts")
     }
+  }
+
+  test("full outer: unmatched rows on the replicated side appear ONCE") {
+    // the single-pass trap: replicating one side and joining "full"
+    // emits that side's unmatched rows once per salt — the two-pass
+    // formulation must not
+    val left = Seq(("lonly", 1), ("both", 2),
+      (null.asInstanceOf[String], 3)).toDF("k", "a")
+    // right carries a legitimately-NULL value column on its unmatched
+    // row: presence tagging must not confuse it with "no left match"
+    val right = Seq(("ronly", null.asInstanceOf[String]), ("both", "x"),
+      (null.asInstanceOf[String], "nullk")).toDF("k", "v")
+    val out = SkewJoin.saltedEquiJoin(left, right, Seq("k"), 5, "full")
+    assert(sameRows(out, left.join(right, Seq("k"), "full")))
+    assert(out.filter(col("k") === "ronly").count() === 1)
   }
 
   test("a hot key actually spreads over the salt space") {
