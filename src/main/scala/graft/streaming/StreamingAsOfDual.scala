@@ -28,8 +28,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * single-version state; it is emitted UNMATCHED rather than matched
   * to a version from its future — the defensive `tUs <= fact.tUs`
   * check makes the failure mode visible instead of wrong. Sources that
-  * can be late need a watermark-and-buffer stage in front, or the
-  * batch operator over closed windows.
+  * can be late belong on [[StreamingAsOfDualLate]] — the same machine
+  * behind a watermark-and-buffer stage — or on the batch operator over
+  * closed windows.
   */
 object StreamingAsOfDual {
 
@@ -49,16 +50,22 @@ object StreamingAsOfDual {
 
   /** One group-batch step: fold rows in (time, side) order — version
     * rows update state (monotone: an out-of-order older version never
-    * clobbers a newer one), fact rows read it. */
-  def processKey(key: String, it: Iterator[Tagged],
+    * clobbers a newer one), fact rows read it. `toleranceSec` mirrors
+    * the batch operator: a version older than `fact.tUs - tolerance`
+    * does not match (the fact emits unmatched) — but it still LIVES in
+    * state, because a later fact may fall back inside the window. */
+  def processKey(toleranceSec: Option[Long])(key: String,
+      it: Iterator[Tagged],
       state: GroupState[DimState]): Iterator[Enriched] = {
+    val tolUs = toleranceSec.map(_ * 1000000L)
     var st = state.getOption
     val out = it.toIndexedSeq.sortBy(r => (r.tUs, r.side)).flatMap { r =>
       if (r.side == 0) {
         if (st.forall(_.tUs <= r.tUs)) st = Some(DimState(r.tUs, r.v))
         None
       } else {
-        val m = st.filter(_.tUs <= r.tUs)
+        val m = st.filter(s =>
+          s.tUs <= r.tUs && tolUs.forall(t => s.tUs >= r.tUs - t))
         Some(Enriched(key, r.factId, r.tUs, m.map(_.tUs), m.map(_.v)))
       }
     }
@@ -67,11 +74,14 @@ object StreamingAsOfDual {
   }
 
   /** Works on both streaming and batch Datasets (Spark runs the state
-    * machinery statefully only under a streaming query). */
-  def apply(tagged: Dataset[Tagged]): Dataset[Enriched] = {
+    * machinery statefully only under a streaming query). `tolerance`
+    * (seconds) bounds match staleness exactly like the batch
+    * operator's parameter. */
+  def apply(tagged: Dataset[Tagged],
+      tolerance: Option[Long] = None): Dataset[Enriched] = {
     import tagged.sparkSession.implicits._
     tagged.groupByKey(_.k)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(processKey)
+        GroupStateTimeout.NoTimeout)(processKey(tolerance))
   }
 }

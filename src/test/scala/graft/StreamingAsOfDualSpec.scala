@@ -12,11 +12,12 @@ import graft.streaming.StreamingAsOfDual.Tagged
 class StreamingAsOfDualSpec extends GraftSuite {
   import spark.implicits._
 
-  private def run(batches: Seq[Seq[Tagged]]): Map[Long, (Option[Long], Option[String])] = {
+  private def run(batches: Seq[Seq[Tagged]],
+      tolerance: Option[Long] = None): Map[Long, (Option[Long], Option[String])] = {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tagged]
     val got = scala.collection.mutable.Map.empty[Long, (Option[Long], Option[String])]
-    val q = StreamingAsOfDual(input.toDS()).writeStream
+    val q = StreamingAsOfDual(input.toDS(), tolerance).writeStream
       .outputMode("append")
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[StreamingAsOfDual.Enriched],
@@ -57,6 +58,37 @@ class StreamingAsOfDualSpec extends GraftSuite {
       rest = rest.drop(take)
     }
     assert(run(batches.result()) === expected)
+  }
+
+  test("streamed ≡ batch with tolerance set, across random chops") {
+    val rnd = new scala.util.Random(23)
+    val rows = (Seq.tabulate(60)(i =>
+        Tagged(s"k${i % 4}", (i / 4).toLong * 20000000L + (i % 4), 0, -1L, s"v$i")) ++
+      Seq.tabulate(200)(i =>
+        Tagged(s"k${rnd.nextInt(5)}", rnd.nextInt(320).toLong * 1000000L, 1, i.toLong, null)))
+      .sortBy(_.tUs)
+    val tol = 7L // seconds — small enough that many matches go stale
+    val facts = rows.filter(_.side == 1)
+      .toDF().select(col("k"), timestamp_micros(col("tUs")).as("lt"), col("factId"))
+    val dims = rows.filter(_.side == 0)
+      .toDF().select(col("k"), timestamp_micros(col("tUs")).as("rt"), col("v"))
+    val expected = TemporalJoins.asofBackward(facts, dims, Seq("k"), "lt", "rt",
+        tolerance = Some(tol))
+      .select(col("factId"), unix_micros(col("asof_ts")), col("v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), Option(r.getString(2)))))
+      .toMap
+    assert(expected.values.exists(_._1.nonEmpty) &&
+      expected.values.exists(_._1.isEmpty), "fixture sanity")
+    var rest = rows
+    val batches = Seq.newBuilder[Seq[Tagged]]
+    while (rest.nonEmpty) {
+      val take = 1 + rnd.nextInt(math.max(1, rest.size / 3))
+      batches += rest.take(take)
+      rest = rest.drop(take)
+    }
+    assert(run(batches.result(), tolerance = Some(tol)) === expected)
   }
 
   test("a version folded in one batch enriches facts in later batches") {
