@@ -449,6 +449,49 @@ object ScaleProbe {
       timeTemporal("1x", base)
       timeTemporal("wide", wide)
       timeTemporal("dense", dense)
+
+      // Hot-key shape: HALF of all rows collapse onto ONE user key,
+      // grown K× dense-style (time-shifted copies, so the hot key's
+      // HISTORY deepens K×). This is the shape the window-based
+      // temporal operators cannot salt away: the plain as-of scans the
+      // hot key's whole history in one task, the sliced variant
+      // spreads it over (key, slice) tasks. Passing looks like:
+      // asof_slice ≈ linear in K while asof_plain degrades toward the
+      // single-task ceiling; gap_plain is measured to PIN the known
+      // serial contract of sessionization (a running per-key count has
+      // no sliced form — its boundary state is order-dependent).
+      def timeSkew(tag: String, events: DataFrame,
+          silent: Boolean = false): Unit = {
+        val dir = s"/tmp/graft_scale_tmpskew_$tag"
+        events.write.mode("overwrite").parquet(dir)
+        val ev = spark.read.parquet(dir)
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          if (!silent)
+            println(f"tmp_$tag%-8s $name%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("value")).as("view_value"))
+        time("asof_plain")(TemporalJoins.asofBackward(
+          purchases, views, Seq("user_id"), "ts", "ts"))
+        time("asof_slice")(TemporalJoins.asofBackwardSliced(
+          purchases, views, Seq("user_id"), "ts", "ts",
+          sliceWidthSec = 86400L))
+        time("gap_plain")(TemporalJoins.sessionizeByGap(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          Seq("user_id"), "ts", 1800L))
+      }
+      val mkSkew: DataFrame => DataFrame = df =>
+        df.withColumn("user_id",
+          when(pmod(col("event_id"), lit(2)) === 0, lit(424242L))
+            .otherwise(col("user_id")))
+      timeSkew("skwarm", mkSkew(base), silent = true)
+      timeSkew("skew1x", mkSkew(base))
+      timeSkew("skewKx", mkSkew(dense))
     }
     spark.stop()
   }

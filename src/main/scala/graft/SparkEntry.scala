@@ -39,6 +39,7 @@ object SparkEntry {
     "cls_anti_join",
     "cls_top_orders_per_customer",
     "cls_asof_join",
+    "cls_asof_sliced",
     "cls_range_join",
     "rco_sessionize",
     "rco_co_agg",

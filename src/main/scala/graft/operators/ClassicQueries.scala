@@ -160,6 +160,27 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[asofJoin]] recomputed through the time-sliced two-pass
+    * operator ([[TemporalJoins.asofBackwardSliced]], 1-week slices) —
+    * the hot-key-safe formulation, gate-checked against the SAME
+    * DuckDB native ASOF oracle to prove the slicing is invisible in
+    * the result. */
+  def asofJoinSliced(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    TemporalJoins.asofBackwardSliced(purchases, views,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        sliceWidthSec = 7L * 86400L, asofTsCol = "view_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 4).as("purchase_value"),
+        col("view_ts"), round(col("view_value"), 4).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward as-of join: each purchase picks up the user's NEXT view
     * at-or-after it — [[asofJoin]]'s mirror, gate-checked against
     * DuckDB `ASOF LEFT JOIN … ON l.ts <= r.ts`. */
@@ -309,6 +330,7 @@ object ClassicQueries {
     "cls_gap_sessions" -> (gapSessions _),
     "cls_skew_join" -> (skewJoin _),
     "cls_asof_join" -> (asofJoin _),
+    "cls_asof_sliced" -> (asofJoinSliced _),
     "cls_asof_join_fwd" -> (asofJoinFwd _),
     "cls_range_join" -> (rangeJoin _),
     "cls_interval_overlap" -> (intervalOverlap _),
@@ -342,6 +364,17 @@ object ClassicQueries {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "cls_asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+         round(l.value, 4) AS purchase_value,
+         r.ts AS view_ts, round(r.view_value, 4) AS view_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value
+                         FROM events WHERE event_type = 'view'
+                         GROUP BY user_id, ts) r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "cls_asof_sliced" ->
       """SELECT l.event_id, l.user_id, l.ts,
          round(l.value, 4) AS purchase_value,
          r.ts AS view_ts, round(r.view_value, 4) AS view_value

@@ -181,6 +181,145 @@ object TemporalJoins {
         (asofTsCol +: valueCols).map(c => col(M)(c).as(c)): _*)
   }
 
+  /** Time-sliced backward as-of join — identical semantics to
+    * [[asofBackward]], different scale envelope. The plain operator's
+    * window partitions by the join keys alone, so ONE key's entire
+    * history is one task's serial scan: correct at any size, but a
+    * single key holding half the corpus becomes the straggler that
+    * bounds the stage, and (unlike an equi-join) a window cannot be
+    * salted — [[SkewJoin]] has no analogue here. This variant breaks
+    * the scan into fixed-width time slices, two passes:
+    *
+    *  1. LOCAL: the same merged-stream window partitioned by
+    *     (keys, slice) — a hot key spreads over `range/width` tasks.
+    *     A left row whose latest right row lives in its own slice is
+    *     already done (at a width near the typical right-event
+    *     spacing, that is almost all of them).
+    *  2. CARRY-IN: per (key, slice), the latest right row of that
+    *     slice (one tiny agg row each); a running `last` over the
+    *     key's slice sequence gives every slice the newest right row
+    *     from any EARLIER slice; one equi-join on (keys, slice) fills
+    *     the lefts pass 1 left unmatched. The per-key serial work
+    *     drops from O(rows of the key) to O(slices of the key) —
+    *     bounded by time range / width, not by data volume.
+    *
+    * Same contracts as [[asofBackward]] (right unique per
+    * (keys, time); no name collisions; NULL keys/times unmatched).
+    * `sliceWidthSec` only moves WORK between the passes — any width
+    * gives the same rows (spec-asserted) — so pick it near the
+    * typical right-side event spacing per key. */
+  def asofBackwardSliced(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      sliceWidthSec: Long,
+      tolerance: Option[Long] = None,
+      asofTsCol: String = "asof_ts"): DataFrame =
+    asofSlicedImpl(left, right, on, leftTime, rightTime, sliceWidthSec,
+      tolerance, asofTsCol, forward = false)
+
+  /** Forward twin of [[asofBackwardSliced]]: earliest right row
+    * at-or-after, carry-in from LATER slices. */
+  def asofForwardSliced(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      sliceWidthSec: Long,
+      tolerance: Option[Long] = None,
+      asofTsCol: String = "asof_ts"): DataFrame =
+    asofSlicedImpl(left, right, on, leftTime, rightTime, sliceWidthSec,
+      tolerance, asofTsCol, forward = true)
+
+  private def asofSlicedImpl(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      sliceWidthSec: Long,
+      tolerance: Option[Long],
+      asofTsCol: String,
+      forward: Boolean): DataFrame = {
+    require(sliceWidthSec > 0,
+      s"sliceWidthSec must be positive, got $sliceWidthSec")
+    val S = "__slice"
+    val R = "__slice_pick"
+    val C = "__carry"
+    val usedReserved =
+      (left.columns ++ right.columns).toSeq.intersect(Seq(S, R, C))
+    require(usedReserved.isEmpty,
+      s"sliced asof join: column names ${usedReserved.mkString(", ")} " +
+        "are reserved for internal use")
+    val valueCols = right.columns.toSeq.filterNot(on.contains)
+      .filterNot(_ == rightTime)
+    val w = lit(sliceWidthSec)
+    val lS = left.withColumn(S, floor(epochSec(col(leftTime)) / w))
+    val rS = right
+      .filter(col(rightTime).isNotNull &&
+        on.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn(S, floor(epochSec(col(rightTime)) / w))
+
+    // Pass 1: as-of within each (keys, slice). Tolerance is NOT
+    // applied here — it must act on the final stitched match.
+    val local = asofImpl(lS, rS, on :+ S, leftTime, rightTime,
+      tolerance = None, asofTsCol, forward)
+
+    // Pass 2: boundary summary. perSlice is ONE row per right
+    // key-slice; `slices` adds the left's key-slices so a left slice
+    // with no right rows at all still receives its carry. Both frames
+    // are O(distinct key-slices) — KBs per key even at 100 TB.
+    val payload = struct(col(rightTime).as(asofTsCol) +:
+      valueCols.map(col): _*)
+    val pick =
+      if (forward) min_by(payload, col(rightTime))
+      else max_by(payload, col(rightTime))
+    val onS = (on :+ S).map(col)
+    val perSlice = rS.groupBy(onS: _*).agg(pick.as(R))
+    val slices = lS
+      .filter(col(S).isNotNull && on.map(col(_).isNotNull).reduce(_ && _))
+      .select(onS: _*)
+      .union(rS.select(onS: _*))
+      .distinct()
+    val seq0 = Window.partitionBy(on.map(col): _*).orderBy(col(S))
+    val carryCol =
+      if (forward)
+        first(col(R), ignoreNulls = true)
+          .over(seq0.rowsBetween(1, Window.unboundedFollowing))
+      else
+        last(col(R), ignoreNulls = true)
+          .over(seq0.rowsBetween(Window.unboundedPreceding, -1))
+    val carry = slices.join(perSlice, on :+ S, "left")
+      .withColumn(C, carryCol)
+      .select(onS :+ col(C): _*)
+
+    // Pass 3: stitch. The in-slice match always wins when present —
+    // it is strictly closer in time than anything carried across the
+    // slice boundary. Gating on the matched TIMESTAMP (not the value
+    // columns) keeps a legitimately-NULL right attribute from being
+    // "filled" by the carry.
+    val localPayload = struct((asofTsCol +: valueCols).map(col): _*)
+    val stitched = local.join(carry, on :+ S, "left")
+      .withColumn(C,
+        when(col(asofTsCol).isNotNull, localPayload).otherwise(col(C)))
+    val inTol: Column = tolerance match {
+      case Some(s) if forward =>
+        epochUs(col(C)(asofTsCol)) <=
+          epochUs(col(leftTime)) + lit(s * 1000000L)
+      case Some(s) =>
+        epochUs(col(C)(asofTsCol)) >=
+          epochUs(col(leftTime)) - lit(s * 1000000L)
+      case None => lit(true)
+    }
+    stitched
+      .withColumn(C, when(inTol, col(C)))
+      .select(left.columns.map(col) ++
+        (asofTsCol +: valueCols).map(c => col(C)(c).as(c)): _*)
+  }
+
   /** Point-in-interval range join: every (point, interval) pair of the
     * same key with `startCol <= pointTime < endCol` (half-open, the
     * convention every RCO window in this repo uses), inner flavor.

@@ -130,6 +130,49 @@ class TemporalJoinsSpec extends GraftSuite {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("sliced asof ≡ plain asof at any slice width, both directions") {
+    val rnd = new scala.util.Random(31)
+    // nulls on both sides, a hot key with half the rows, sparse keys
+    val l = leftDf(Seq.tabulate(400)(i =>
+      (if (rnd.nextInt(15) == 0) null
+       else if (rnd.nextInt(2) == 0) "hot" else s"k${rnd.nextInt(6)}",
+        rnd.nextInt(5000).toLong, i.toLong)): _*)
+    val r = rightDf(Seq.tabulate(300)(i =>
+      (if (i % 13 == 0) null
+       else if (i % 2 == 0) "hot" else s"k${i % 8}",
+        (i / 4).toLong * 61 + (i % 4), s"v$i")): _*)
+    for (width <- Seq(1L, 97L, 1000L, 100000L)) { // many slices … one slice
+      val bwd = TemporalJoins.asofBackwardSliced(
+        l, r, Seq("k"), "lt", "rt", sliceWidthSec = width)
+      val bwdPlain = TemporalJoins.asofBackward(l, r, Seq("k"), "lt", "rt")
+      assert(bwd.exceptAll(bwdPlain).isEmpty &&
+        bwdPlain.exceptAll(bwd).isEmpty, s"backward width=$width")
+      val fwd = TemporalJoins.asofForwardSliced(
+        l, r, Seq("k"), "lt", "rt", sliceWidthSec = width)
+      val fwdPlain = TemporalJoins.asofForward(l, r, Seq("k"), "lt", "rt")
+      assert(fwd.exceptAll(fwdPlain).isEmpty &&
+        fwdPlain.exceptAll(fwd).isEmpty, s"forward width=$width")
+    }
+  }
+
+  test("sliced asof honors tolerance across slice boundaries") {
+    // match carried from a far-earlier slice, then nulled by tolerance
+    val l = leftDf(("a", 10000L, 1L), ("a", 10030L, 2L))
+    val r = rightDf(("a", 9950L, "old"))
+    val out = asofRows(TemporalJoins.asofBackwardSliced(
+      l, r, Seq("k"), "lt", "rt", sliceWidthSec = 60L,
+      tolerance = Some(60L)))
+    assert(out(1L) === (Some(9950L), Some("old"))) // 50s stale, carried
+    assert(out(2L) === (None, None))               // 80s stale
+    // and a legitimately-NULL right attribute is not "filled" by carry
+    val r2 = Seq(("a", 9950L, Some("old")), ("a", 9990L, None))
+      .toDF("k", "rt_raw", "v")
+      .select(col("k"), timestamp_seconds(col("rt_raw")).as("rt"), col("v"))
+    val out2 = asofRows(TemporalJoins.asofBackwardSliced(
+      l, r2, Seq("k"), "lt", "rt", sliceWidthSec = 60L))
+    assert(out2(1L) === (Some(9990L), None))
+  }
+
   private def pointsDf(rows: (String, Long, Long)*): DataFrame =
     rows.toSeq.toDF("k", "pt_raw", "pid")
       .select(col("k"), timestamp_seconds(col("pt_raw")).as("pt"), col("pid"))
