@@ -84,7 +84,13 @@ object TemporalJoins {
     * would otherwise hand them the earliest right row).
     *
     * The matched right timestamp is emitted as `asofTsCol` (default
-    * `asof_ts`); right value columns keep their names. */
+    * `asof_ts`); right value columns keep their names.
+    *
+    * Scale ceiling: the window partitions by `on` alone, so ONE key's
+    * whole history is a single task's serial scan — fine until a hot
+    * key's row count rivals what one core can sort; past that, use
+    * [[asofBackwardSliced]] (same semantics, per-key work split over
+    * time slices). */
   def asofBackward(
       left: DataFrame,
       right: DataFrame,
@@ -467,7 +473,16 @@ object TemporalJoins {
     * rows can never open a session against each other (gap 0), and
     * whichever of them the sort visits first absorbs any boundary
     * against the preceding row — every tied row ends up with the same
-    * running-boundary count either way. */
+    * running-boundary count either way.
+    *
+    * Scale contract (measured, ScaleProbe `temporal` skew shape): one
+    * key's rows are ONE task's serial scan, and unlike the as-of
+    * family this has no time-sliced form — the running session count
+    * is order-dependent, so a slice's numbering depends on every
+    * earlier slice's boundary state. A key whose row count rivals a
+    * single core's sort budget needs a coarser keying upstream
+    * (e.g. pre-split by calendar period with period-boundary sessions
+    * accepted, as the reference's per-day processing does). */
   def sessionizeByGap(
       df: DataFrame,
       on: Seq[String],
