@@ -484,6 +484,9 @@ object ScaleProbe {
         time("gap_plain")(TemporalJoins.sessionizeByGap(
           ev.select(col("event_id"), col("user_id"), col("ts")),
           Seq("user_id"), "ts", 1800L))
+        time("gap_slice")(TemporalJoins.sessionizeByGapSliced(
+          ev.select(col("event_id"), col("user_id"), col("ts")),
+          Seq("user_id"), "ts", 1800L, sliceWidthSec = 86400L))
       }
       val mkSkew: DataFrame => DataFrame = df =>
         df.withColumn("user_id",

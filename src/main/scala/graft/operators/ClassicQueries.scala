@@ -326,8 +326,20 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[gapSessions]] recomputed through the time-sliced two-pass
+    * operator (1-day slices) — gate-checked against the SAME lag+
+    * running-sum SQL twin to prove the slicing is invisible. */
+  def gapSessionsSliced(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    TemporalJoins.sessionizeByGapSliced(ev, Seq("user_id"), "ts",
+        gapSec = 1800L, sliceWidthSec = 86400L)
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "cls_gap_sessions" -> (gapSessions _),
+    "cls_gap_sliced" -> (gapSessionsSliced _),
     "cls_skew_join" -> (skewJoin _),
     "cls_asof_join" -> (asofJoin _),
     "cls_asof_sliced" -> (asofJoinSliced _),
@@ -346,6 +358,18 @@ object ClassicQueries {
 
   val oracles: Map[String, String] = Map(
     "cls_gap_sessions" ->
+      """SELECT event_id, user_id, ts,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM (SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts
+               FROM events)
+         ORDER BY event_id""",
+    "cls_gap_sliced" ->
       """SELECT event_id, user_id, ts,
          CAST(sum(CASE WHEN prev_ts IS NULL
                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000

@@ -475,14 +475,11 @@ object TemporalJoins {
     * against the preceding row — every tied row ends up with the same
     * running-boundary count either way.
     *
-    * Scale contract (measured, ScaleProbe `temporal` skew shape): one
-    * key's rows are ONE task's serial scan, and unlike the as-of
-    * family this has no time-sliced form — the running session count
-    * is order-dependent, so a slice's numbering depends on every
-    * earlier slice's boundary state. A key whose row count rivals a
-    * single core's sort budget needs a coarser keying upstream
-    * (e.g. pre-split by calendar period with period-boundary sessions
-    * accepted, as the reference's per-day processing does). */
+    * Scale ceiling (measured, ScaleProbe `temporal` skew shape): one
+    * key's rows are ONE task's serial scan. Past a single core's sort
+    * budget, use [[sessionizeByGapSliced]] — session ids are a
+    * running boundary count, i.e. a PREFIX SUM, which composes
+    * across time slices. */
   def sessionizeByGap(
       df: DataFrame,
       on: Seq[String],
@@ -496,5 +493,70 @@ object TemporalJoins {
       when(prev.isNull || t - prev > gapSec * 1000000L, 1L).otherwise(0L)
     df.withColumn(sessionCol, sum(boundary)
       .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Time-sliced [[sessionizeByGap]] — identical session ids, per-key
+    * serial work split over fixed-width time slices (the hot-key
+    * escape, sibling of [[asofBackwardSliced]]).
+    *
+    * Why this decomposes: a row's session id is the running count of
+    * session boundaries at-or-before it — a prefix sum, and prefix
+    * sums compose. Per (key, slice): a local window computes each
+    * row's INNER boundary count (gaps wholly inside the slice) and a
+    * 3-column summary (min time, max time, inner-boundary total).
+    * Per key, over the TINY slice-summary sequence (O(slices), not
+    * O(rows)): whether each slice's first row opens a session (its
+    * min vs the previous slice's max — the only cross-slice fact
+    * needed, because timestamp ties can never straddle a slice) and
+    * the cumulative boundary count entering the slice. One equi-join
+    * on (key, slice) stitches: id = carry-in offset + first-row
+    * boundary + inner count.
+    *
+    * Requires non-NULL `time` values (a NULL has no slice; the plain
+    * operator's NULL ordering is itself undocumented — filter
+    * upstream). `sliceWidthSec` only moves work between the local and
+    * carry passes; any width gives identical ids (spec-asserted). */
+  def sessionizeByGapSliced(
+      df: DataFrame,
+      on: Seq[String],
+      time: String,
+      gapSec: Long,
+      sliceWidthSec: Long,
+      sessionCol: String = "session_id"): DataFrame = {
+    require(sliceWidthSec > 0,
+      s"sliceWidthSec must be positive, got $sliceWidthSec")
+    val S = "__slice"
+    val reserved = Seq(S, "__ib", "__icum", "__mn", "__mx", "__nb",
+      "__bf", "__off")
+    val used = df.columns.toSeq.intersect(reserved)
+    require(used.isEmpty,
+      s"sessionizeByGapSliced: column names ${used.mkString(", ")} are " +
+        "reserved for internal use")
+    val t = epochUs(col(time))
+    val gapUs = gapSec * 1000000L
+    val d = df.withColumn(S, floor(epochSec(col(time)) / lit(sliceWidthSec)))
+    val wLocal = Window.partitionBy((on :+ S).map(col): _*).orderBy(t)
+    val prev = lag(t, 1).over(wLocal)
+    val innerB =
+      when(prev.isNotNull && t - prev > gapUs, 1L).otherwise(0L)
+    val local = d.withColumn("__ib", innerB)
+      .withColumn("__icum", sum(col("__ib"))
+        .over(wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val summary = local.groupBy((on :+ S).map(col): _*)
+      .agg(min(t).as("__mn"), max(t).as("__mx"), sum(col("__ib")).as("__nb"))
+    val wKey = Window.partitionBy(on.map(col): _*).orderBy(col(S))
+    val prevLast = lag(col("__mx"), 1).over(wKey)
+    val offsets = summary
+      .withColumn("__bf",
+        when(prevLast.isNull || col("__mn") - prevLast > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("__off", coalesce(
+        sum(col("__bf") + col("__nb"))
+          .over(wKey.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select((on :+ S).map(col) ++ Seq(col("__bf"), col("__off")): _*)
+    local.join(offsets, on :+ S)
+      .withColumn(sessionCol, col("__off") + col("__bf") + col("__icum"))
+      .select(df.columns.map(col) :+ col(sessionCol): _*)
   }
 }

@@ -245,6 +245,43 @@ class TemporalJoinsSpec extends GraftSuite {
       5L -> 1L, 6L -> 2L))
   }
 
+  test("sessionizeByGapSliced ≡ sessionizeByGap at any slice width") {
+    val rnd = new scala.util.Random(37)
+    // a hot key with half the rows, duplicate timestamps, sub-second
+    // gaps straddling the threshold, sparse keys
+    val df = Seq.tabulate(600) { i =>
+      val k = if (rnd.nextInt(2) == 0) "hot" else s"k${rnd.nextInt(5)}"
+      val us = rnd.nextInt(400).toLong * 1000000L +
+        (if (rnd.nextInt(3) == 0) 500000L else 0L)
+      (k, us, i.toLong)
+    }.toDF("k", "us", "id")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("id"))
+    val plain = TemporalJoins.sessionizeByGap(df, Seq("k"), "t", 30L)
+      .select(col("id"), col("session_id"))
+    for (width <- Seq(1L, 17L, 60L, 100000L)) { // many slices … one slice
+      val sliced = TemporalJoins.sessionizeByGapSliced(
+          df, Seq("k"), "t", 30L, sliceWidthSec = width)
+        .select(col("id"), col("session_id"))
+      assert(sliced.exceptAll(plain).isEmpty &&
+        plain.exceptAll(sliced).isEmpty, s"width=$width")
+    }
+  }
+
+  test("sessionizeByGapSliced: boundary gaps exact at microseconds") {
+    // 30.5s gap straddling a slice boundary must open a session at
+    // gapSec=30 even though floor-seconds math would say 30; a 29.5s
+    // cross-boundary gap must NOT
+    val df = Seq(("a", 59000000L, 1L), ("a", 89500000L, 2L),
+        ("b", 59500000L, 3L), ("b", 89000000L, 4L))
+      .toDF("k", "us", "id")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("id"))
+    val got = TemporalJoins.sessionizeByGapSliced(
+        df, Seq("k"), "t", 30L, sliceWidthSec = 60L)
+      .select(col("id"), col("session_id")).as[(Long, Long)]
+      .collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("intervalJoinIntervals: overlap pairs exactly once, any width") {
     val l = ivDf(("a", 0L, 100L, 1L), ("a", 500L, 600L, 2L), ("b", 0L, 50L, 3L))
     val r = Seq(("a", 90L, 510L, 10L), ("a", 600L, 700L, 11L), ("b", 50L, 99L, 12L))
