@@ -38,6 +38,8 @@ object TemporalJoins {
   private val T    = "__t"
   private val SIDE = "__side"
   private val M    = "__match"
+  private val MB   = "__match_bwd"
+  private val MF   = "__match_fwd"
 
   /** Epoch seconds of a time column. Parquet timestamps arrive as
     * TIMESTAMP_NTZ in Spark 4, which cannot cast to BIGINT directly —
@@ -118,6 +120,30 @@ object TemporalJoins {
     asofImpl(left, right, on, leftTime, rightTime, tolerance, asofTsCol,
       forward = true)
 
+  /** Fail fast on the collision contract instead of silently
+    * mis-projecting: the merged-stream union would fold a colliding
+    * left column and right value column into ONE column, and the
+    * final `col(M)(c)` projection would then carry left values into
+    * the supposed right payload. Returns the right value columns. */
+  private def checkAsofContract(left: DataFrame, right: DataFrame,
+      on: Seq[String], rightTime: String,
+      asofTsCol: String): Seq[String] = {
+    val valueCols = right.columns.toSeq.filterNot(on.contains)
+      .filterNot(_ == rightTime)
+    val collisions = left.columns.toSeq.intersect(valueCols :+ asofTsCol)
+    require(collisions.isEmpty,
+      s"asof join: left columns collide with right value columns or " +
+        s"asofTsCol: ${collisions.mkString(", ")} — rename one side " +
+        "before joining")
+    val reserved = Seq(T, SIDE, M, MB, MF)
+    val usedReserved =
+      (left.columns ++ right.columns).toSeq.intersect(reserved)
+    require(usedReserved.isEmpty,
+      s"asof join: column names ${usedReserved.mkString(", ")} are " +
+        "reserved for internal use")
+    valueCols
+  }
+
   private def asofImpl(
       left: DataFrame,
       right: DataFrame,
@@ -127,24 +153,7 @@ object TemporalJoins {
       tolerance: Option[Long],
       asofTsCol: String,
       forward: Boolean): DataFrame = {
-    val valueCols = right.columns.toSeq.filterNot(on.contains)
-      .filterNot(_ == rightTime)
-    // Fail fast on the collision contract instead of silently
-    // mis-projecting: the merged-stream union would fold a colliding
-    // left column and right value column into ONE column, and the
-    // final `col(M)(c)` projection would then carry left values into
-    // the supposed right payload.
-    val collisions = left.columns.toSeq.intersect(valueCols :+ asofTsCol)
-    require(collisions.isEmpty,
-      s"asof join: left columns collide with right value columns or " +
-        s"asofTsCol: ${collisions.mkString(", ")} — rename one side " +
-        "before joining")
-    val reserved = Seq(T, SIDE, M)
-    val usedReserved =
-      (left.columns ++ right.columns).toSeq.intersect(reserved)
-    require(usedReserved.isEmpty,
-      s"asof join: column names ${usedReserved.mkString(", ")} are " +
-        "reserved for internal use")
+    val valueCols = checkAsofContract(left, right, on, rightTime, asofTsCol)
     val lTagged = left
       .withColumn(T, col(leftTime))
       .withColumn(SIDE, lit(1))
@@ -182,6 +191,64 @@ object TemporalJoins {
     merged
       .withColumn(M, packed)
       .filter(col(SIDE) === 1)
+      .withColumn(M, when(col(T).isNotNull && inTol, col(M)))
+      .select(left.columns.map(col) ++
+        (asofTsCol +: valueCols).map(c => col(M)(c).as(c)): _*)
+  }
+
+  /** Nearest as-of join: for every left row, the right row of the
+    * same key whose time is CLOSEST in either direction — the third
+    * pandas `merge_asof` direction (`direction='nearest'`). An
+    * equidistant pair resolves to the BACKWARD (earlier) row, the
+    * pandas convention. `tolerance` bounds the absolute distance.
+    *
+    * Implementation: the same merged tag-union as [[asofBackward]],
+    * with BOTH direction windows over it — identical partition keys,
+    * so ONE shuffle feeds two sorted passes — then a per-row pick of
+    * the closer candidate. NULL contracts as the directional
+    * operators (NULL-key/time rights dropped; NULL-key/time lefts
+    * unmatched). */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tolerance: Option[Long] = None,
+      asofTsCol: String = "asof_ts"): DataFrame = {
+    val valueCols = checkAsofContract(left, right, on, rightTime, asofTsCol)
+    val lTagged = left
+      .withColumn(T, col(leftTime))
+      .withColumn(SIDE, lit(1))
+    val rTagged = right
+      .filter(col(rightTime).isNotNull &&
+        on.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn(T, col(rightTime))
+      .withColumn(SIDE, lit(0))
+      .withColumnRenamed(rightTime, asofTsCol)
+    val merged = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    val payload = when(col(SIDE) === 0,
+      struct((asofTsCol +: valueCols).map(col): _*))
+    def w(fwd: Boolean) = Window.partitionBy(on.map(col): _*)
+      .orderBy(if (fwd) col(T).desc else col(T).asc, col(SIDE))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val distB = epochUs(col(T)) - epochUs(col(MB)(asofTsCol))
+    val distF = epochUs(col(MF)(asofTsCol)) - epochUs(col(T))
+    val nearer = when(col(MF).isNull, col(MB))
+      .when(col(MB).isNull, col(MF))
+      .when(distB <= distF, col(MB)) // tie → backward, pandas rule
+      .otherwise(col(MF))
+    val inTol: Column = tolerance match {
+      case Some(s) =>
+        abs(epochUs(col(M)(asofTsCol)) - epochUs(col(T))) <=
+          lit(s * 1000000L)
+      case None => lit(true)
+    }
+    merged
+      .withColumn(MB, last(payload, ignoreNulls = true).over(w(false)))
+      .withColumn(MF, last(payload, ignoreNulls = true).over(w(true)))
+      .filter(col(SIDE) === 1)
+      .withColumn(M, nearer)
       .withColumn(M, when(col(T).isNotNull && inTol, col(M)))
       .select(left.columns.map(col) ++
         (asofTsCol +: valueCols).map(c => col(M)(c).as(c)): _*)

@@ -130,6 +130,48 @@ class TemporalJoinsSpec extends GraftSuite {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("asofNearest picks the closer side; equidistant ties go backward") {
+    val l = leftDf(("a", 100L, 1L), ("a", 206L, 2L), ("a", 150L, 3L),
+      ("a", 500L, 4L), ("b", 7L, 5L))
+    val r = rightDf(("a", 90L, "r90"), ("a", 200L, "r200"),
+      ("a", 210L, "r210"))
+    val out = asofRows(TemporalJoins.asofNearest(l, r, Seq("k"), "lt", "rt"))
+    assert(out(1L) === (Some(90L), Some("r90")))    // 10 back vs 100 fwd
+    assert(out(2L) === (Some(210L), Some("r210")))  // 6 back vs 4 fwd
+    assert(out(3L) === (Some(200L), Some("r200")))  // 60 back vs 50 fwd
+    assert(out(4L) === (Some(210L), Some("r210")))  // only backward exists
+    assert(out(5L) === (None, None))                // key has no rights
+    // exact equidistance: 55 back vs 55 fwd → backward (pandas rule)
+    val tie = asofRows(TemporalJoins.asofNearest(
+      leftDf(("a", 145L, 9L)), r, Seq("k"), "lt", "rt"))
+    assert(tie(9L) === (Some(90L), Some("r90")))
+    // tolerance bounds the ABSOLUTE distance
+    val tol = asofRows(TemporalJoins.asofNearest(l, r, Seq("k"), "lt", "rt",
+      tolerance = Some(5L)))
+    assert(tol(1L) === (None, None))
+    assert(tol(2L) === (Some(210L), Some("r210")))
+  }
+
+  test("asofNearest differential vs theta-join + argmin of |distance|") {
+    val rnd = new scala.util.Random(47)
+    val l = leftDf(Seq.tabulate(300)(i =>
+      (if (rnd.nextInt(12) == 0) null else s"k${rnd.nextInt(8)}",
+        rnd.nextInt(1000).toLong, i.toLong)): _*)
+    val r = rightDf(Seq.tabulate(500)(i =>
+      (if (i % 11 == 0) null else s"k${i % 10}",
+        (i / 10).toLong * 17 + (i % 10), s"v$i")): _*)
+    val got = TemporalJoins.asofNearest(l, r, Seq("k"), "lt", "rt")
+      .select(col("lid"), col("asof_ts"), col("v"))
+    val dist = abs(unix_micros(col("lt")) - unix_micros(col("rt")))
+    val naive = l.join(r, l("k") === r("k"), "left")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lid"))
+          .orderBy(dist.asc_nulls_last, col("rt").asc_nulls_last)))
+      .filter(col("rk") === 1)
+      .select(col("lid"), col("rt").as("asof_ts"), col("v"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("sliced asof ≡ plain asof at any slice width, both directions") {
     val rnd = new scala.util.Random(31)
     // nulls on both sides, a hot key with half the rows, sparse keys
