@@ -343,6 +343,35 @@ object LlmCorpus {
     * size. */
   val ProfileLgK = 12
 
+  /** Bucket count of the [[profileSketch]] doc-length histogram:
+    * log2 buckets 0..23 cover token counts up to ~16M per document —
+    * beyond any training document — in 24 mergeable longs. */
+  val LenHistBuckets = 24
+
+  /** Histogram bucket of a token count: `floor(log2(n+1))`, capped.
+    * Bucket b holds counts in `[2^b − 1, 2^(b+1) − 2]` — ≤2× relative
+    * width, the precision/size trade a merge-forever profile wants. */
+  private def lenBucket(n: Column): Column =
+    least(floor(log(2.0, n + lit(1))), lit(LenHistBuckets - 1)).cast("int")
+
+  /** Approximate `q`-quantile of the token-count distribution encoded
+    * in a `len_hist` column: the midpoint of the first bucket whose
+    * running count reaches `q` of the total (NULL on an empty
+    * histogram). Statically unrolled over the 24 buckets — pure
+    * column arithmetic, codegen-friendly, no UDF. Error is bounded by
+    * the bucket width (≤2× relative). */
+  def histQuantile(hist: Column, q: Double): Column = {
+    require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
+    def at(i: Int): Column = element_at(hist, i + 1)
+    val total = (0 until LenHistBuckets).map(at).reduce(_ + _)
+    val target = ceil(total * lit(q)).cast("long")
+    val cums = (0 until LenHistBuckets)
+      .scanLeft(lit(0L): Column)((acc, i) => acc + at(i)).tail
+    def mid(b: Int): Long = (3L * (1L << b) - 3L) / 2L
+    when(total > 0, coalesce((0 until LenHistBuckets).map(i =>
+      when(cums(i) >= target, lit(mid(i)))): _*))
+  }
+
   /** Mergeable per-source corpus profile — the incremental form of
     * [[LlmPrep.corpusStats]] for the quantities a recompute cannot
     * afford at 100 TB: exact doc/token counts (trivially mergeable
@@ -369,10 +398,17 @@ object LlmCorpus {
     // StreamingProfile runs this per micro-batch)
     val d = CacheScope.pin(documents.select(col("source"), col("text"),
       toks(col("text")).as("toks")))
+    val bucket = lenBucket(size(col("toks")))
     val docAgg = d.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).cast("long").as("n_tokens"),
-      hll_sketch_agg(xxhash64(col("text")), ProfileLgK).as("doc_sketch"))
+      hll_sketch_agg(xxhash64(col("text")), ProfileLgK).as("doc_sketch"),
+      // mergeable doc-length histogram: 24 longs per source — the
+      // length DISTRIBUTION (quantiles, truncation exposure at a
+      // packing length) without rescanning history, the quantity the
+      // exact sums cannot recover
+      array((0 until LenHistBuckets).map(i =>
+        sum(when(bucket === i, 1L).otherwise(0L))): _*).as("len_hist"))
     val tokAgg = d.select(col("source"), explode(col("toks")).as("tok"))
       .groupBy(col("source"))
       .agg(hll_sketch_agg(col("tok"), ProfileLgK).as("vocab_sketch"))
@@ -390,7 +426,10 @@ object LlmCorpus {
       hll_union_agg(col("doc_sketch"), allowDifferentLgConfigK = false)
         .as("doc_sketch"),
       hll_union_agg(col("vocab_sketch"), allowDifferentLgConfigK = false)
-        .as("vocab_sketch"))
+        .as("vocab_sketch"),
+      // element-wise sum — histograms over disjoint batches compose
+      array((0 until LenHistBuckets).map(i =>
+        sum(element_at(col("len_hist"), i + 1))): _*).as("len_hist"))
 
   /** Human-readable estimates off a profile: distinct document
     * contents (= exact-dup exposure: n_docs − distinct_docs ≈ dup
@@ -398,7 +437,9 @@ object LlmCorpus {
   def profileEstimate(profile: DataFrame): DataFrame =
     profile.select(col("source"), col("n_docs"), col("n_tokens"),
       hll_sketch_estimate(col("doc_sketch")).as("distinct_docs"),
-      hll_sketch_estimate(col("vocab_sketch")).as("vocab_size"))
+      hll_sketch_estimate(col("vocab_sketch")).as("vocab_size"),
+      histQuantile(col("len_hist"), 0.5).as("p50_len"),
+      histQuantile(col("len_hist"), 0.95).as("p95_len"))
 }
 
 /** DuckDB twin of [[LlmCorpus]] — same hash family, same window/stride

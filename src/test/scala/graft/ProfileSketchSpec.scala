@@ -48,6 +48,51 @@ class ProfileSketchSpec extends GraftSuite {
     }
   }
 
+  test("length-histogram quantiles land in the exact quantile's bucket") {
+    val est = LlmCorpus.profileEstimate(LlmCorpus.profileSketch(docs))
+      .select(col("source"), col("p50_len"), col("p95_len"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val exact = docs
+      .select(col("source"),
+        size(call_function("graft_tokens", col("text"))).as("n"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(n, 0.5)").as("p50"),
+        expr("percentile(n, 0.95)").as("p95"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    def bucket(n: Double): Long =
+      math.floor(math.log(n + 1) / math.log(2)).toLong
+    for ((src, (p50, p95)) <- est) {
+      val (e50, e95) = exact(src)
+      // the log2 histogram can only promise the right BUCKET (≤2×)
+      assert(bucket(p50.toDouble) === bucket(e50),
+        s"$src p50 est=$p50 exact=$e50")
+      assert(bucket(p95.toDouble) === bucket(e95),
+        s"$src p95 est=$p95 exact=$e95")
+    }
+  }
+
+  test("histograms merge element-wise; empty histogram gives NULL quantile") {
+    val whole = LlmCorpus.profileSketch(docs)
+      .select(col("source"), col("len_hist")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val parts = (0 until 3).map(i =>
+      LlmCorpus.profileSketch(docs.filter(pmod(col("doc_id"), lit(3)) === i)))
+    val merged = LlmCorpus.mergeProfiles(parts.reduce(_ unionByName _))
+      .select(col("source"), col("len_hist")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged === whole)
+    assert(whole.values.forall(_.sum > 0), "fixture sanity")
+    // an all-zero histogram (external data, not producible by
+    // profileSketch) yields NULL, not bucket 0
+    val zeros = spark.sql(
+      s"SELECT array(${Seq.fill(LlmCorpus.LenHistBuckets)("0L").mkString(",")}) AS h")
+    assert(zeros.select(LlmCorpus.histQuantile(col("h"), 0.5))
+      .head().isNullAt(0))
+  }
+
   test("re-merging the same batch doubles counts but not distincts") {
     val p = LlmCorpus.profileSketch(docs)
     val once = estimates(p)
