@@ -247,6 +247,26 @@ object ClassicQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Point-side LEFT range join: every event keeps the order windows
+    * containing it, or survives once with a NULL key — the
+    * `joinType = "left"` flavor, where containment rides in the join
+    * condition so the plan stays an equi-join on (user, day-bucket)
+    * and the outer nulls survive. */
+  def rangeJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val iv = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        col("o_orderdate").as("win_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("win_end"))
+    TemporalJoins.intervalJoinPoints(
+        points = ev, intervals = iv, on = Seq("user_id"),
+        pointTime = "ts", startCol = "win_start", endCol = "win_end",
+        bucketWidthSec = 86400L, joinType = "left")
+      .select(col("event_id"), col("o_orderkey"))
+      .orderBy(col("event_id"), col("o_orderkey"))
+  }
+
   /** Interval-overlap join via [[TemporalJoins.intervalJoinIntervals]]:
     * per user, 4-hour error windows × 1-hour click windows that
     * overlap. Oracle = the naive inequality join; the operator emits
@@ -368,6 +388,7 @@ object ClassicQueries {
     "cls_asof_nearest" -> (asofJoinNearest _),
     "cls_asof_join_fwd" -> (asofJoinFwd _),
     "cls_range_join" -> (rangeJoin _),
+    "cls_range_left" -> (rangeJoinLeft _),
     "cls_interval_overlap" -> (intervalOverlap _),
     "cls_rolling_revenue" -> (rollingRevenue _),
     "cls_rollup" -> (rollupSummary _),
@@ -465,6 +486,13 @@ object ClassicQueries {
           AND e.ts >= o.o_orderdate
           AND e.ts < o.o_orderdate + INTERVAL 7 DAY
          GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "cls_range_left" ->
+      """SELECT e.event_id, o.o_orderkey
+         FROM events e LEFT JOIN orders o
+           ON e.user_id = o.o_custkey
+          AND e.ts >= o.o_orderdate
+          AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+         ORDER BY e.event_id, o.o_orderkey""",
     "cls_interval_overlap" ->
       """SELECT e.event_id AS error_id, c.event_id AS click_id
          FROM (SELECT user_id, event_id, ts AS es,

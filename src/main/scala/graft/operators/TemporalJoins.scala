@@ -414,7 +414,20 @@ object TemporalJoins {
     * silently inflating the shuffle (one mis-entered year-long
     * interval at a 60 s width is half a million exploded rows; a
     * skewed interval table is millions). Production callers should
-    * set it to a small multiple of their expected `len/width`. */
+    * set it to a small multiple of their expected `len/width`.
+    *
+    * `joinType`: `inner`, or `left` — points in no interval survive
+    * once with NULL interval columns. Left works because containment
+    * rides IN the join condition (the plan stays an equi-join on
+    * (keys, bucket); the range is an extra join predicate, not a
+    * post-filter that would eat the outer nulls) and a point owns
+    * exactly ONE bucket, so "unmatched" is decided in one place.
+    * The symmetric interval-side outer does NOT exist here by
+    * design: an interval owns MANY buckets, so an outer on the
+    * exploded side would emit its unmatched row once per bucket —
+    * compose it instead (inner join, then left-join the aggregate
+    * back onto the interval table), as `ClassicQueries.rangeJoin`
+    * does. */
   def intervalJoinPoints(
       points: DataFrame,
       intervals: DataFrame,
@@ -423,22 +436,30 @@ object TemporalJoins {
       startCol: String,
       endCol: String,
       bucketWidthSec: Long,
-      maxBucketsPerInterval: Option[Long] = None): DataFrame = {
+      maxBucketsPerInterval: Option[Long] = None,
+      joinType: String = "inner"): DataFrame = {
     require(bucketWidthSec > 0,
       s"bucketWidthSec must be positive, got $bucketWidthSec " +
         "(a non-positive width would flag every interval degenerate " +
         "and silently return nothing)")
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer",
+      s"intervalJoinPoints supports inner/left joins, got $joinType " +
+        "(an interval-side outer would duplicate unmatched intervals " +
+        "per bucket — compose it from the inner join instead)")
     val B = "__bucket"
     val w = lit(bucketWidthSec)
     val iv = intervals.withColumn(B,
       explodedBuckets(col(startCol), col(endCol), bucketWidthSec,
         maxBucketsPerInterval))
     val pt = points.withColumn(B, floor(epochSec(col(pointTime)) / w))
-    // Filters reference columns THROUGH their side's frame — bare
+    // Condition references columns THROUGH their side's frame — bare
     // col(name) is ambiguous the moment both sides share a column
     // name (e.g. points "ts" vs an interval table also carrying "ts").
-    pt.join(iv, on.map(k => pt(k) === iv(k)).reduce(_ && _) && (pt(B) === iv(B)))
-      .filter(pt(pointTime) >= iv(startCol) && pt(pointTime) < iv(endCol))
+    pt.join(iv,
+        on.map(k => pt(k) === iv(k)).reduce(_ && _) && (pt(B) === iv(B)) &&
+          pt(pointTime) >= iv(startCol) && pt(pointTime) < iv(endCol),
+        joinType)
       .select(points.columns.map(pt(_)) ++
         intervals.columns.filterNot(on.contains).map(iv(_)): _*)
   }

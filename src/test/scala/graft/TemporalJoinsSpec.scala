@@ -243,6 +243,39 @@ class TemporalJoinsSpec extends GraftSuite {
       pts, iv, Seq("k"), "pt", "ws", "we", 60L).isEmpty)
   }
 
+  test("intervalJoinPoints left flavor keeps uncovered points once") {
+    val pts = pointsDf(("a", 10L, 1L), ("a", 500L, 2L), ("b", 10L, 3L))
+    val iv = ivDf(("a", 0L, 100L, 1L), ("a", 5L, 50L, 2L))
+    val got = TemporalJoins.intervalJoinPoints(
+        pts, iv, Seq("k"), "pt", "ws", "we", 7L, joinType = "left")
+      .select(col("pid"), col("ivid"))
+      .as[(Long, Option[Long])].collect().toSeq.sorted
+    // pid 1 in both intervals; pid 2 (t=500) and pid 3 (key b) in none
+    // — each survives exactly ONCE despite owning a bucket that meets
+    // several non-containing interval rows
+    assert(got === Seq((1L, Some(1L)), (1L, Some(2L)),
+      (2L, None), (3L, None)))
+  }
+
+  test("intervalJoinPoints left differential vs naive left range join") {
+    val rnd = new scala.util.Random(53)
+    val pts = pointsDf(Seq.tabulate(400)(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(2000).toLong, i.toLong)): _*)
+    val iv = ivDf(Seq.tabulate(60)(i => {
+      val s = rnd.nextInt(2000).toLong
+      (s"k${rnd.nextInt(6)}", s, s + rnd.nextInt(200), i.toLong)
+    }): _*)
+    val got = TemporalJoins.intervalJoinPoints(
+        pts, iv, Seq("k"), "pt", "ws", "we", bucketWidthSec = 100L,
+        joinType = "left")
+      .select(col("pid"), col("ivid"))
+    val naive = pts.join(iv,
+        pts("k") === iv("k") && col("pt") >= col("ws") && col("pt") < col("we"),
+        "left")
+      .select(col("pid"), col("ivid"))
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("intervalJoinPoints differential vs inequality join") {
     val rnd = new scala.util.Random(7)
     val pts = pointsDf(Seq.tabulate(400)(i =>
