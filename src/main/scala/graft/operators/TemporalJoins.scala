@@ -352,10 +352,13 @@ object TemporalJoins {
       else max_by(payload, col(rightTime))
     val onS = (on :+ S).map(col)
     val perSlice = rS.groupBy(onS: _*).agg(pick.as(R))
+    // the slice universe takes the RIGHT side's key-slices from the
+    // already-aggregated perSlice (one row each), not from a second
+    // scan of the raw right table
     val slices = lS
       .filter(col(S).isNotNull && on.map(col(_).isNotNull).reduce(_ && _))
       .select(onS: _*)
-      .union(rS.select(onS: _*))
+      .union(perSlice.select(onS: _*))
       .distinct()
     val seq0 = Window.partitionBy(on.map(col): _*).orderBy(col(S))
     val carryCol =
