@@ -427,9 +427,15 @@ object LlmCorpus {
         .as("doc_sketch"),
       hll_union_agg(col("vocab_sketch"), allowDifferentLgConfigK = false)
         .as("vocab_sketch"),
-      // element-wise sum — histograms over disjoint batches compose
+      // element-wise sum — histograms over disjoint batches compose.
+      // coalesce: a profile row written BEFORE the histogram existed
+      // (schema-merged read gives it NULL) contributes zeros — its
+      // length distribution is unrecoverable, so quantiles then cover
+      // the rows profiled since; a NULL would instead silently drop
+      // the WHOLE source from the sum
       array((0 until LenHistBuckets).map(i =>
-        sum(element_at(col("len_hist"), i + 1))): _*).as("len_hist"))
+        sum(coalesce(element_at(col("len_hist"), i + 1), lit(0L)))): _*)
+        .as("len_hist"))
 
   /** Human-readable estimates off a profile: distinct document
     * contents (= exact-dup exposure: n_docs − distinct_docs ≈ dup

@@ -135,7 +135,15 @@ object TemporalJoins {
       s"asof join: left columns collide with right value columns or " +
         s"asofTsCol: ${collisions.mkString(", ")} — rename one side " +
         "before joining")
+    // asofTsCol itself must be fresh on the RIGHT side too: renaming
+    // rightTime onto an existing right value column would leave two
+    // identically-named columns and die ambiguously downstream
+    require(!valueCols.contains(asofTsCol),
+      s"asof join: asofTsCol '$asofTsCol' collides with a right value " +
+        "column — pick a fresh name")
     val reserved = Seq(T, SIDE, M, MB, MF)
+    require(!reserved.contains(asofTsCol),
+      s"asof join: asofTsCol '$asofTsCol' is reserved for internal use")
     val usedReserved =
       (left.columns ++ right.columns).toSeq.intersect(reserved)
     require(usedReserved.isEmpty,
@@ -327,8 +335,12 @@ object TemporalJoins {
     require(usedReserved.isEmpty,
       s"sliced asof join: column names ${usedReserved.mkString(", ")} " +
         "are reserved for internal use")
-    val valueCols = right.columns.toSeq.filterNot(on.contains)
-      .filterNot(_ == rightTime)
+    require(!Seq(S, R, C).contains(asofTsCol),
+      s"sliced asof join: asofTsCol '$asofTsCol' is reserved for " +
+        "internal use")
+    // validates the full collision contract AND returns the value
+    // columns — one derivation shared with the plain operators
+    val valueCols = checkAsofContract(left, right, on, rightTime, asofTsCol)
     val w = lit(sliceWidthSec)
     val lS = left.withColumn(S, floor(epochSec(col(leftTime)) / w))
     val rS = right
@@ -603,10 +615,13 @@ object TemporalJoins {
     * on (key, slice) stitches: id = carry-in offset + first-row
     * boundary + inner count.
     *
-    * Requires non-NULL `time` values (a NULL has no slice; the plain
-    * operator's NULL ordering is itself undocumented — filter
-    * upstream). `sliceWidthSec` only moves work between the local and
-    * carry passes; any width gives identical ids (spec-asserted). */
+    * NULL-key rows group together and get session ids exactly like
+    * the plain operator (the stitch join is NULL-SAFE on the keys —
+    * a plain equi-join would silently drop them). Requires non-NULL
+    * `time` values (a NULL has no slice; the plain operator's NULL
+    * ordering is itself undocumented — filter upstream).
+    * `sliceWidthSec` only moves work between the local and carry
+    * passes; any width gives identical ids (spec-asserted). */
   def sessionizeByGapSliced(
       df: DataFrame,
       on: Seq[String],
@@ -646,8 +661,23 @@ object TemporalJoins {
           .over(wKey.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select((on :+ S).map(col) ++ Seq(col("__bf"), col("__off")): _*)
-    local.join(offsets, on :+ S)
-      .withColumn(sessionCol, col("__off") + col("__bf") + col("__icum"))
-      .select(df.columns.map(col) :+ col(sessionCol): _*)
+    // NULL-SAFE stitch: every window/groupBy above treats a NULL key
+    // as one group (matching the plain operator); a bare equi-join
+    // here would be the one step that silently DROPS those rows. The
+    // offsets side's keys are renamed first — offsets derives from
+    // `local`, and a null-safe condition between same-lineage
+    // attributes trips the ambiguous-self-join check.
+    val keyAlias = (on :+ S).map(k => k -> s"__o_$k")
+    val aliasClash = df.columns.toSeq.intersect(keyAlias.map(_._2))
+    require(aliasClash.isEmpty,
+      s"sessionizeByGapSliced: column names ${aliasClash.mkString(", ")} " +
+        "are reserved for internal use")
+    val oR = offsets.select(
+      keyAlias.map { case (k, a) => col(k).as(a) } ++
+        Seq(col("__bf"), col("__off")): _*)
+    local.join(oR,
+        keyAlias.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _))
+      .select(df.columns.filterNot(_ == sessionCol).map(col) :+
+        (col("__off") + col("__bf") + col("__icum")).as(sessionCol): _*)
   }
 }

@@ -66,8 +66,13 @@ object StreamingProfile {
     finally release()
   }
 
-  /** The whole-history profile: read every shard, merge. */
+  /** The whole-history profile: read every shard, merge. mergeSchema:
+    * a long-lived shard directory spans profile-schema upgrades (the
+    * len_hist column was added after the sketches) — without it Spark
+    * picks ONE footer's schema and either fails on the new column or
+    * silently NULLs it for old shards depending on which file wins. */
   def currentProfile(spark: SparkSession, dir: String): DataFrame =
     LlmCorpus.mergeProfiles(
-      spark.read.parquet(dir).drop("batch_id"))
+      spark.read.option("mergeSchema", "true").parquet(dir)
+        .drop("batch_id"))
 }

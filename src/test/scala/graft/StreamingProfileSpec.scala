@@ -59,6 +59,31 @@ class StreamingProfileSpec extends GraftSuite {
     assert(before.values.map(_._1).sum === corpus.size)
   }
 
+  test("shards from before the histogram upgrade still merge") {
+    // a long-lived directory spans profile-schema upgrades: simulate
+    // an OLD shard (no len_hist column) next to a new one — the
+    // merged profile must keep the old shard's counts/sketches and
+    // compute quantiles over the post-upgrade rows, not fail or
+    // silently drop the source
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_profile_upgrade").toString
+    val (a, b) = corpus.splitAt(corpus.size / 2)
+    LlmCorpus.profileSketch(a.toDF()).drop("len_hist") // pre-upgrade
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").mode("append").parquet(dir)
+    StreamingProfile.writeShard(b.toDF(), dir, 1L)
+    val est = estimates(StreamingProfile.currentProfile(spark, dir))
+    assert(est.values.map(_._1).sum === corpus.size) // counts keep a+b
+    val hist = StreamingProfile.currentProfile(spark, dir)
+      .select(col("source"), col("len_hist")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val bOnly = LlmCorpus.profileSketch(b.toDF())
+      .select(col("source"), col("len_hist")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // histogram covers exactly the post-upgrade shard's rows
+    for ((src, h) <- bOnly) assert(hist(src) === h, src)
+  }
+
   test("writeShard releases its pinned frame (no per-batch cache leak)") {
     // profileSketch pins the tokenized batch; a long-running stream
     // calls writeShard once per micro-batch — without the CacheScope

@@ -322,15 +322,18 @@ class TemporalJoinsSpec extends GraftSuite {
 
   test("sessionizeByGapSliced ≡ sessionizeByGap at any slice width") {
     val rnd = new scala.util.Random(37)
-    // a hot key with half the rows, duplicate timestamps, sub-second
+    // a hot key with half the rows, NULL keys (the stitch join must
+    // be null-safe or they vanish), duplicate timestamps, sub-second
     // gaps straddling the threshold, sparse keys
     val df = Seq.tabulate(600) { i =>
-      val k = if (rnd.nextInt(2) == 0) "hot" else s"k${rnd.nextInt(5)}"
+      val k = if (rnd.nextInt(15) == 0) null
+        else if (rnd.nextInt(2) == 0) "hot" else s"k${rnd.nextInt(5)}"
       val us = rnd.nextInt(400).toLong * 1000000L +
         (if (rnd.nextInt(3) == 0) 500000L else 0L)
       (k, us, i.toLong)
     }.toDF("k", "us", "id")
       .select(col("k"), timestamp_micros(col("us")).as("t"), col("id"))
+    assert(df.filter(col("k").isNull).count() > 0, "fixture sanity")
     val plain = TemporalJoins.sessionizeByGap(df, Seq("k"), "t", 30L)
       .select(col("id"), col("session_id"))
     for (width <- Seq(1L, 17L, 60L, 100000L)) { // many slices … one slice
@@ -355,6 +358,18 @@ class TemporalJoinsSpec extends GraftSuite {
       .select(col("id"), col("session_id")).as[(Long, Long)]
       .collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("sessionizeByGapSliced replaces an existing session_id column") {
+    // re-sessionizing at a different gap must yield ONE session_id
+    // column, like the plain operator's withColumn replacement
+    val df = Seq(("a", 0L, 1L), ("a", 100L, 2L)).toDF("k", "t_raw", "id")
+      .select(col("k"), timestamp_seconds(col("t_raw")).as("t"), col("id"))
+    val once = TemporalJoins.sessionizeByGapSliced(df, Seq("k"), "t", 200L, 60L)
+    val again = TemporalJoins.sessionizeByGapSliced(once, Seq("k"), "t", 50L, 60L)
+    assert(again.columns.count(_ == "session_id") === 1)
+    assert(again.select(col("id"), col("session_id")).as[(Long, Long)]
+      .collect().toMap === Map(1L -> 1L, 2L -> 2L))
   }
 
   test("intervalJoinIntervals: overlap pairs exactly once, any width") {
@@ -428,6 +443,19 @@ class TemporalJoinsSpec extends GraftSuite {
         r, Seq("k"), "lt", "rt")
     }
     assert(e3.getMessage.contains("__side"))
+    // asofTsCol colliding with a RIGHT value column: renaming
+    // rightTime onto it would leave two identically-named columns
+    val e4 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackward(leftDf(("a", 100L, 1L)), r,
+        Seq("k"), "lt", "rt", asofTsCol = "v")
+    }
+    assert(e4.getMessage.contains("v"))
+    // same contract enforced by the sliced variants
+    val e5 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofBackwardSliced(leftDf(("a", 100L, 1L)), r,
+        Seq("k"), "lt", "rt", 60L, asofTsCol = "v")
+    }
+    assert(e5.getMessage.contains("v"))
   }
 
   test("interval joins accept same-named bound columns on both sides") {
