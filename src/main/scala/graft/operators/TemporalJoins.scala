@@ -4,10 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Generic temporal operators: as-of joins (backward and forward),
-  * point-in-interval and interval-overlap range joins — the join
-  * shapes Spark has no native operator for — plus gap sessionization
-  * as a generic API.
+/** Generic temporal operators: as-of joins (backward, forward, and
+  * nearest — the three pandas merge_asof directions), point-in-interval
+  * (inner/left) and interval-overlap range joins — the join shapes
+  * Spark has no native operator for — plus gap sessionization as a
+  * generic API. The as-of and sessionize families each ALSO ship a
+  * TIME-SLICED two-pass form ([[asofBackwardSliced]],
+  * [[sessionizeByGapSliced]]) that breaks one hot key's serial window
+  * scan over (key, slice) tasks — the skew shape salting cannot fix.
   *
   * The reference resolves its interval/as-of lookups (SURVEY §2.5 J7)
   * with per-key loops (`ref/RCO_Maple_orchestrator.R:214-263` walks COs
