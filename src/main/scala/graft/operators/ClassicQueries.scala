@@ -379,7 +379,85 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** CUBE lattice over (returnflag, linestatus) — [[rollupSummary]]'s
+    * full-lattice sibling: cube adds the (ALL, linestatus) slices a
+    * rollup's hierarchy skips. Same single-Expand single-aggregate
+    * plan (one shuffle for all 4 grouping sets), same 'ALL' sentinel
+    * convention so the hash compare never meets NULL ordering. */
+  def cubeSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** Analytic-function family over one window: ntile quartiles,
+    * percent_rank and cume_dist of each order inside its customer's
+    * history. The ORDER BY is made a TOTAL order (price, then key) so
+    * every one of the three functions is tie-deterministic across
+    * engines — percent_rank/cume_dist degenerate to closed forms of
+    * row_number, whose integer arithmetic is bit-exact everywhere.
+    * One shuffle on o_custkey feeds all three. */
+  def windowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Exact interpolated percentiles (SQL percentile_cont semantics)
+    * per group: quartiles of l_quantity and the median price. The
+    * quantity quartiles are bit-exact across engines by construction —
+    * integer-valued data and DYADIC percentile fractions (.25/.5/.75)
+    * make every interpolation step exact in binary. Exact percentiles
+    * buffer each group's values; at 100 TB swap in
+    * `approx_percentile` (t-digest-style mergeable sketch, same call
+    * shape) — the exact form is the oracle-checkable fixture. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 4).as("qty_p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("qty_p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 4).as("qty_p75"),
+        round(median(col("l_extendedprice")), 4).as("price_median"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** [[asofJoin]] with the staleness `tolerance` engaged (1 hour): a
+    * view older than an hour before the purchase is nulled out, the
+    * purchase row survives unmatched. Gates the tolerance projection
+    * itself — previously spec-only — against DuckDB ASOF + an explicit
+    * µs staleness CASE. */
+  def asofJoinTol(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    TemporalJoins.asofBackward(purchases, views,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        tolerance = Some(3600L), asofTsCol = "view_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 4).as("purchase_value"),
+        col("view_ts"), round(col("view_value"), 4).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_cube" -> (cubeSummary _),
+    "cls_window_funcs" -> (windowFuncs _),
+    "cls_percentiles" -> (percentiles _),
+    "cls_asof_tol" -> (asofJoinTol _),
     "cls_gap_sessions" -> (gapSessions _),
     "cls_gap_sliced" -> (gapSessionsSliced _),
     "cls_skew_join" -> (skewJoin _),
@@ -401,6 +479,44 @@ object ClassicQueries {
     "cls_top_orders_per_customer" -> (topOrdersPerCustomer _))
 
   val oracles: Map[String, String] = Map(
+    "cls_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "cls_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "cls_percentiles" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+         round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+         round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75,
+         round(median(l_extendedprice), 4) AS price_median
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "cls_asof_tol" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+         round(l.value, 4) AS purchase_value,
+         CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+              THEN r.ts END AS view_ts,
+         CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+              THEN round(r.view_value, 4) END AS view_value
+         FROM (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS view_value
+                         FROM events WHERE event_type = 'view'
+                         GROUP BY user_id, ts) r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
     "cls_gap_sessions" ->
       """SELECT event_id, user_id, ts,
          CAST(sum(CASE WHEN prev_ts IS NULL

@@ -31,6 +31,13 @@ object LlmCorpus {
     * shard-count-agnostic. */
   val ExportShards = 8
 
+  /** Gate fixture for [[domainMix]]: named target shares whose sum
+    * (0.375) and values are DYADIC, so every derived share is the same
+    * exact double on both engines (a 0.2+0.1 style target would drag
+    * 0.30000000000000004 into the leftover arithmetic). */
+  val MixTargets: Seq[(String, Double)] =
+    Seq("src0" -> 0.25, "src1" -> 0.125)
+
   /** Deterministic global shuffle + shard assignment for training
     * export: every document gets a pseudo-random `shard` (uniform over
     * [0, nShards)) and a within-shard `seq` position in hash order.
@@ -446,6 +453,138 @@ object LlmCorpus {
       hll_sketch_estimate(col("vocab_sketch")).as("vocab_size"),
       histQuantile(col("len_hist"), 0.5).as("p50_len"),
       histQuantile(col("len_hist"), 0.95).as("p95_len"))
+
+  /** CCNet-style perplexity terciles: every scoreable document is
+    * bucketed head / middle / tail WITHIN ITS LANGUAGE by unigram-LM
+    * perplexity ([[unigramLm]]) — the standard curation split where
+    * "head" (lowest perplexity = most LM-like) feeds training first
+    * and "tail" is the gibberish screen (CCNet, Wenzek et al. 2020).
+    *
+    * This exact form ranks with `ntile(3)` over (ppl, doc_id) — pure
+    * integer arithmetic once the order is total, so the DuckDB twin is
+    * bit-exact. It costs one SORT PER LANGUAGE (each language is one
+    * window partition): correct at any corpus size but serialized per
+    * language — the gate-checkable fixture. The production form at
+    * 100 TB is [[pplBucketByCutoff]]: derive per-language cutoffs once
+    * (an approx-percentile aggregate, a few rows), then bucket by
+    * comparison — a broadcast join + projection, no global sort.
+    * Token-less documents have no perplexity and are absent, exactly
+    * like [[unigramLm]]. */
+  def pplBucket(documents: DataFrame): DataFrame = {
+    val scored = unigramLm(documents)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ppl"), col("doc_id"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Scale form of [[pplBucket]]: per-language perplexity cutoffs are
+    * computed ONCE as a tiny aggregate (`approx_percentile` at p33/p67
+    * — a mergeable sketch, so the aggregate is one shuffle of sketch
+    * states, never a sort) and every document buckets by comparing its
+    * ppl against its language's two cutoffs via a broadcast join.
+    * Bucket boundaries are approximate where ntile's are exact —
+    * documents within the sketch's error of a cutoff may land one
+    * bucket over (spec quantifies the agreement); everything far from
+    * the cutoffs is identical. This is the form whose cost is
+    * O(corpus) scan + O(languages) state at any scale. */
+  def pplBucketByCutoff(documents: DataFrame): DataFrame = {
+    val scored = documents.select(col("doc_id"), col("lang"))
+      .join(unigramLm(documents), Seq("doc_id"))
+    val cuts = scored.groupBy(col("lang"))
+      .agg(
+        approx_percentile(col("ppl"), lit(1.0 / 3), lit(10000)).as("c1"),
+        approx_percentile(col("ppl"), lit(2.0 / 3), lit(10000)).as("c2"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("ppl") <= col("c1"), "head")
+          .when(col("ppl") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** Domain-mixture reweighting: given TARGET sampling shares for named
+    * sources (the "30% wiki, 30% books, rest uniform" spec every
+    * training-mix config states), emit per source the observed token
+    * share and the sampling weight (`target_share / token_share`) that
+    * a weighted sampler ([[LlmPrep.sampleWeighted]]) or loss reweighting
+    * applies to realize the target mix. Unnamed sources split the
+    * leftover target mass evenly; a target naming an absent source is
+    * an error (silently renormalizing would hide a config typo).
+    *
+    * Scale shape: ONE groupBy(source) pass over the corpus, pinned so
+    * the totals row and the output both read the O(sources)-row
+    * aggregate rather than re-scanning; all mixture arithmetic happens
+    * on that aggregate. The absent-source check rides the plan as an
+    * `assert_true` on the named-source count — no driver collect, no
+    * second pass, and a config typo still fails the job loudly. */
+  def domainMix(documents: DataFrame,
+      target: Map[String, Double]): DataFrame = {
+    val perSource = CacheScope.pin(documents
+      .select(col("source"), size(toks(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens")))
+    mixArithmetic(perSource, target)
+  }
+
+  /** [[domainMix]] computed from a (merged) [[profileSketch]] instead
+    * of the corpus: the profile's `n_docs`/`n_tokens` are EXACT sums
+    * maintained incrementally, so the mixture weights come out
+    * identical to a full corpus scan (spec-asserted) at the cost of
+    * reading O(sources) profile rows — the streaming-telemetry path:
+    * [[graft.streaming.StreamingProfile]] keeps shard profiles per
+    * micro-batch, so current mix weights are always one tiny
+    * aggregate away, with zero corpus passes. */
+  def domainMixFromProfile(profile: DataFrame,
+      target: Map[String, Double]): DataFrame =
+    // count-only fold of the shard rows: the HLL/histogram states are
+    // irrelevant to the mix, so don't pay their union
+    mixArithmetic(
+      profile.groupBy(col("source")).agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens")),
+      target)
+
+  /** Mixture arithmetic over an O(sources)-row (source, n_docs,
+    * n_tokens) frame. Referenced twice in the plan (totals row +
+    * output) — callers hand it a pinned or trivially-recomputable
+    * frame. */
+  private def mixArithmetic(perSource: DataFrame,
+      target: Map[String, Double]): DataFrame = {
+    require(target.values.forall(v => v >= 0 && v <= 1) &&
+      target.values.sum <= 1.0 + 1e-9,
+      s"target shares must be in [0,1] and sum to at most 1, got $target")
+    val named = target.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, share)) => when(col("source") === src, share)
+        .otherwise(acc)
+    }
+    val namedMass = lit(target.values.sum)
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"),
+      sum(when(col("source").isInCollection(target.keys), 1L)
+        .otherwise(0L)).as("n_named"))
+    val namedPresent = when(assert_true(
+      col("n_named") === lit(target.size.toLong),
+      concat(lit("domainMix: target names "),
+        lit(target.size.toLong) - col("n_named"),
+        lit(" source(s) absent from the corpus — fix the mixture " +
+          s"config (targets: ${target.keys.toSeq.sorted.mkString(", ")})")))
+      .isNull, col("target_share"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("target_share", coalesce(named,
+        (lit(1.0) - namedMass) / (col("n_sources") - col("n_named"))))
+      .withColumn("target_share", namedPresent)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("token_share"),
+        round(col("target_share"), 6).as("target_share"),
+        round(col("target_share") /
+          (col("n_tokens") / col("tot_tokens")), 6).as("weight"))
+  }
 }
 
 /** DuckDB twin of [[LlmCorpus]] — same hash family, same window/stride
@@ -483,6 +622,38 @@ object LlmCorpusSql {
       round(avg(logp), 6) AS avg_logp,
       round(exp(-avg(logp)), 6) AS ppl
     FROM scored GROUP BY doc_id"""
+
+  val pplBucketSql: String =
+    s"""SELECT doc_id, lang, ppl,
+      CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl, doc_id)
+        WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM (SELECT d.doc_id, d.lang, s.ppl
+            FROM documents d JOIN ($unigramLmSql) s USING (doc_id))"""
+
+  val domainMixSql: String = {
+    val named = MixTargets.map { case (src, share) =>
+      s"WHEN source = '$src' THEN CAST($share AS DOUBLE)"
+    }.mkString(" ")
+    val inList = MixTargets.map(t => s"'${t._1}'").mkString(", ")
+    val mass = MixTargets.map(_._2).sum
+    s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+      CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+      count(*) AS n_sources,
+      CAST(sum(CASE WHEN source IN ($inList) THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_named
+      FROM ps),
+    x AS (SELECT source, n_docs, n_tokens, tot_tokens,
+      CASE $named ELSE (CAST(1.0 AS DOUBLE) - CAST($mass AS DOUBLE))
+        / (n_sources - n_named) END AS ts
+      FROM ps CROSS JOIN t)
+    SELECT source, n_docs, n_tokens,
+      round(n_tokens / tot_tokens, 6) AS token_share,
+      round(ts, 6) AS target_share,
+      round(ts / (n_tokens / tot_tokens), 6) AS weight
+    FROM x"""
+  }
 
   val substrDupSql: String =
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),

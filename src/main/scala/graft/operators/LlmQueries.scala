@@ -63,6 +63,9 @@ object LlmQueries {
     "llm_bpe_pairs" -> ((s, d) => LlmPrep.bpePairs(docs(s, d))),
     "llm_shuffle_shards" -> ((s, d) => LlmCorpus.shuffleShards(docs(s, d))),
     "llm_unigram_lm" -> ((s, d) => LlmCorpus.unigramLm(docs(s, d))),
+    "llm_ppl_bucket" -> ((s, d) => LlmCorpus.pplBucket(docs(s, d))),
+    "llm_domain_mix" ->
+      ((s, d) => LlmCorpus.domainMix(docs(s, d), LlmCorpus.MixTargets.toMap)),
     "llm_substr_dup" -> ((s, d) => LlmCorpus.substrDup(docs(s, d))),
     "llm_quality_clf" -> ((s, d) => LlmCorpus.qualityClf(docs(s, d))),
     "llm_keywords" -> ((s, d) => LlmCorpus.keywords(docs(s, d))),
@@ -107,6 +110,8 @@ object LlmQueries {
     "llm_bpe_pairs" -> LlmPrepSql.bpePairsSql,
     "llm_shuffle_shards" -> LlmCorpusSql.shuffleShardsSql,
     "llm_unigram_lm" -> LlmCorpusSql.unigramLmSql,
+    "llm_ppl_bucket" -> LlmCorpusSql.pplBucketSql,
+    "llm_domain_mix" -> LlmCorpusSql.domainMixSql,
     "llm_substr_dup" -> LlmCorpusSql.substrDupSql,
     "llm_quality_clf" -> LlmCorpusSql.qualityClfSql,
     "llm_keywords" -> LlmCorpusSql.keywordsSql,

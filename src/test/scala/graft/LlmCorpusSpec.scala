@@ -240,4 +240,108 @@ class LlmCorpusSpec extends GraftSuite {
       .view.mapValues(_.map(_.getAs[Long]("pos")).sorted.toSeq).toMap
     assert(pos == Map(1L -> Seq(1L, 2L, 3L)), "empty doc emits no rows")
   }
+
+  test("pplBucket matches a driver-side ntile over (ppl, doc_id)") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = LlmCorpus.pplBucket(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Double]("ppl"),
+          r.getAs[String]("bucket")))).toMap
+    // independent transcription of ntile(3): the first (n mod 3)
+    // rank-chunks take ceil(n/3) rows, the rest floor(n/3)
+    val expected = out.toSeq.groupBy(_._2._1).flatMap { case (_, g) =>
+      val sorted = g.sortBy { case (id, (_, ppl, _)) => (ppl, id) }
+      val n = sorted.size
+      val (big, rem) = (n / 3 + 1, n % 3)
+      sorted.zipWithIndex.map { case ((id, _), i) =>
+        val tile =
+          if (i < big * rem) i / big
+          else rem + (i - big * rem) / (n / 3)
+        id -> Seq("head", "middle", "tail")(tile)
+      }
+    }
+    out.foreach { case (id, (_, _, b)) =>
+      assert(b == expected(id), s"doc $id")
+    }
+    // scoreable docs only, same universe as the LM scorer
+    assert(out.size == LlmCorpus.unigramLm(docs).count())
+  }
+
+  test("pplBucketByCutoff agrees with the exact terciles away from " +
+    "the cutoffs and is monotone in ppl within a language") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val exact = LlmCorpus.pplBucket(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket"))
+      .toMap
+    val approx = LlmCorpus.pplBucketByCutoff(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Double]("ppl"),
+          r.getAs[String]("bucket")))).toMap
+    assert(approx.keySet == exact.keySet)
+    // monotone: ordering docs of one lang by ppl never goes back to an
+    // earlier bucket (head < middle < tail)
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    approx.toSeq.groupBy(_._2._1).foreach { case (lang, g) =>
+      val byPpl = g.sortBy { case (id, (_, ppl, _)) => (ppl, id) }
+        .map { case (_, (_, _, b)) => rank(b) }
+      assert(byPpl == byPpl.sorted, s"non-monotone buckets in $lang")
+    }
+    // boundary rows may land one bucket over (rank cut vs value cut);
+    // everything else must agree
+    val agree = approx.count { case (id, (_, _, b)) => exact(id) == b }
+    assert(agree >= (approx.size * 0.9).toInt,
+      s"only $agree/${approx.size} agree with the exact terciles")
+  }
+
+  test("domainMix hand fixture: named share, even leftover, weights") {
+    val docs = Seq(
+      (1L, "a b c d e f", "A"), (2L, "a b", "B"), (3L, "a b", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = LlmCorpus.domainMix(docs, Map("A" -> 0.5)).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("token_share"), r.getAs[Double]("target_share"),
+          r.getAs[Double]("weight")))).toMap
+    assert(out("A") == ((1L, 6L, 0.6, 0.5, 0.833333)))
+    assert(out("B") == ((1L, 2L, 0.2, 0.25, 1.25)))
+    assert(out("C") == ((1L, 2L, 0.2, 0.25, 1.25)))
+    // realized mix under the weights IS the target: sum of
+    // token_share × weight recovers each target share, total 1
+    val realized = out.values.map(v => v._3 * v._5).sum
+    assert(math.abs(realized - 1.0) < 1e-6)
+  }
+
+  test("domainMixFromProfile over split shard profiles equals the " +
+    "corpus-scan domainMix") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val target = LlmCorpus.MixTargets.toMap
+    val direct = LlmCorpus.domainMix(docs, target).collect()
+      .map(r => r.getAs[String]("source") -> r.toSeq).toMap
+    // profile built in three disjoint batches, shard rows unioned raw
+    // — the StreamingProfile layout
+    val shards = Seq(0, 1, 2).map(i =>
+        LlmCorpus.profileSketch(docs.filter(col("doc_id") % 3 === i)))
+      .reduce(_ unionByName _)
+    val viaProfile = LlmCorpus.domainMixFromProfile(shards, target)
+      .collect().map(r => r.getAs[String]("source") -> r.toSeq).toMap
+    assert(viaProfile == direct)
+  }
+
+  test("domainMix fails loudly on an absent named source and a " +
+    "malformed target") {
+    val docs = Seq((1L, "a", "A")).toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      LlmCorpus.domainMix(docs, Map("A" -> 0.2, "ZZZ" -> 0.1)).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" ")
+    assert(chain.contains("absent"), chain)
+    intercept[IllegalArgumentException] {
+      LlmCorpus.domainMix(docs, Map("A" -> 0.7, "B" -> 0.7))
+    }
+  }
 }
