@@ -453,7 +453,30 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Z-value computation of [[ZOrder]] gated cross-engine: every event
+    * gets its Morton key from (user_id, value) bucketized 8 bits each
+    * against the global min/max. The layout itself (repartitionByRange
+    * + sortWithinPartitions) is row-invisible by construction — what
+    * the gate CAN check is that the curve key is deterministic and
+    * engine-independent, which is what makes the clustered layout
+    * reproducible. */
+  def zorderValue(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val bounds = ev.agg(
+      min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_id"),
+        ZOrder.zValue(Seq(
+          ZOrder.minMaxBucket(col("user_id"), col("umin"), col("umax"), 8),
+          ZOrder.minMaxBucket(col("value"), col("vmin"), col("vmax"), 8)),
+          8).as("zv"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_zorder" -> (zorderValue _),
     "cls_cube" -> (cubeSummary _),
     "cls_window_funcs" -> (windowFuncs _),
     "cls_percentiles" -> (percentiles _),
@@ -478,7 +501,33 @@ object ClassicQueries {
     "cls_anti_join" -> (antiJoin _),
     "cls_top_orders_per_customer" -> (topOrdersPerCustomer _))
 
+  /** 16-term bit-interleave of the two 8-bit buckets — the DuckDB
+    * transcription of [[ZOrder.zValue]] at bits=8, k=2. */
+  private val zInterleaveSql: String =
+    (0 until 8).flatMap(i => Seq(
+      s"(((ub >> $i) & 1) << ${2 * i})",
+      s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "cls_zorder" ->
+      s"""WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+         min(value) AS vmin, max(value) AS vmax FROM events),
+       x AS (SELECT event_id,
+         CASE WHEN user_id IS NULL THEN NULL
+           WHEN CAST(umax AS DOUBLE) - CAST(umin AS DOUBLE) = 0 THEN 0
+           ELSE least(255, greatest(0, CAST(floor(
+             (CAST(user_id AS DOUBLE) - CAST(umin AS DOUBLE))
+             / (CAST(umax AS DOUBLE) - CAST(umin AS DOUBLE)) * 256)
+             AS BIGINT))) END AS ub,
+         CASE WHEN value IS NULL THEN NULL
+           WHEN CAST(vmax AS DOUBLE) - CAST(vmin AS DOUBLE) = 0 THEN 0
+           ELSE least(255, greatest(0, CAST(floor(
+             (CAST(value AS DOUBLE) - CAST(vmin AS DOUBLE))
+             / (CAST(vmax AS DOUBLE) - CAST(vmin AS DOUBLE)) * 256)
+             AS BIGINT))) END AS vb
+         FROM events CROSS JOIN b)
+       SELECT event_id, $zInterleaveSql AS zv
+       FROM x ORDER BY event_id""",
     "cls_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          coalesce(l_linestatus, 'ALL') AS linestatus,
