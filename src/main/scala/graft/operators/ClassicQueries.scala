@@ -203,6 +203,25 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** [[asofJoinNearest]] recomputed through the hot-key-safe sliced
+    * composition ([[TemporalJoins.asofNearestSliced]], 1-week slices),
+    * gate-checked against the SAME argmin oracle. */
+  def asofJoinNearestSliced(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("view_value"))
+    TemporalJoins.asofNearestSliced(purchases, views,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+        sliceWidthSec = 7L * 86400L, asofTsCol = "view_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value"), 4).as("purchase_value"),
+        col("view_ts"), round(col("view_value"), 4).as("view_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward as-of join: each purchase picks up the user's NEXT view
     * at-or-after it — [[asofJoin]]'s mirror, gate-checked against
     * DuckDB `ASOF LEFT JOIN … ON l.ts <= r.ts`. */
@@ -487,6 +506,7 @@ object ClassicQueries {
     "cls_asof_join" -> (asofJoin _),
     "cls_asof_sliced" -> (asofJoinSliced _),
     "cls_asof_nearest" -> (asofJoinNearest _),
+    "cls_asof_nearest_sliced" -> (asofJoinNearestSliced _),
     "cls_asof_join_fwd" -> (asofJoinFwd _),
     "cls_range_join" -> (rangeJoin _),
     "cls_range_left" -> (rangeJoinLeft _),
@@ -619,6 +639,21 @@ object ClassicQueries {
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
     "cls_asof_nearest" ->
+      """SELECT event_id, user_id, ts, purchase_value, view_ts, view_value
+         FROM (SELECT l.event_id, l.user_id, l.ts,
+                 round(l.value, 4) AS purchase_value,
+                 r.ts AS view_ts, round(r.view_value, 4) AS view_value,
+                 row_number() OVER (PARTITION BY l.event_id
+                   ORDER BY abs(epoch_us(l.ts) - epoch_us(r.ts)), r.ts
+                 ) AS rk
+               FROM (SELECT event_id, user_id, ts, value FROM events
+                     WHERE event_type = 'purchase') l
+               LEFT JOIN (SELECT user_id, ts, max(value) AS view_value
+                          FROM events WHERE event_type = 'view'
+                          GROUP BY user_id, ts) r
+                 ON l.user_id = r.user_id)
+         WHERE rk = 1 ORDER BY event_id""",
+    "cls_asof_nearest_sliced" ->
       """SELECT event_id, user_id, ts, purchase_value, view_ts, view_value
          FROM (SELECT l.event_id, l.user_id, l.ts,
                  round(l.value, 4) AS purchase_value,

@@ -319,6 +319,63 @@ object TemporalJoins {
     asofSlicedImpl(left, right, on, leftTime, rightTime, sliceWidthSec,
       tolerance, asofTsCol, forward = true)
 
+  /** Time-sliced [[asofNearest]] — identical semantics (closest row
+    * either side, equidistant ties backward, tolerance on absolute
+    * distance), hot-key-safe like the directional sliced forms.
+    *
+    * Composition, not a third machinery: the left is tagged with ONE
+    * pinned row id, both directional sliced as-ofs run over it
+    * (tolerance deferred — it must act on the PICKED side, exactly as
+    * the plain nearest does), and a per-row pick keeps the closer
+    * candidate. The id join is an equi-join on a dense unique key —
+    * uniformly distributed, no new skew surface. The pin matters for
+    * correctness, not just cost: both branches must read the SAME
+    * materialized ids. */
+  def asofNearestSliced(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      sliceWidthSec: Long,
+      tolerance: Option[Long] = None,
+      asofTsCol: String = "asof_ts"): DataFrame = {
+    val RID = "__rid"
+    require(!(left.columns ++ right.columns).contains(RID),
+      s"nearest sliced asof join: column name $RID is reserved")
+    val valueCols = checkAsofContract(left, right, on, rightTime, asofTsCol)
+    val lId = CacheScope.pin(
+      left.withColumn(RID, monotonically_increasing_id()))
+    def branch(forward: Boolean, tag: String) =
+      asofSlicedImpl(lId, right, on, leftTime, rightTime, sliceWidthSec,
+        tolerance = None, asofTsCol, forward)
+        .select(col(RID),
+          // matched-timestamp gating: rightTime is never NULL on a
+          // match (NULL-time rights are dropped), so a NULL asofTsCol
+          // IS "no match" — re-pack the flattened payload as a struct
+          // that is NULL precisely then
+          when(col(asofTsCol).isNotNull,
+            struct((asofTsCol +: valueCols).map(col): _*)).as(tag))
+    val distB = epochUs(col(leftTime)) - epochUs(col(MB)(asofTsCol))
+    val distF = epochUs(col(MF)(asofTsCol)) - epochUs(col(leftTime))
+    val nearer = when(col(MF).isNull, col(MB))
+      .when(col(MB).isNull, col(MF))
+      .when(distB <= distF, col(MB)) // tie → backward, pandas rule
+      .otherwise(col(MF))
+    val inTol: Column = tolerance match {
+      case Some(s) =>
+        abs(epochUs(col(M)(asofTsCol)) - epochUs(col(leftTime))) <=
+          lit(s * 1000000L)
+      case None => lit(true)
+    }
+    lId.join(branch(forward = false, MB), Seq(RID))
+      .join(branch(forward = true, MF), Seq(RID))
+      .withColumn(M, nearer)
+      .withColumn(M, when(inTol, col(M)))
+      .select(left.columns.map(col) ++
+        (asofTsCol +: valueCols).map(c => col(M)(c).as(c)): _*)
+  }
+
   private def asofSlicedImpl(
       left: DataFrame,
       right: DataFrame,

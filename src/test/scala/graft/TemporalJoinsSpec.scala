@@ -197,6 +197,35 @@ class TemporalJoinsSpec extends GraftSuite {
     }
   }
 
+  test("sliced nearest asof ≡ plain nearest at any width, with and " +
+    "without tolerance") {
+    val rnd = new scala.util.Random(59)
+    val l = leftDf(Seq.tabulate(400)(i =>
+      (if (rnd.nextInt(15) == 0) null
+       else if (rnd.nextInt(2) == 0) "hot" else s"k${rnd.nextInt(6)}",
+        rnd.nextInt(5000).toLong, i.toLong)): _*)
+    val r = rightDf(Seq.tabulate(300)(i =>
+      (if (i % 13 == 0) null
+       else if (i % 2 == 0) "hot" else s"k${i % 8}",
+        (i / 4).toLong * 61 + (i % 4), s"v$i")): _*)
+    for (width <- Seq(1L, 97L, 1000L, 100000L);
+         tol <- Seq(None, Some(120L))) {
+      val sliced = TemporalJoins.asofNearestSliced(
+        l, r, Seq("k"), "lt", "rt", sliceWidthSec = width, tolerance = tol)
+      val plain = TemporalJoins.asofNearest(
+        l, r, Seq("k"), "lt", "rt", tolerance = tol)
+      assert(sliced.exceptAll(plain).isEmpty &&
+        plain.exceptAll(sliced).isEmpty, s"width=$width tol=$tol")
+    }
+    // the equidistant tie resolves backward through the sliced path
+    // even when the two candidates live in different slices
+    val tie = asofRows(TemporalJoins.asofNearestSliced(
+      leftDf(("a", 145L, 9L)),
+      rightDf(("a", 90L, "r90"), ("a", 200L, "r200")),
+      Seq("k"), "lt", "rt", sliceWidthSec = 60L))
+    assert(tie(9L) === (Some(90L), Some("r90")))
+  }
+
   test("sliced asof honors tolerance across slice boundaries") {
     // match carried from a far-earlier slice, then nulled by tolerance
     val l = leftDf(("a", 10000L, 1L), ("a", 10030L, 2L))
