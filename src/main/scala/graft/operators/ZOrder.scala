@@ -87,8 +87,6 @@ object ZOrder {
   def clusterByZ(df: DataFrame, cols: Seq[String], bits: Int = 8,
       numPartitions: Int = 0): DataFrame = {
     require(cols.nonEmpty, "clusterByZ needs at least one column")
-    val Z = "__zv"
-    require(!df.columns.contains(Z), s"column name $Z is reserved")
     val bounds = df.agg(
       min(col(cols.head)).as(s"__min_${cols.head}"),
       (max(col(cols.head)).as(s"__max_${cols.head}") +:
@@ -96,6 +94,53 @@ object ZOrder {
           min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))): _*)
     val buckets = cols.map(c =>
       minMaxBucket(col(c), col(s"__min_$c"), col(s"__max_$c"), bits))
+    zLayout(df, bounds, buckets, bits, numPartitions)
+  }
+
+  /** Rank-based bucketization of one column against a sorted cutpoint
+    * array (the `2^bits - 1` interior quantiles): bucket = number of
+    * cuts at-or-below x, clamped to the top bucket. NULL propagates.
+    * Where [[minMaxBucket]] collapses under value skew (one dense
+    * region hogs one bucket, most buckets empty — and with them the
+    * z-curve's pruning power), quantile cuts put ~equal row mass in
+    * every bucket by construction. */
+  def quantileBucket(x: Column, cuts: Column, bits: Int): Column =
+    when(x.isNull, lit(null).cast("long"))
+      .otherwise(least(lit((1L << bits) - 1),
+        aggregate(cuts, lit(0L), (acc, c) =>
+          acc + when(x.cast("double") >= c.cast("double"), 1L)
+            .otherwise(0L))))
+
+  /** [[clusterByZ]] with quantile cutpoints instead of linear min/max
+    * buckets — the skew-robust layout. One `approx_percentile`
+    * aggregate (mergeable sketch, one shuffle of sketch states)
+    * produces each column's `2^bits - 1` cuts; bucketing is then a
+    * per-row scan of the broadcast cut array. Use when any clustered
+    * column is heavy-tailed; for roughly uniform columns the linear
+    * form is the same layout minus the sketch pass. */
+  def clusterByZQuantile(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      numPartitions: Int = 0, accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "clusterByZQuantile needs at least one column")
+    val nBuckets = 1 << bits
+    val pcts = array((1 until nBuckets).map(i =>
+      lit(i.toDouble / nBuckets)): _*)
+    val bounds = df.agg(
+      approx_percentile(col(cols.head).cast("double"), pcts,
+        lit(accuracy)).as(s"__cuts_${cols.head}"),
+      cols.tail.map(c => approx_percentile(col(c).cast("double"), pcts,
+        lit(accuracy)).as(s"__cuts_$c")): _*)
+    val buckets = cols.map(c =>
+      quantileBucket(col(c), col(s"__cuts_$c"), bits))
+    zLayout(df, bounds, buckets, bits, numPartitions)
+  }
+
+  /** Shared layout tail: broadcast the bounds row, z-interleave,
+    * range-partition and sort on the curve key, drop it. NULL rows
+    * (z = -1) range to the front — few files, prunable. */
+  private def zLayout(df: DataFrame, bounds: DataFrame,
+      buckets: Seq[Column], bits: Int, numPartitions: Int): DataFrame = {
+    val Z = "__zv"
+    require(!df.columns.contains(Z), s"column name $Z is reserved")
     val withZ = df.crossJoin(broadcast(bounds))
       .withColumn(Z, coalesce(zValue(buckets, bits), lit(-1L)))
       .select(df.columns.map(col) :+ col(Z): _*)

@@ -77,6 +77,59 @@ class ZOrderSpec extends GraftSuite {
       numPartitions = 16).count() == 64L * 64L)
   }
 
+  test("quantileBucket counts cuts at-or-below, clamps, propagates " +
+    "NULL") {
+    val df = Seq[(java.lang.Double)](5.0, 10.0, 25.0, 1000.0, null)
+      .toDF("x").withColumn("cuts", array(lit(10.0), lit(20.0), lit(30.0)))
+    val out = df.select(
+      ZOrder.quantileBucket(col("x"), col("cuts"), 2).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L, null))
+  }
+
+  test("clusterByZQuantile keeps pruning resolution inside a dense " +
+    "region where linear buckets collapse") {
+    // 97% of rows have x in [0, 10); the rest sit 1000x away — linear
+    // min/max buckets put the whole dense mass in x-bucket 0
+    val df = spark.range(4096L)
+      .select(
+        when(col("id") % 43 === 0, lit(10000L) + col("id") % 96)
+          .otherwise(col("id") % 10).as("x"),
+        (col("id") % 64).as("y"))
+    // scan cost of a point predicate x = c under footer pruning: the
+    // fraction of ROWS living in partitions whose [xmin, xmax] spans c
+    // (row-weighted, so tiny outlier partitions don't distort the
+    // metric), averaged over the dense values
+    def denseProbeHits(parted: org.apache.spark.sql.DataFrame): Double = {
+      val boxes = parted
+        .withColumn("pid", spark_partition_id())
+        .groupBy(col("pid"))
+        .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+          count(lit(1)).as("n"))
+        .collect().map(r => (r.getAs[Long]("xmin"), r.getAs[Long]("xmax"),
+          r.getAs[Long]("n")))
+      val total = boxes.map(_._3).sum.toDouble
+      val fracs = (0L until 10L).map(c =>
+        boxes.collect { case (lo, hi, n) if lo <= c && c <= hi => n }
+          .sum / total)
+      fracs.sum / fracs.size
+    }
+    // 64 partitions over the 8-bit z space: each partition is a 2x2
+    // bucket block, fine enough for the probe to see the x resolution
+    val linear = denseProbeHits(
+      ZOrder.clusterByZ(df, Seq("x", "y"), bits = 4, numPartitions = 64))
+    val quant = denseProbeHits(ZOrder.clusterByZQuantile(
+      df, Seq("x", "y"), bits = 4, numPartitions = 64))
+    // linear: every dense-region partition spans all of [0, 10) in x,
+    // so an x point predicate cannot prune; quantile cuts split the
+    // dense mass across x-buckets and restore the rectangle structure
+    assert(linear > 0.8, s"linear layout unexpectedly prunable: $linear")
+    assert(quant < 0.5 * linear,
+      s"quantile layout should prune the dense region: $quant vs $linear")
+    assert(ZOrder.clusterByZQuantile(df, Seq("x", "y"), bits = 4,
+      numPartitions = 64).count() == 4096L)
+  }
+
   test("clusterByZ carries NULL rows to the front partition instead " +
     "of dropping or spraying them") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
