@@ -26,7 +26,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val knownSections =
-      Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal")
+      Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
+        "curation", "layout")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -495,6 +496,57 @@ object ScaleProbe {
       timeSkew("skwarm", mkSkew(base), silent = true)
       timeSkew("skew1x", mkSkew(base))
       timeSkew("skewKx", mkSkew(dense))
+    }
+
+    // Curation operators at K× corpus: the exact tercile form pays a
+    // sort per language (its documented ceiling — languages are FIXED
+    // while the corpus grows, so per-language partitions deepen K×);
+    // the cutoff form is one sketch aggregate + a broadcast compare
+    // and should track the corpus scan. domainMix is one groupBy.
+    if (sections("curation")) {
+      def timeCur(tag: String, d0: DataFrame,
+          silent: Boolean = false): Unit = {
+        val dir = s"/tmp/graft_scale_cur_$tag"
+        d0.write.mode("overwrite").parquet(dir)
+        val d = spark.read.parquet(dir)
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          if (!silent)
+            println(f"cur_$tag%-8s $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        time("ppl_ntile")(LlmCorpus.pplBucket(d))
+        time("ppl_cutoff")(LlmCorpus.pplBucketByCutoff(d))
+        time("domain_mix")(LlmCorpus.domainMix(d, Map.empty))
+      }
+      timeCur("warm", docBase, silent = true) // JIT warmup, see rco
+      timeCur("1x", docBase)
+      timeCur(s"${k}x", docK)
+    }
+
+    // Layout: z-ordering is a bounds/sketch aggregate + one range
+    // shuffle — the same cost class as any sorted write; both probes
+    // should scale with the data like a sort does, in both shapes.
+    if (sections("layout")) {
+      def timeLay(tag: String, e0: DataFrame,
+          silent: Boolean = false): Unit = {
+        val dir = s"/tmp/graft_scale_lay_$tag"
+        e0.write.mode("overwrite").parquet(dir)
+        val ev = spark.read.parquet(dir)
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          if (!silent)
+            println(f"lay_$tag%-8s $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        time("z_linear")(ZOrder.clusterByZ(ev, Seq("user_id", "value")))
+        time("z_quantile")(
+          ZOrder.clusterByZQuantile(ev, Seq("user_id", "value")))
+      }
+      timeLay("warm", base, silent = true) // JIT warmup, see rco
+      timeLay("1x", base)
+      timeLay("wide", wide)
+      timeLay("dense", dense)
     }
     spark.stop()
   }

@@ -41,6 +41,7 @@ object SparkEntry {
     "cls_asof_join",
     "cls_asof_sliced",
     "cls_range_join",
+    "cls_zorder",
     "rco_sessionize",
     "rco_co_agg",
     "rco_brandcode",
@@ -56,6 +57,7 @@ object SparkEntry {
     "llm_contamination",
     "llm_bm25",
     "llm_unigram_lm",
+    "llm_ppl_bucket",
     "llm_substr_dup",
     "llm_quality_clf",
     "llm_vocab_encode",
