@@ -492,15 +492,25 @@ object LlmCorpus {
     * documents within the sketch's error of a cutoff may land one
     * bucket over (spec quantifies the agreement); everything far from
     * the cutoffs is identical. This is the form whose cost is
-    * O(corpus) scan + O(languages) state at any scale. */
+    * O(corpus) scan + O(languages) state at any scale.
+    *
+    * NULL-lang documents (failed language id — routine in real
+    * curation data) bucket together exactly like [[pplBucket]]'s
+    * window does: the cutoff aggregate keeps a NULL-lang group and the
+    * cutoff join is NULL-SAFE — a plain equi-join would silently drop
+    * every such document from the output. */
   def pplBucketByCutoff(documents: DataFrame): DataFrame = {
-    val scored = documents.select(col("doc_id"), col("lang"))
-      .join(unigramLm(documents), Seq("doc_id"))
+    // pinned: both the cutoff aggregate and the final bucketing read
+    // the scored frame — without the pin the whole unigram scoring
+    // pass (explode + count join + two aggregations) runs twice
+    val scored = CacheScope.pin(documents.select(col("doc_id"), col("lang"))
+      .join(unigramLm(documents), Seq("doc_id")))
     val cuts = scored.groupBy(col("lang"))
       .agg(
         approx_percentile(col("ppl"), lit(1.0 / 3), lit(10000)).as("c1"),
         approx_percentile(col("ppl"), lit(2.0 / 3), lit(10000)).as("c2"))
-    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumnRenamed("lang", "__cut_lang")
+    scored.join(broadcast(cuts), col("lang") <=> col("__cut_lang"))
       .select(col("doc_id"), col("lang"), col("ppl"),
         when(col("ppl") <= col("c1"), "head")
           .when(col("ppl") <= col("c2"), "middle")
@@ -568,12 +578,24 @@ object LlmCorpus {
       count(lit(1)).as("n_sources"),
       sum(when(col("source").isInCollection(target.keys), 1L)
         .otherwise(0L)).as("n_named"))
+    // two in-plan config checks: every named source exists, and when
+    // the target names EVERY corpus source its shares must sum to ~1 —
+    // otherwise there is no unnamed source to absorb the leftover and
+    // the realized mix silently sums below 1 (the exact silent-typo
+    // class this operator exists to reject)
     val namedPresent = when(assert_true(
       col("n_named") === lit(target.size.toLong),
       concat(lit("domainMix: target names "),
         lit(target.size.toLong) - col("n_named"),
         lit(" source(s) absent from the corpus — fix the mixture " +
           s"config (targets: ${target.keys.toSeq.sorted.mkString(", ")})")))
+      .isNull &&
+      assert_true(
+        col("n_named") < col("n_sources") ||
+          lit(math.abs(target.values.sum - 1.0) <= 1e-9),
+        lit("domainMix: target names every corpus source but its " +
+          s"shares sum to ${target.values.sum}, not 1 — no unnamed " +
+          "source exists to absorb the leftover mass"))
       .isNull, col("target_share"))
     perSource.crossJoin(broadcast(totals))
       .withColumn("target_share", coalesce(named,

@@ -244,18 +244,7 @@ object TemporalJoins {
     def w(fwd: Boolean) = Window.partitionBy(on.map(col): _*)
       .orderBy(if (fwd) col(T).desc else col(T).asc, col(SIDE))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val distB = epochUs(col(T)) - epochUs(col(MB)(asofTsCol))
-    val distF = epochUs(col(MF)(asofTsCol)) - epochUs(col(T))
-    val nearer = when(col(MF).isNull, col(MB))
-      .when(col(MB).isNull, col(MF))
-      .when(distB <= distF, col(MB)) // tie → backward, pandas rule
-      .otherwise(col(MF))
-    val inTol: Column = tolerance match {
-      case Some(s) =>
-        abs(epochUs(col(M)(asofTsCol)) - epochUs(col(T))) <=
-          lit(s * 1000000L)
-      case None => lit(true)
-    }
+    val (nearer, inTol) = nearestPick(col(T), asofTsCol, tolerance)
     merged
       .withColumn(MB, last(payload, ignoreNulls = true).over(w(false)))
       .withColumn(MF, last(payload, ignoreNulls = true).over(w(true)))
@@ -264,6 +253,29 @@ object TemporalJoins {
       .withColumn(M, when(col(T).isNotNull && inTol, col(M)))
       .select(left.columns.map(col) ++
         (asofTsCol +: valueCols).map(c => col(M)(c).as(c)): _*)
+  }
+
+  /** Closer-candidate pick shared by the nearest forms ([[asofNearest]]
+    * and [[asofNearestSliced]]): the `MB`/`MF` payload structs are
+    * compared by distance from `timeCol`, an equidistant pair resolves
+    * BACKWARD (pandas), and `inTol` bounds the absolute distance of
+    * the PICKED match in `M` — one definition so the tie and tolerance
+    * conventions cannot drift between the plain and sliced forms. */
+  private def nearestPick(timeCol: Column, asofTsCol: String,
+      tolerance: Option[Long]): (Column, Column) = {
+    val distB = epochUs(timeCol) - epochUs(col(MB)(asofTsCol))
+    val distF = epochUs(col(MF)(asofTsCol)) - epochUs(timeCol)
+    val nearer = when(col(MF).isNull, col(MB))
+      .when(col(MB).isNull, col(MF))
+      .when(distB <= distF, col(MB)) // tie → backward, pandas rule
+      .otherwise(col(MF))
+    val inTol: Column = tolerance match {
+      case Some(s) =>
+        abs(epochUs(col(M)(asofTsCol)) - epochUs(timeCol)) <=
+          lit(s * 1000000L)
+      case None => lit(true)
+    }
+    (nearer, inTol)
   }
 
   /** Time-sliced backward as-of join — identical semantics to
@@ -324,13 +336,19 @@ object TemporalJoins {
     * distance), hot-key-safe like the directional sliced forms.
     *
     * Composition, not a third machinery: the left is tagged with ONE
-    * pinned row id, both directional sliced as-ofs run over it
+    * materialized row id, both directional sliced as-ofs run over it
     * (tolerance deferred — it must act on the PICKED side, exactly as
     * the plain nearest does), and a per-row pick keeps the closer
     * candidate. The id join is an equi-join on a dense unique key —
-    * uniformly distributed, no new skew surface. The pin matters for
-    * correctness, not just cost: both branches must read the SAME
-    * materialized ids. */
+    * uniformly distributed, no new skew surface.
+    *
+    * The id frame is `localCheckpoint`ed, not merely cached: both
+    * branches MUST read the same ids, and `monotonically_increasing_id`
+    * over a recomputed partition of a shuffle output can renumber rows
+    * — a cached-but-evicted partition would then silently misalign the
+    * two branch joins. Truncating the lineage makes recomputation
+    * impossible: an executor loss fails the job loudly (retry it)
+    * instead of corrupting the match. */
   def asofNearestSliced(
       left: DataFrame,
       right: DataFrame,
@@ -344,8 +362,8 @@ object TemporalJoins {
     require(!(left.columns ++ right.columns).contains(RID),
       s"nearest sliced asof join: column name $RID is reserved")
     val valueCols = checkAsofContract(left, right, on, rightTime, asofTsCol)
-    val lId = CacheScope.pin(
-      left.withColumn(RID, monotonically_increasing_id()))
+    val lId = left.withColumn(RID, monotonically_increasing_id())
+      .localCheckpoint(true)
     def branch(forward: Boolean, tag: String) =
       asofSlicedImpl(lId, right, on, leftTime, rightTime, sliceWidthSec,
         tolerance = None, asofTsCol, forward)
@@ -356,18 +374,7 @@ object TemporalJoins {
           // that is NULL precisely then
           when(col(asofTsCol).isNotNull,
             struct((asofTsCol +: valueCols).map(col): _*)).as(tag))
-    val distB = epochUs(col(leftTime)) - epochUs(col(MB)(asofTsCol))
-    val distF = epochUs(col(MF)(asofTsCol)) - epochUs(col(leftTime))
-    val nearer = when(col(MF).isNull, col(MB))
-      .when(col(MB).isNull, col(MF))
-      .when(distB <= distF, col(MB)) // tie → backward, pandas rule
-      .otherwise(col(MF))
-    val inTol: Column = tolerance match {
-      case Some(s) =>
-        abs(epochUs(col(M)(asofTsCol)) - epochUs(col(leftTime))) <=
-          lit(s * 1000000L)
-      case None => lit(true)
-    }
+    val (nearer, inTol) = nearestPick(col(leftTime), asofTsCol, tolerance)
     lId.join(branch(forward = false, MB), Seq(RID))
       .join(branch(forward = true, MF), Seq(RID))
       .withColumn(M, nearer)

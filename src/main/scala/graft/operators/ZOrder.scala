@@ -87,6 +87,7 @@ object ZOrder {
   def clusterByZ(df: DataFrame, cols: Seq[String], bits: Int = 8,
       numPartitions: Int = 0): DataFrame = {
     require(cols.nonEmpty, "clusterByZ needs at least one column")
+    reserveAliases(df, cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")))
     val bounds = df.agg(
       min(col(cols.head)).as(s"__min_${cols.head}"),
       (max(col(cols.head)).as(s"__max_${cols.head}") +:
@@ -140,6 +141,7 @@ object ZOrder {
   def clusterByZQuantile(df: DataFrame, cols: Seq[String], bits: Int = 8,
       numPartitions: Int = 0, accuracy: Int = 2000): DataFrame = {
     require(cols.nonEmpty, "clusterByZQuantile needs at least one column")
+    reserveAliases(df, cols.map(c => s"__cuts_$c"))
     val nBuckets = 1 << bits
     val pcts = array((1 until nBuckets).map(i =>
       lit(i.toDouble / nBuckets)): _*)
@@ -151,6 +153,18 @@ object ZOrder {
     val buckets = cols.map(c =>
       quantileBucket(col(c), col(s"__cuts_$c"), bits))
     zLayout(df, bounds, buckets, bits, numPartitions)
+  }
+
+  /** Fail fast when an input column collides with a generated bounds
+    * alias — the broadcast cross-join would otherwise yield two
+    * identically-named columns and die with an ambiguous-reference
+    * AnalysisException deep inside the plan (same fail-loud contract
+    * as the temporal joins' reserved names). */
+  private def reserveAliases(df: DataFrame, aliases: Seq[String]): Unit = {
+    val clash = df.columns.toSeq.intersect(aliases)
+    require(clash.isEmpty,
+      s"z-order: column names ${clash.mkString(", ")} are reserved " +
+        "for the internal bounds row — rename them before clustering")
   }
 
   /** Shared layout tail: broadcast the bounds row, z-interleave,

@@ -313,6 +313,42 @@ class LlmCorpusSpec extends GraftSuite {
     assert(math.abs(realized - 1.0) < 1e-6)
   }
 
+  test("pplBucketByCutoff keeps NULL-lang documents and buckets them " +
+    "as their own group, like the exact form") {
+    val docs = Seq[(java.lang.Long, String, String)](
+      (1L, "a a a b", "en"), (2L, "a b b b", "en"), (3L, "c c d", "en"),
+      (4L, "a a b b", null), (5L, "c d d d", null), (6L, "a c d b", null))
+      .toDF("doc_id", "text", "lang")
+    val exact = LlmCorpus.pplBucket(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val approx = LlmCorpus.pplBucketByCutoff(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    // a plain equi-join on lang would silently drop docs 4-6
+    assert(approx.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(approx.keySet == exact)
+    // NULL-lang docs form their own tercile universe: at least one of
+    // them heads it (cutoffs came from the NULL group, not from 'en')
+    assert(Set(4L, 5L, 6L).exists(id => approx(id) == "head"))
+  }
+
+  test("domainMix rejects an all-named target whose shares do not " +
+    "sum to 1") {
+    val docs = Seq((1L, "a b", "A"), (2L, "c d", "B"))
+      .toDF("doc_id", "text", "source")
+    val e = intercept[Exception] {
+      LlmCorpus.domainMix(docs, Map("A" -> 0.3, "B" -> 0.2)).collect()
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" ")
+    assert(chain.contains("absorb"), chain)
+    // all-named summing to 1 is fine
+    val ok = LlmCorpus.domainMix(docs, Map("A" -> 0.75, "B" -> 0.25))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("target_share")).toMap
+    assert(ok == Map("A" -> 0.75, "B" -> 0.25))
+  }
+
   test("domainMixFromProfile over split shard profiles equals the " +
     "corpus-scan domainMix") {
     val sf = "/root/testdata/sf0.001"

@@ -130,6 +130,18 @@ class ZOrderSpec extends GraftSuite {
       numPartitions = 64).count() == 4096L)
   }
 
+  test("cluster ops fail fast when an input column collides with a " +
+    "generated bounds alias") {
+    val df = Seq((1L, 2L)).toDF("x", "__min_x")
+    intercept[IllegalArgumentException] {
+      ZOrder.clusterByZ(df, Seq("x"))
+    }
+    val df2 = Seq((1L, 2L)).toDF("x", "__cuts_x")
+    intercept[IllegalArgumentException] {
+      ZOrder.clusterByZQuantile(df2, Seq("x"))
+    }
+  }
+
   test("clusterByZ carries NULL rows to the front partition instead " +
     "of dropping or spraying them") {
     val df = Seq[(java.lang.Long, java.lang.Long)](
