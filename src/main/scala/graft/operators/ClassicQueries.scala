@@ -494,7 +494,44 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Multi-column DISTINCT aggregation: distinct parts, suppliers and
+    * orders per returnflag in ONE aggregate — Spark plans a single
+    * Expand (one row per distinct-column) + two-phase aggregate, so
+    * adding distinct columns multiplies rows, not passes. The
+    * count(DISTINCT) shape the reference's tally paths approximate
+    * with drop_duplicates + count (SURVEY §2.6). */
+  def countDistinct2(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"),
+        count_distinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Bag-semantics set operations: customers with urgent orders
+    * INTERSECT / EXCEPT customers with failed-status orders, by key.
+    * `intersect`/`except` are DISTINCT-set semantics on both engines
+    * (Spark plans left-semi/anti over deduped inputs — same shuffle
+    * shape as a semi-join plus the distinct). */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val failed = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val both = urgent.intersect(failed)
+      .select(col("o_custkey"), lit("both").as("kind"))
+    val urgentOnly = urgent.except(failed)
+      .select(col("o_custkey"), lit("urgent_only").as("kind"))
+    both.unionByName(urgentOnly)
+      .orderBy(col("kind"), col("o_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_count_distinct" -> (countDistinct2 _),
+    "cls_setops" -> (setOps _),
     "cls_zorder" -> (zorderValue _),
     "cls_cube" -> (cubeSummary _),
     "cls_window_funcs" -> (windowFuncs _),
@@ -529,6 +566,24 @@ object ClassicQueries {
       s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "cls_count_distinct" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT l_orderkey) AS n_orders,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "cls_setops" ->
+      """SELECT o_custkey, 'both' AS kind FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         UNION ALL
+         SELECT o_custkey, 'urgent_only' AS kind FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         ORDER BY kind, o_custkey""",
     "cls_zorder" ->
       s"""WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
          min(value) AS vmin, max(value) AS vmax FROM events),
