@@ -482,6 +482,11 @@ object ScaleProbe {
         time("asof_slice")(TemporalJoins.asofBackwardSliced(
           purchases, views, Seq("user_id"), "ts", "ts",
           sliceWidthSec = 86400L))
+        time("near_plain")(TemporalJoins.asofNearest(
+          purchases, views, Seq("user_id"), "ts", "ts"))
+        time("near_slice")(TemporalJoins.asofNearestSliced(
+          purchases, views, Seq("user_id"), "ts", "ts",
+          sliceWidthSec = 86400L))
         time("gap_plain")(TemporalJoins.sessionizeByGap(
           ev.select(col("event_id"), col("user_id"), col("ts")),
           Seq("user_id"), "ts", 1800L))
