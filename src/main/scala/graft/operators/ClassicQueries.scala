@@ -529,7 +529,27 @@ object ClassicQueries {
       .orderBy(col("kind"), col("o_custkey"))
   }
 
+  /** Semi-structured extraction: the events table's `props` column is
+    * a JSON string; parse it with a TYPED schema (`from_json` — one
+    * declared struct, not per-path `get_json_object` re-parses) and
+    * aggregate the extracted field per event type. At scale the parse
+    * is a per-row projection inside whole-stage codegen; declaring the
+    * schema keeps it one parse per row however many fields are read. */
+  def jsonExtractAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("from_json(props, 'k BIGINT')").getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_json_agg" -> (jsonExtractAgg _),
     "cls_count_distinct" -> (countDistinct2 _),
     "cls_setops" -> (setOps _),
     "cls_zorder" -> (zorderValue _),
@@ -566,6 +586,15 @@ object ClassicQueries {
       s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "cls_json_agg" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+           AS sum_k,
+         round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4)
+           AS avg_k,
+         min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "cls_count_distinct" ->
       """SELECT l_returnflag,
          count(DISTINCT l_partkey) AS n_parts,
