@@ -505,17 +505,31 @@ object LlmCorpus {
     // pass (explode + count join + two aggregations) runs twice
     val scored = CacheScope.pin(documents.select(col("doc_id"), col("lang"))
       .join(unigramLm(documents), Seq("doc_id")))
-    val cuts = scored.groupBy(col("lang"))
+    bucketByCutoffs(scored, pplCutoffs(scored))
+  }
+
+  /** Per-language p33/p67 perplexity cutoffs of a scored
+    * (doc_id, lang, …, ppl) frame — O(languages) rows, the frozen
+    * "model" the streaming bucket twin scores against. The lang
+    * column is renamed so [[bucketByCutoffs]]'s null-safe join never
+    * meets an ambiguous reference. */
+  def pplCutoffs(scored: DataFrame): DataFrame =
+    scored.groupBy(col("lang"))
       .agg(
         approx_percentile(col("ppl"), lit(1.0 / 3), lit(10000)).as("c1"),
         approx_percentile(col("ppl"), lit(2.0 / 3), lit(10000)).as("c2"))
       .withColumnRenamed("lang", "__cut_lang")
+
+  /** Bucket a scored frame against [[pplCutoffs]] — NULL-SAFE on the
+    * language so failed-language-id documents bucket as their own
+    * group instead of silently vanishing. Shared verbatim by the
+    * batch and streaming forms so the bucket rule cannot drift. */
+  def bucketByCutoffs(scored: DataFrame, cuts: DataFrame): DataFrame =
     scored.join(broadcast(cuts), col("lang") <=> col("__cut_lang"))
       .select(col("doc_id"), col("lang"), col("ppl"),
         when(col("ppl") <= col("c1"), "head")
           .when(col("ppl") <= col("c2"), "middle")
           .otherwise("tail").as("bucket"))
-  }
 
   /** Domain-mixture reweighting: given TARGET sampling shares for named
     * sources (the "30% wiki, 30% books, rest uniform" spec every
