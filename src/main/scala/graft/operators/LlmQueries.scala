@@ -27,6 +27,7 @@ object LlmQueries {
     "llm_fingerprint" -> ((s, d) => LlmText.fingerprint(docs(s, d))),
     "llm_textstats" -> ((s, d) => LlmText.textStats(docs(s, d))),
     "llm_knn" -> ((s, d) => LlmSim.knnBrute(embs(s, d))),
+    "llm_hard_negatives" -> ((s, d) => LlmSim.hardNegatives(embs(s, d))),
     "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))),
     "llm_knn_ivf2" -> ((s, d) => LlmSim.knnIvfTrained(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
@@ -84,6 +85,7 @@ object LlmQueries {
     "llm_fingerprint" -> LlmTextSql.fingerprintSql,
     "llm_textstats" -> LlmTextSql.textStatsSql,
     "llm_knn" -> LlmSimSql.knnBruteSql,
+    "llm_hard_negatives" -> LlmSimSql.hardNegativesSql,
     "llm_knn_ivf" -> LlmSimSql.knnIvfSql,
     "llm_knn_ivf2" -> LlmSimSql.knnIvfTrainedSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,

@@ -77,6 +77,29 @@ object LlmSim {
     ranked(pairs, TopK)
   }
 
+  /** Hard-negative mining for contrastive/retrieval training: for
+    * each anchor vector (vec_id % [[QueryMod]]), the top-k most
+    * similar vectors with a DIFFERENT label — close enough to be
+    * confusable, labeled otherwise; exactly the negatives that
+    * sharpen a DPR/contrastive objective, where random negatives are
+    * too easy to carry gradient. Same ranking determinism as
+    * [[knnBrute]] (round-6 cosine, vec_id tie-break). Brute top-k is
+    * the oracle-checkable fixture; at corpus scale the candidate set
+    * comes from the quantizer cells exactly like [[knnIvf]] — the
+    * label filter composes with any candidate source. */
+  def hardNegatives(embeddings: DataFrame): DataFrame = {
+    val e = withVec(embeddings)
+      .join(embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("norm").as("qnorm"), col("label").as("qlabel"))
+    val pairs = broadcast(q).join(e,
+        col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .withColumn("cos",
+        dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
+    ranked(pairs, TopK)
+  }
+
   /** Sign-quantizer cell id over the first `dims` dimensions —
     * 2^dims seed cells, the codebook-size knob. */
   private def cell(v: Column, dims: Int = IvfDims): Column =
@@ -436,6 +459,23 @@ object LlmSimSql {
     pairs AS (SELECT qid, e.vec_id,
       ${dot("qv", "v")} / (qnorm * norm) AS cos
       FROM q, e WHERE e.vec_id <> qid),
+    rk AS (SELECT qid, vec_id, round(cos, 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank
+      FROM pairs)
+    SELECT qid, vec_id, cosine, rank FROM rk WHERE rank <= $TopK"""
+
+  val hardNegativesSql: String =
+    s"""WITH el AS (SELECT vec_id, label,
+       CAST(embedding AS DOUBLE[]) AS v,
+       sqrt(${dot("CAST(embedding AS DOUBLE[])",
+      "CAST(embedding AS DOUBLE[])")}) AS norm
+       FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm,
+          label AS qlabel FROM el WHERE vec_id % $QueryMod = 0),
+    pairs AS (SELECT qid, el.vec_id,
+      ${dot("qv", "v")} / (qnorm * norm) AS cos
+      FROM q, el WHERE el.vec_id <> qid AND el.label <> qlabel),
     rk AS (SELECT qid, vec_id, round(cos, 6) AS cosine,
       CAST(row_number() OVER (PARTITION BY qid
         ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank

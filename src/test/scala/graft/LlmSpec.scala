@@ -455,4 +455,30 @@ class LlmSpec extends GraftSuite {
     assert(key(LlmSim.semDedup(emb, exactFold = false)) ==
       key(LlmSim.semDedup(emb)))
   }
+
+  test("hardNegatives: every pair crosses labels, and the label " +
+    "filter actually changes some anchor's neighborhood") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val labels = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val hard = LlmSim.hardNegatives(emb).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank")))
+    assert(hard.nonEmpty)
+    hard.foreach { case (q, n, _) =>
+      assert(labels(q) != labels(n), s"same-label pair ($q, $n)")
+    }
+    // unrestricted top-1 vs hard-negative top-1 must differ for at
+    // least one anchor whose nearest neighbor shares its label —
+    // otherwise the filter never bit on this corpus
+    val knn1 = LlmSim.knnBrute(emb).filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    val hard1 = hard.collect { case (q, n, 1L) => q -> n }.toMap
+    assert(knn1.keySet == hard1.keySet,
+      "every anchor keeps a top-1 after the label filter")
+    assert(knn1.exists { case (q, n) =>
+      labels(q) == labels(n) && hard1(q) != n },
+      "fixture sanity: the label filter should displace some top-1")
+  }
 }
