@@ -194,12 +194,12 @@ object LlmSim {
     * Assignment/top-k rank on round(·,6) with id tie-breaks either way.
     * Keep in sync with [[LlmSimSql.knnIvfTrainedSql]]. */
   def knnIvfTrained(embeddings: DataFrame,
-      exactFold: Boolean = true): DataFrame = {
+      exactFold: Boolean = true, nprobe: Int = Nprobe): DataFrame = {
     val sims = trainedSims(embeddings, exactFold)
     val corpus = sims.filter(col("nr") === 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
     val probes = sims
-      .filter(col("vec_id") % QueryMod === 0 && col("nr") <= Nprobe)
+      .filter(col("vec_id") % QueryMod === 0 && col("nr") <= nprobe)
       .select(col("cent_id"), col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm"))
     val pairs = probes.join(corpus, Seq("cent_id"))

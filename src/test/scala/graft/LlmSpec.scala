@@ -456,6 +456,34 @@ class LlmSpec extends GraftSuite {
       key(LlmSim.semDedup(emb)))
   }
 
+  test("IVF recall ladder: more probes strictly buy recall, and the " +
+    "trade-off is measured") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val brute = LlmSim.knnBrute(emb).filter(col("rank") <= 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      brute.map { case (q, b) =>
+        got.getOrElse(q, Set.empty).intersect(b).size.toDouble / b.size
+      }.sum / brute.size
+    }
+    val r1 = recallOf(LlmSim.knnIvf(emb))               // nprobe=1, seeds
+    val r2 = recallOf(LlmSim.knnIvfTrained(emb))        // nprobe=2, trained
+    val r4 = recallOf(LlmSim.knnIvfTrained(emb, nprobe = 4))
+    // these synthetic near-RANDOM vectors are IVF's worst case (no
+    // cluster structure for the codebook to exploit) — the point of
+    // the ladder is that the nprobe knob monotonically buys recall at
+    // proportional candidate cost, which must hold even here
+    assert(r2 > r1, s"trained multi-probe $r2 <= single-cell $r1")
+    assert(r4 > r2, s"nprobe=4 $r4 <= nprobe=2 $r2")
+    assert(r4 >= 0.5, s"nprobe=4 should recover half of brute even " +
+      s"on structureless vectors, got $r4")
+  }
+
   test("hardNegatives: every pair crosses labels, and the label " +
     "filter actually changes some anchor's neighborhood") {
     val emb = graft.sources.Tables
