@@ -548,7 +548,24 @@ object ClassicQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Dense daily resample via [[Resample.timeBins]]: per-user 1-day
+    * bins between each user's first and last event, zeros where no
+    * event landed — the gap-filling downsample a sparse groupBy can't
+    * produce. `bin_sec` stays epoch seconds so the hash compare never
+    * meets a timezone-construction difference. */
+  def resampleDense(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("value"))
+    Resample.timeBins(ev, Seq("user_id"), "ts", "value",
+        widthSec = 86400L)
+      .select(col("user_id"),
+        col("bin_start").cast("timestamp").cast("long").as("bin_sec"),
+        col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+      .orderBy(col("user_id"), col("bin_sec"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_resample" -> (resampleDense _),
     "cls_json_agg" -> (jsonExtractAgg _),
     "cls_count_distinct" -> (countDistinct2 _),
     "cls_setops" -> (setOps _),
@@ -586,6 +603,22 @@ object ClassicQueries {
       s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "cls_resample" ->
+      """WITH k AS (SELECT user_id,
+           (epoch_us(ts) // 1000000) // 86400 AS b, value
+         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       sparse AS (SELECT user_id, b, count(*) AS n, sum(value) AS sv
+         FROM k GROUP BY user_id, b),
+       span AS (SELECT user_id, min(b) AS b0, max(b) AS b1
+         FROM k GROUP BY user_id),
+       uni AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b
+         FROM span)
+       SELECT u.user_id, u.b * 86400 AS bin_sec,
+         CAST(coalesce(s.n, 0) AS BIGINT) AS n_events,
+         round(coalesce(s.sv, 0), 4) AS sum_value
+       FROM uni u LEFT JOIN sparse s
+         ON u.user_id = s.user_id AND u.b = s.b
+       ORDER BY u.user_id, bin_sec""",
     "cls_json_agg" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
