@@ -27,7 +27,7 @@ object ScaleProbe {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val knownSections =
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
-        "curation", "layout")
+        "curation", "layout", "analytics")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -552,6 +552,67 @@ object ScaleProbe {
       timeLay("1x", base)
       timeLay("wide", wide)
       timeLay("dense", dense)
+    }
+
+    // Analytics breadth (round 11 wave 4): the funnel is one
+    // whole-partition window stack (scales like the per-key windows);
+    // session paths add a bounded per-session collect on top of the
+    // gap sessionizer; the outlier screen is an O(types) aggregate +
+    // one scan; tfidf pairs are a df-capped posting self-join whose
+    // candidate count the cap bounds (same discipline as dedup_ngram).
+    if (sections("analytics")) {
+      def timeEv(tag: String, e0: DataFrame,
+          silent: Boolean = false): Unit = {
+        val dir = s"/tmp/graft_scale_an_$tag"
+        e0.write.mode("overwrite").parquet(dir)
+        val ev = spark.read.parquet(dir)
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          if (!silent)
+            println(f"an_$tag%-8s $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        time("funnel")(Funnel.counts(ev, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase")))
+        time("paths") {
+          TemporalJoins.sessionizeByGap(
+              ev.select(col("event_id"), col("user_id"), col("ts"),
+                col("event_type")),
+              Seq("user_id"), "ts", gapSec = 1800L)
+            .groupBy(col("user_id"), col("session_id"))
+            .agg(count(lit(1)).as("n_events"),
+              sort_array(collect_list(struct(col("ts"), col("event_id"),
+                col("event_type")))).as("evs"))
+        }
+        time("outliers") {
+          val stats = ev.groupBy(col("event_type"))
+            .agg(avg(col("value")).as("mu"),
+              stddev_samp(col("value")).as("sigma"))
+          ev.join(broadcast(stats), Seq("event_type"))
+            .withColumn("is_out",
+              abs(col("value") - col("mu")) > lit(2.0) * col("sigma"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("is_out").cast("long")).as("n_outliers"))
+        }
+      }
+      def timeDocs(tag: String, d0: DataFrame,
+          silent: Boolean = false): Unit = {
+        val dir = s"/tmp/graft_scale_antf_$tag"
+        d0.write.mode("overwrite").parquet(dir)
+        val d = spark.read.parquet(dir)
+        val t0 = System.nanoTime()
+        LlmCorpus.tfidfPairs(d).write.format("noop").mode("overwrite").save()
+        if (!silent)
+          println(f"an_$tag%-8s tfidf_pairs  ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      timeEv("warm", base, silent = true) // JIT warmup, see rco
+      timeEv("1x", base)
+      timeEv("wide", wide)
+      timeEv("dense", dense)
+      timeDocs("warm", docBase, silent = true)
+      timeDocs("1x", docBase)
+      timeDocs(s"${k}x", docK)
     }
     spark.stop()
   }

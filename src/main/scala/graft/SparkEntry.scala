@@ -42,6 +42,8 @@ object SparkEntry {
     "cls_asof_sliced",
     "cls_range_join",
     "cls_zorder",
+    "cls_funnel",
+    "cls_session_paths",
     "rco_sessionize",
     "rco_co_agg",
     "rco_brandcode",
@@ -50,6 +52,7 @@ object SparkEntry {
     "rco_gantt",
     "llm_dedup_near",
     "llm_dedup_ngram",
+    "llm_tfidf_pairs",
     "llm_knn",
     "llm_knn_ivf2",
     "llm_semdedup",

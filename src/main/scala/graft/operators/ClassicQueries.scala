@@ -564,7 +564,110 @@ object ClassicQueries {
       .orderBy(col("user_id"), col("bin_sec"))
   }
 
+  /** Three-stage ordered funnel over the event stream via the generic
+    * [[Funnel]] operator: first view, first click strictly AFTER that
+    * view, first purchase strictly AFTER that click, counted as users
+    * reaching each stage — one shuffle however many stages (see
+    * [[Funnel]] for the plan shape). */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.counts(Tables.events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .select(col("n_view"), col("n_click").as("n_click_after_view"),
+        col("n_purchase").as("n_purchase_after_click"),
+        col("n_entities").as("n_users"))
+
+  /** Arbitrary GROUPING SETS lattice — the slices a rollup/cube
+    * hierarchy CANNOT express: per-returnflag totals and
+    * per-linestatus totals in one aggregate, no grand total, no
+    * cross product. Same single-Expand single-shuffle plan as
+    * [[rollupSummary]]/[[cubeSummary]], same 'ALL' sentinel so the
+    * hash compare never meets NULL ordering. */
+  def groupingSetsSummary(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** Fixed-width histogram of order totals: bucket = floor(price/w)
+    * clamped into [0, nBuckets). Constant bounds keep the bucket id a
+    * single IEEE operation on both engines (no data-dependent min/max
+    * round-trip); the histogram is one groupBy on a computed key —
+    * map-side combinable, O(buckets) result at any scale. */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    val width = 50000.0
+    val nBuckets = 12
+    Tables.orders(s, dir)
+      .select((least(greatest(floor(col("o_totalprice") / width), lit(0)),
+        lit(nBuckets - 1))).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("sum_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Two-pass z-score outlier screen per event type — the numeric
+    * data-cleaning shape of a training pipeline (clip/flag rows far
+    * from their group's distribution): pass 1 aggregates per-type
+    * mean/stddev (O(types) rows, broadcast), pass 2 flags each row
+    * against its type's threshold — a map-side projection, so the
+    * screen is one aggregate + one scan at any scale. Output is the
+    * per-type audit (counts, not rows) to keep the gate result
+    * bounded. */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"),
+        stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("is_out",
+        abs(col("value") - col("mu")) > lit(2.0) * col("sigma"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("is_out").cast("long")).as("n_outliers"),
+        round(max(col("mu")), 4).as("mu"),
+        round(max(col("sigma")), 4).as("sigma"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Session-path mining: gap sessions ([[TemporalJoins.sessionizeByGap]],
+    * 30 min) reduced to one row per session carrying its first events'
+    * type sequence — the "what do users do in a session" table. The
+    * path is built by sorting each session's collected (ts, id, type)
+    * structs INSIDE the aggregate (`sort_array` over `collect_list` —
+    * deterministic however partials merge) and slicing the first 5;
+    * per-session event counts are bounded by the session gap, so the
+    * collect is bounded too. */
+  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    TemporalJoins.sessionizeByGap(ev, Seq("user_id"), "ts", gapSec = 1800L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        sort_array(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type"))))
+          .as("evs"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("session_start"),
+        array_join(transform(slice(col("evs"), 1, 5),
+          e => e.getField("event_type")), ">").as("path"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_funnel" -> (funnel _),
+    "cls_grouping_sets" -> (groupingSetsSummary _),
+    "cls_histogram" -> (histogram _),
+    "cls_outliers" -> (outliers _),
+    "cls_session_paths" -> (sessionPaths _),
     "cls_resample" -> (resampleDense _),
     "cls_json_agg" -> (jsonExtractAgg _),
     "cls_count_distinct" -> (countDistinct2 _),
@@ -603,6 +706,65 @@ object ClassicQueries {
       s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "cls_funnel" ->
+      """WITH s1 AS (SELECT user_id, event_type, ts,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+             OVER (PARTITION BY user_id) AS t1
+         FROM events),
+       s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+             THEN ts END) OVER (PARTITION BY user_id) AS t2
+         FROM s1),
+       s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+             THEN ts END) OVER (PARTITION BY user_id) AS t3
+         FROM s2),
+       u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+         FROM s3 GROUP BY user_id)
+       SELECT count(t1) AS n_view, count(t2) AS n_click_after_view,
+         count(t3) AS n_purchase_after_click, count(*) AS n_users
+       FROM u""",
+    "cls_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         coalesce(l_linestatus, 'ALL') AS linestatus,
+         round(sum(l_quantity), 4) AS sum_qty,
+         count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY returnflag, linestatus""",
+    "cls_histogram" ->
+      """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 11)
+           AS BIGINT) AS bucket,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 4) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "cls_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+           stddev_samp(value) AS sigma
+         FROM events GROUP BY event_type)
+       SELECT e.event_type, count(*) AS n_rows,
+         CAST(sum(CASE WHEN abs(e.value - st.mu) > 2.0 * st.sigma
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         round(max(st.mu), 4) AS mu,
+         round(max(st.sigma), 4) AS sigma
+       FROM events e JOIN st USING (event_type)
+       GROUP BY e.event_type ORDER BY e.event_type""",
+    "cls_session_paths" ->
+      """WITH sess AS (SELECT event_id, user_id, ts, event_type,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM (SELECT event_id, user_id, ts, event_type,
+                 lag(ts) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_ts
+               FROM events))
+       SELECT user_id, session_id, count(*) AS n_events,
+         min(ts) AS session_start,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id, event_type))[1:5],
+           '>') AS path
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_id""",
     "cls_resample" ->
       """WITH k AS (SELECT user_id,
            (epoch_us(ts) // 1000000) // 86400 AS b, value

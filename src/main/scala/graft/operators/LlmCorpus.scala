@@ -280,6 +280,72 @@ object LlmCorpus {
         round(col("tfidf"), 6).as("tfidf"), col("rk"))
   }
 
+  /** Document-frequency cap for [[tfidfPairs]] postings: a term in
+    * more documents than this generates no candidate pairs (its
+    * posting list is quadratic in df — and a term that common carries
+    * almost no idf weight anyway). Same hot-posting discipline as
+    * [[LlmText.NgramDfCap]]. */
+  val TfidfPairsDfCap = 30
+
+  /** Neighbors kept per document by [[tfidfPairs]]. */
+  val TfidfPairsK = 3
+
+  /** All-pairs sparse TF-IDF cosine similarity, top-k per document —
+    * document similarity WITHOUT embeddings: each doc is its tf·idf
+    * vector over the df-capped term space (idf = ln((N+1)/(df+1))+1,
+    * the [[keywords]] convention), candidate pairs come from a
+    * posting-list self-join on the term, and the pair's cosine is the
+    * sum of weight products over shared terms divided by the two
+    * l2 norms. Output: (id_a, id_b, cosine, rank), id_a < id_b,
+    * ranked per id_a.
+    *
+    * Scale shape: the posting join is an EQUI-join on the term whose
+    * per-term fan-out is df² ≤ dfCap² — the df cap is what keeps the
+    * candidate count linear in corpus size (the same reason
+    * [[LlmText.dedupNgram]] caps its grams); tf/df/norms are one
+    * posting scan (df and the norm are windows over the tf table —
+    * no second tokenize pass, no tf⋈df self-join). Determinism: tf,
+    * df and N are exact integers so each weight is a single identical
+    * double expression on both engines; only the SUMS (norm, dot)
+    * accumulate in engine-specific order, and round(cos, 6) with the
+    * id_b tie-break absorbs that noise exactly like [[LlmSim]]. */
+  def tfidfPairs(documents: DataFrame, dfCap: Int = TfidfPairsDfCap,
+      k: Int = TfidfPairsK): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nd = documents.agg(count(lit(1)).as("n_docs"))
+    val wn = tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .filter(col("df") <= dfCap)
+      .crossJoin(broadcast(nd))
+      .withColumn("w",
+        col("tf") *
+          (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
+            lit(1.0)))
+      .withColumn("nrm",
+        sqrt(sum(col("w") * col("w"))
+          .over(Window.partitionBy(col("doc_id")))))
+      .select(col("term"), col("doc_id"), col("w"), col("nrm"))
+    val a = wn.select(col("term"), col("doc_id").as("id_a"),
+      col("w").as("wa"), col("nrm").as("na"))
+    val b = wn.select(col("term"), col("doc_id").as("id_b"),
+      col("w").as("wb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("wa") * col("wb")).as("dp"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .withColumn("cosine", round(col("dp") / (col("na") * col("nb")), 6))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosine").desc, col("id_b"))
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+  }
+
   /** Cross-modality curation report — the final per-document
     * selection card a corpus release ships: every document with its
     * verdict from each curation stage and the conjunction that decides
@@ -732,6 +798,31 @@ object LlmCorpusSql {
       round(ln(d_pos) - ln(d_neg) + sum(lo), 6) AS score,
       (ln(d_pos) - ln(d_neg) + sum(lo)) > 0 AS pred
     FROM sc CROSS JOIN d GROUP BY doc_id, d_pos, d_neg"""
+
+  val tfidfPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+      GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    wtd AS (SELECT doc_id, term,
+      tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS w
+      FROM tf JOIN dfc USING (term) CROSS JOIN nd
+      WHERE df <= $TfidfPairsDfCap),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wtd
+      GROUP BY doc_id),
+    wn AS (SELECT w.doc_id, w.term, w.w, n.nrm
+      FROM wtd w JOIN nrm n USING (doc_id)),
+    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      sum(a.w * b.w) AS dp, max(a.nrm) AS na, max(b.nrm) AS nb
+      FROM wn a JOIN wn b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    rk AS (SELECT id_a, id_b, round(dp / (na * nb), 6) AS cosine,
+      CAST(row_number() OVER (PARTITION BY id_a
+        ORDER BY round(dp / (na * nb), 6) DESC, id_b) AS BIGINT) AS rank
+      FROM pairs)
+    SELECT id_a, id_b, cosine, rank FROM rk WHERE rank <= $TfidfPairsK"""
 
   val keywordsSql: String =
     s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -70,6 +70,7 @@ object LlmQueries {
     "llm_substr_dup" -> ((s, d) => LlmCorpus.substrDup(docs(s, d))),
     "llm_quality_clf" -> ((s, d) => LlmCorpus.qualityClf(docs(s, d))),
     "llm_keywords" -> ((s, d) => LlmCorpus.keywords(docs(s, d))),
+    "llm_tfidf_pairs" -> ((s, d) => LlmCorpus.tfidfPairs(docs(s, d))),
     "llm_vocab_encode" -> ((s, d) => LlmCorpus.vocabEncode(docs(s, d))),
     "llm_curation_report" ->
       ((s, d) => LlmCorpus.curationReport(docs(s, d), embs(s, d))),
@@ -117,6 +118,7 @@ object LlmQueries {
     "llm_substr_dup" -> LlmCorpusSql.substrDupSql,
     "llm_quality_clf" -> LlmCorpusSql.qualityClfSql,
     "llm_keywords" -> LlmCorpusSql.keywordsSql,
+    "llm_tfidf_pairs" -> LlmCorpusSql.tfidfPairsSql,
     "llm_vocab_encode" -> LlmCorpusSql.vocabEncodeSql,
     "llm_curation_report" -> LlmCorpusSql.curationReportSql,
     "llm_embed_quant" -> LlmSimSql.embedQuantSql)

@@ -380,4 +380,35 @@ class LlmCorpusSpec extends GraftSuite {
       LlmCorpus.domainMix(docs, Map("A" -> 0.7, "B" -> 0.7))
     }
   }
+
+  test("tfidfPairs: hand-computed cosines, per-doc ranks, id_b tiebreak") {
+    val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
+      (3L, "banana cherry"), (4L, "durian")).toDF("doc_id", "text")
+    // every shared term has df=2, tf=1 → each pair shares exactly one
+    // term of equal weight w: cos = w² / (√2·w · √2·w) = 0.5
+    val got = LlmCorpus.tfidfPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 2L, 0.5, 1L), (1L, 3L, 0.5, 2L),
+      (2L, 3L, 0.5, 1L)))
+  }
+
+  test("tfidfPairs: tf weighting matches a hand-computed cosine") {
+    val docs = Seq((1L, "x x y"), (2L, "x y")).toDF("doc_id", "text")
+    // idf = ln(3/3)+1 = 1 for both terms; vectors (2,1) and (1,1):
+    // cos = 3 / (√5·√2) = 0.9486832…
+    val got = LlmCorpus.tfidfPairs(docs).collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(2) == 0.948683)
+  }
+
+  test("tfidfPairs: a term over the df cap generates no candidates") {
+    val docs = Seq((1L, "the apple"), (2L, "the apple"),
+      (3L, "the pear"), (4L, "the plum"), (5L, "the fig"))
+      .toDF("doc_id", "text")
+    // dfCap=3 drops 'the' (df=5); only (1,2) still share a term
+    val got = LlmCorpus.tfidfPairs(docs, dfCap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
 }
