@@ -662,7 +662,29 @@ object ClassicQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Cohort retention: users grouped by the week of their FIRST event
+    * (the cohort), counted by how many weeks later they were still
+    * active — the retention-curve table of an event warehouse. The
+    * first-event time is a whole-partition window min (same one
+    * exchange as [[funnel]]); weeks are integer epoch-day arithmetic
+    * so the bucket id is engine-exact; the final distinct-user count
+    * per (cohort, offset) is one aggregate. */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val week = (c: org.apache.spark.sql.Column) =>
+      floor(c.cast("timestamp").cast("long") / lit(7L * 86400L))
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"))
+      .withColumn("first_ts", min(col("ts")).over(w))
+      .select(col("user_id"), week(col("first_ts")).as("cohort_week"),
+        (week(col("ts")) - week(col("first_ts"))).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_retention" -> (retention _),
     "cls_funnel" -> (funnel _),
     "cls_grouping_sets" -> (groupingSetsSummary _),
     "cls_histogram" -> (histogram _),
@@ -706,6 +728,19 @@ object ClassicQueries {
       s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "cls_retention" ->
+      """WITH f AS (SELECT user_id, ts,
+           min(ts) OVER (PARTITION BY user_id) AS first_ts
+         FROM events),
+       wk AS (SELECT user_id,
+           (epoch_us(first_ts) // 1000000) // 604800 AS cohort_week,
+           (epoch_us(ts) // 1000000) // 604800
+             - (epoch_us(first_ts) // 1000000) // 604800 AS week_offset
+         FROM f)
+       SELECT cohort_week, week_offset,
+         count(DISTINCT user_id) AS n_users
+       FROM wk GROUP BY cohort_week, week_offset
+       ORDER BY cohort_week, week_offset""",
     "cls_funnel" ->
       """WITH s1 AS (SELECT user_id, event_type, ts,
            min(CASE WHEN event_type = 'view' THEN ts END)
