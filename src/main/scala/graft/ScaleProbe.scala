@@ -574,27 +574,11 @@ object ScaleProbe {
         }
         time("funnel")(Funnel.counts(ev, "user_id", "event_type", "ts",
           Seq("view", "click", "purchase")))
-        time("paths") {
-          TemporalJoins.sessionizeByGap(
-              ev.select(col("event_id"), col("user_id"), col("ts"),
-                col("event_type")),
-              Seq("user_id"), "ts", gapSec = 1800L)
-            .groupBy(col("user_id"), col("session_id"))
-            .agg(count(lit(1)).as("n_events"),
-              sort_array(collect_list(struct(col("ts"), col("event_id"),
-                col("event_type")))).as("evs"))
-        }
-        time("outliers") {
-          val stats = ev.groupBy(col("event_type"))
-            .agg(avg(col("value")).as("mu"),
-              stddev_samp(col("value")).as("sigma"))
-          ev.join(broadcast(stats), Seq("event_type"))
-            .withColumn("is_out",
-              abs(col("value") - col("mu")) > lit(2.0) * col("sigma"))
-            .groupBy(col("event_type"))
-            .agg(count(lit(1)).as("n_rows"),
-              sum(col("is_out").cast("long")).as("n_outliers"))
-        }
+        time("paths")(ClassicQueries.sessionPathsOf(
+          ev.select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"))))
+        time("outliers")(ClassicQueries.outlierAudit(
+          ev.select(col("event_type"), col("value"))))
       }
       def timeDocs(tag: String, d0: DataFrame,
           silent: Boolean = false): Unit = {

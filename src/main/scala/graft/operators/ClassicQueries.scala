@@ -621,8 +621,16 @@ object ClassicQueries {
     * screen is one aggregate + one scan at any scale. Output is the
     * per-type audit (counts, not rows) to keep the gate result
     * bounded. */
-  def outliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+  def outliers(s: SparkSession, dir: String): DataFrame =
+    outlierAudit(Tables.events(s, dir)
+      .select(col("event_type"), col("value")))
+
+  /** DataFrame half of [[outliers]] (shared with ScaleProbe). The
+    * flag count is a TOTAL function — a NULL flag (singleton group:
+    * stddev_samp = NULL; or a NULL value) counts 0, exactly like the
+    * oracle's `CASE … ELSE 0` — so a group with no decidable rows
+    * reports 0, never NULL. */
+  def outlierAudit(ev: DataFrame): DataFrame = {
     val stats = ev.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"),
         stddev_samp(col("value")).as("sigma"))
@@ -631,7 +639,7 @@ object ClassicQueries {
         abs(col("value") - col("mu")) > lit(2.0) * col("sigma"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("is_out").cast("long")).as("n_outliers"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
         round(max(col("mu")), 4).as("mu"),
         round(max(col("sigma")), 4).as("sigma"))
       .orderBy(col("event_type"))
@@ -645,9 +653,14 @@ object ClassicQueries {
     * deterministic however partials merge) and slicing the first 5;
     * per-session event counts are bounded by the session gap, so the
     * collect is bounded too. */
-  def sessionPaths(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+  def sessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPathsOf(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type")))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** DataFrame half of [[sessionPaths]] (shared with ScaleProbe). */
+  def sessionPathsOf(ev: DataFrame): DataFrame = {
     TemporalJoins.sessionizeByGap(ev, Seq("user_id"), "ts", gapSec = 1800L)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -659,7 +672,6 @@ object ClassicQueries {
         col("session_start"),
         array_join(transform(slice(col("evs"), 1, 5),
           e => e.getField("event_type")), ">").as("path"))
-      .orderBy(col("user_id"), col("session_id"))
   }
 
   /** Cohort retention: users grouped by the week of their FIRST event

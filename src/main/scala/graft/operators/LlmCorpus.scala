@@ -296,8 +296,11 @@ object LlmCorpus {
     * the [[keywords]] convention), candidate pairs come from a
     * posting-list self-join on the term, and the pair's cosine is the
     * sum of weight products over shared terms divided by the two
-    * l2 norms. Output: (id_a, id_b, cosine, rank), id_a < id_b,
-    * ranked per id_a.
+    * l2 norms. Output: (qid, nbr, cosine, rank) — DIRECTED pairs,
+    * ranked per qid over every candidate partner (the [[LlmSim]]
+    * kNN convention), so each document gets its full neighbor list
+    * (an `id_a < id_b` dedup would give the max-id doc no list and
+    * hide smaller-id partners from every list).
     *
     * Scale shape: the posting join is an EQUI-join on the term whose
     * per-term fan-out is df² ≤ dfCap² — the df cap is what keeps the
@@ -329,21 +332,28 @@ object LlmCorpus {
         sqrt(sum(col("w") * col("w"))
           .over(Window.partitionBy(col("doc_id")))))
       .select(col("term"), col("doc_id"), col("w"), col("nrm"))
-    val a = wn.select(col("term"), col("doc_id").as("id_a"),
+    val a = wn.select(col("term"), col("doc_id").as("qid"),
       col("w").as("wa"), col("nrm").as("na"))
-    val b = wn.select(col("term"), col("doc_id").as("id_b"),
+    val b = wn.select(col("term"), col("doc_id").as("nbr"),
       col("w").as("wb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("term"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // the UNDIRECTED dot product per unordered pair, computed once…
+    val undirected = a.join(b, Seq("term"))
+      .filter(col("qid") < col("nbr"))
+      .groupBy(col("qid"), col("nbr"))
       .agg(sum(col("wa") * col("wb")).as("dp"),
         max(col("na")).as("na"), max(col("nb")).as("nb"))
       .withColumn("cosine", round(col("dp") / (col("na") * col("nb")), 6))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("cosine").desc, col("id_b"))
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("qid"), col("nbr"), col("cosine"))
+    // …then mirrored so BOTH endpoints rank it (cosine is symmetric;
+    // aggregating each unordered pair once keeps the shuffle half the
+    // size of a qid≠nbr join)
+    val directed = undirected.unionByName(undirected.select(
+      col("nbr").as("qid"), col("qid").as("nbr"), col("cosine")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nbr"))
+    directed.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("id_a"), col("id_b"), col("cosine"), col("rank"))
+      .select(col("qid"), col("nbr"), col("cosine"), col("rank"))
   }
 
   /** Cross-modality curation report — the final per-document
@@ -813,16 +823,18 @@ object LlmCorpusSql {
       GROUP BY doc_id),
     wn AS (SELECT w.doc_id, w.term, w.w, n.nrm
       FROM wtd w JOIN nrm n USING (doc_id)),
-    pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      sum(a.w * b.w) AS dp, max(a.nrm) AS na, max(b.nrm) AS nb
+    und AS (SELECT a.doc_id AS qid, b.doc_id AS nbr,
+      round(sum(a.w * b.w) / (max(a.nrm) * max(b.nrm)), 6) AS cosine
       FROM wn a JOIN wn b
         ON a.term = b.term AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id),
-    rk AS (SELECT id_a, id_b, round(dp / (na * nb), 6) AS cosine,
-      CAST(row_number() OVER (PARTITION BY id_a
-        ORDER BY round(dp / (na * nb), 6) DESC, id_b) AS BIGINT) AS rank
+    pairs AS (SELECT qid, nbr, cosine FROM und
+      UNION ALL SELECT nbr AS qid, qid AS nbr, cosine FROM und),
+    rk AS (SELECT qid, nbr, cosine,
+      CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY cosine DESC, nbr) AS BIGINT) AS rank
       FROM pairs)
-    SELECT id_a, id_b, cosine, rank FROM rk WHERE rank <= $TfidfPairsK"""
+    SELECT qid, nbr, cosine, rank FROM rk WHERE rank <= $TfidfPairsK"""
 
   val keywordsSql: String =
     s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),

@@ -45,11 +45,20 @@ object AggMaintain {
 
   private def appliedDir(path: String) = s"$path/_applied"
 
-  /** One batch reduced to mergeable per-key partials. */
+  /** One batch reduced to mergeable per-key partials. NULL keys are
+    * rejected IN the plan (fail-loud, no driver pass): the keyed
+    * sinks underneath merge by equi-join, and NULL never equi-matches
+    * NULL — a NULL-key state row would silently duplicate on every
+    * batch instead of merging. Map NULLs to a sentinel key upstream
+    * if "unknown" must be tracked. */
   def partials(batch: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")
-    batch.groupBy(col(keyCol))
+    val k = when(assert_true(col(keyCol).isNotNull, lit(
+      s"AggMaintain: NULL $keyCol — NULL keys cannot merge by " +
+        "equi-join; map them to a sentinel upstream")).isNull,
+      col(keyCol))
+    batch.groupBy(k.as(keyCol))
       .agg(count(v).as("agg_cnt"),
         sum(v).as("agg_sum"),
         sum(v * v).as("agg_ssq"),
@@ -88,22 +97,29 @@ object AggMaintain {
   def maintain(spark: SparkSession, batch: DataFrame, path: String,
       keyCol: String, valueCol: String, batchId: String): Unit = {
     if (applied(spark, path, batchId)) return
+    // pin the batch partials: the fold below executes them up to three
+    // times (the touched-bucket probe, the upsert's own bucket collect,
+    // and the staged write) — without the pin each execution re-scans
+    // the micro-batch source and re-runs its aggregation
     val bp = partials(batch, keyCol, valueCol)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (!fs.exists(new org.apache.hadoop.fs.Path(path))) bp
-      else {
-        val touched = ParquetSinks
-          .readBucketsFor(spark, path, keyCol, bp.select(col(keyCol)))
-          .join(bp.select(col(keyCol)).distinct(), Seq(keyCol),
-            "left_semi")
-          .select((keyCol +: StateCols).map(col): _*)
-        mergePartials(touched.unionByName(bp), keyCol)
-      }
-    ParquetSinks.upsertByKeyBucketed(spark, merged, path, Seq(keyCol),
-      keyCol)
-    markApplied(spark, path, batchId)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path))) bp
+        else {
+          val touched = ParquetSinks
+            .readBucketsFor(spark, path, keyCol, bp.select(col(keyCol)))
+            .join(bp.select(col(keyCol)).distinct(), Seq(keyCol),
+              "left_semi")
+            .select((keyCol +: StateCols).map(col): _*)
+          mergePartials(touched.unionByName(bp), keyCol)
+        }
+      ParquetSinks.upsertByKeyBucketed(spark, merged, path, Seq(keyCol),
+        keyCol)
+      markApplied(spark, path, batchId)
+    } finally bp.unpersist()
   }
 
   /** Presentation view over the state: derived avg/stddev alongside

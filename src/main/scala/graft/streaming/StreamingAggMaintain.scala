@@ -31,16 +31,32 @@ object StreamingAggMaintain {
 
   /** Start maintaining `path` from the stream: every micro-batch is
     * reduced to per-key partials and merged into the state table.
-    * `df` must carry `keyCol` and `valueCol`. */
+    * `df` must carry `keyCol` and `valueCol`.
+    *
+    * Ledger namespacing: WITH a checkpoint, epoch ids are stable
+    * across restarts, so the bare epoch is the ledger id and recovery
+    * is exactly-once. WITHOUT one, a restarted query renumbers its
+    * batches from 0 — bare epoch ids would collide with the previous
+    * run's markers and silently DROP the first batches of new data —
+    * so each uncheckpointed `start` salts the ledger with a fresh
+    * run token: intra-run foreachBatch retries still dedup (same
+    * token), and a restart folds everything it is re-sent (which,
+    * with no checkpoint, is the at-least-once contract the caller
+    * already accepted). */
   def start(df: DataFrame, path: String, keyCol: String,
       valueCol: String,
       checkpoint: Option[String] = None): StreamingQuery = {
+    val ns = checkpoint match {
+      case Some(_) => "epoch"
+      case None => "run" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+    }
     val w = df.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch { (batch: DataFrame, epochId: Long) =>
         if (!batch.isEmpty)
           AggMaintain.maintain(batch.sparkSession, batch, path, keyCol,
-            valueCol, s"epoch_$epochId")
+            valueCol, s"${ns}_$epochId")
       }
       .start()
   }

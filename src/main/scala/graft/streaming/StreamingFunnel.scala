@@ -88,6 +88,13 @@ object StreamingFunnel {
         col(typeCol).as("etype"),
         unix_micros(col(timeCol)).as("tsUs"),
         col(timeCol).as("ets"))
+      // stage events only, BEFORE the watermark: non-stage rows never
+      // reach (or occupy) the per-entity buffer, and the event-time
+      // clock derives from the rows the funnel actually folds. (A
+      // filter placed after withWatermark would not keep non-stage
+      // rows on the clock anyway — Catalyst pushes a non-time
+      // predicate below the EventTimeWatermark node.)
+      .filter(col("etype").isin(stages: _*))
       .as[FEvent]
       .withWatermark("ets", delay)
       .groupByKey(_.ent)

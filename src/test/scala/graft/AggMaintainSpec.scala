@@ -86,6 +86,19 @@ class AggMaintainSpec extends GraftSuite {
     assert(got("solo").isEmpty)
   }
 
+  test("a NULL key fails the job loudly instead of duplicating state") {
+    val path = tmp()
+    val withNull = Seq((Some("a"), 1.0), (None, 2.0))
+      .toDF("k", "v")
+    val e = intercept[Exception] {
+      AggMaintain.maintain(spark, withNull, path, "k", "v", "b1")
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" ")
+    assert(chain.contains("NULL k"), chain)
+  }
+
   test("split-merge of partials equals partials of the whole") {
     val all = batch("a" -> 1.0, "a" -> 2.0, "b" -> -3.0, "b" -> 9.0,
       "c" -> 0.5)

@@ -381,34 +381,39 @@ class LlmCorpusSpec extends GraftSuite {
     }
   }
 
-  test("tfidfPairs: hand-computed cosines, per-doc ranks, id_b tiebreak") {
+  test("tfidfPairs: hand-computed cosines; EVERY doc gets a ranked list") {
     val docs = Seq((1L, "apple banana"), (2L, "apple cherry"),
       (3L, "banana cherry"), (4L, "durian")).toDF("doc_id", "text")
     // every shared term has df=2, tf=1 → each pair shares exactly one
-    // term of equal weight w: cos = w² / (√2·w · √2·w) = 0.5
+    // term of equal weight w: cos = w² / (√2·w · √2·w) = 0.5. Directed
+    // output: each of docs 1–3 ranks BOTH its partners (tie on cosine
+    // breaks to the smaller nbr); doc 3 must have a list too — an
+    // id_a<id_b dedup would leave the max-id doc listless
     val got = LlmCorpus.tfidfPairs(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3))).toSet
-    assert(got == Set((1L, 2L, 0.5, 1L), (1L, 3L, 0.5, 2L),
-      (2L, 3L, 0.5, 1L)))
+    assert(got == Set(
+      (1L, 2L, 0.5, 1L), (1L, 3L, 0.5, 2L),
+      (2L, 1L, 0.5, 1L), (2L, 3L, 0.5, 2L),
+      (3L, 1L, 0.5, 1L), (3L, 2L, 0.5, 2L)))
   }
 
   test("tfidfPairs: tf weighting matches a hand-computed cosine") {
     val docs = Seq((1L, "x x y"), (2L, "x y")).toDF("doc_id", "text")
     // idf = ln(3/3)+1 = 1 for both terms; vectors (2,1) and (1,1):
-    // cos = 3 / (√5·√2) = 0.9486832…
+    // cos = 3 / (√5·√2) = 0.9486832… — emitted in both directions
     val got = LlmCorpus.tfidfPairs(docs).collect()
-    assert(got.length == 1)
-    assert(got(0).getDouble(2) == 0.948683)
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.948683), (2L, 1L, 0.948683)))
   }
 
   test("tfidfPairs: a term over the df cap generates no candidates") {
     val docs = Seq((1L, "the apple"), (2L, "the apple"),
       (3L, "the pear"), (4L, "the plum"), (5L, "the fig"))
       .toDF("doc_id", "text")
-    // dfCap=3 drops 'the' (df=5); only (1,2) still share a term
+    // dfCap=3 drops 'the' (df=5); only 1 and 2 still share a term
     val got = LlmCorpus.tfidfPairs(docs, dfCap = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(got == Set((1L, 2L)))
+    assert(got == Set((1L, 2L), (2L, 1L)))
   }
 }

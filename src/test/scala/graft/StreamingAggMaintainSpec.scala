@@ -87,4 +87,28 @@ class StreamingAggMaintainSpec extends GraftSuite {
     assert(got("a") == ((3L, 16.0, 2.0, 10.0)))
     assert(got("b") == ((1L, 1.0, 1.0, 1.0)))
   }
+
+  test("uncheckpointed restart does NOT collide with old epoch ids") {
+    // without a checkpoint a restarted query renumbers epochs from 0 —
+    // the ledger must be per-run so the new run's first batches fold
+    // instead of matching the previous run's epoch_0 marker
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("state")
+    val in1 = MemoryStream[KV]
+    val q1 = StreamingAggMaintain.start(in1.toDF(), path, "k", "v")
+    try {
+      in1.addData(KV("a", 1.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(view(path)("a") == ((1L, 1.0, 1.0, 1.0)))
+
+    val in2 = MemoryStream[KV] // fresh query: its first batch is epoch 0
+    val q2 = StreamingAggMaintain.start(in2.toDF(), path, "k", "v")
+    try {
+      in2.addData(KV("a", 9.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(view(path)("a") == ((2L, 10.0, 1.0, 9.0)),
+      "second run's epoch 0 must fold, not dedup against run 1's")
+  }
 }

@@ -51,8 +51,10 @@ class StreamingFunnelSpec extends GraftSuite {
       .map(h => (h.ent, h.stage, h.tsUs)).toSet
   }
 
+  // watermark movers: STAGE-typed (the funnel's clock runs on stage
+  // events — non-stage rows are filtered before the watermark node)
   private def sentinels(sec1: Long, sec2: Long): Seq[Seq[FEvent]] =
-    Seq(Seq(fe(999L, "noise", sec1)), Seq(fe(999L, "noise", sec2)))
+    Seq(Seq(fe(999L, "view", sec1)), Seq(fe(999L, "view", sec2)))
 
   test("a click arriving BEFORE its view (within the delay) still converts") {
     // stream order: click(200) in batch 1, view(100) in batch 2 —
@@ -72,8 +74,8 @@ class StreamingFunnelSpec extends GraftSuite {
     // so the click can never qualify — funnel stays empty for uid 2
     val batches = Seq(
       Seq(fe(2, "click", 50000)),
-      Seq(fe(999, "noise", 90000)), // watermark → 90000 - 3600
-      Seq(fe(2, "view", 40000)),    // below watermark: dropped
+      Seq(fe(999, "view", 90000)), // watermark → 90000 - 3600
+      Seq(fe(2, "view", 40000)),   // below watermark: dropped
       Seq(fe(2, "click", 95000))) ++ sentinels(200000, 200001)
     val got = run(batches, "1 hour", "funnel_out2")
     assert(got.filter(_._1 == 2L).isEmpty)
