@@ -16,6 +16,12 @@ run / fork := true
 // otherwise print after it and break the parse (BENCH_r10 recorded
 // parsed:null for exactly this reason).
 showSuccess := false
+// …and the forked run's stdout must bypass sbt's logger entirely:
+// LoggedOutput re-emits every child line with an "[info] " prefix,
+// which broke the driver's JSON parse for 11 straight rounds even
+// after the line became last (BENCH_r11). StdoutOutput pipes the
+// child's stdout straight through, unprefixed.
+run / outputStrategy := Some(StdoutOutput)
 // showSuccess is consumed by sbt's own command layer, which the
 // lintUnused check can't see.
 Global / excludeLintKeys += showSuccess
