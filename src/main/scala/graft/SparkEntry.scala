@@ -44,6 +44,8 @@ object SparkEntry {
     "cls_zorder",
     "cls_funnel",
     "cls_session_paths",
+    "cls_scd2",
+    "llm_heavy_hitters",
     "rco_sessionize",
     "rco_co_agg",
     "rco_brandcode",

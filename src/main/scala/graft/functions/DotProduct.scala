@@ -201,6 +201,19 @@ object GraftFunctions {
             s"arguments, got ${exprs.size}")
       })
 
+  /** `graft_mg_agg(key, capacity)` — distributed Misra-Gries
+    * heavy-hitter sketch over a BIGINT key ([[MisraGriesAgg]]);
+    * capacity must be a foldable integer literal (it sizes the
+    * aggregation buffer, so it cannot be row-dependent). */
+  val misraGries: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_mg_agg"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getCanonicalName,
+        "graft_mg_agg"),
+      (exprs: Seq[Expression]) =>
+        MisraGriesAgg(exprs.head,
+          literalInt("graft_mg_agg(key, capacity)", exprs, 1)))
+
   val mightContain: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_might_contain"),
@@ -225,5 +238,6 @@ object GraftFunctions {
     ext.injectFunction(repMetrics)
     ext.injectFunction(bloomAgg)
     ext.injectFunction(mightContain)
+    ext.injectFunction(misraGries)
   }
 }

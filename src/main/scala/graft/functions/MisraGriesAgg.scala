@@ -29,8 +29,11 @@ final class MGBuffer(val capacity: Int) {
     * amortized O(1) per row. */
   def add(key: Long): Unit = {
     n += 1
-    val cur = counts.getOrNull(key)
-    if (cur != null) counts.update(key, cur + 1)
+    // LongMap[Long] has primitive values: getOrNull would return 0L
+    // (never null) for a miss, so probe with the default instead.
+    // Live counters are always >= 1, so 0 unambiguously means absent.
+    val cur = counts.getOrElse(key, 0L)
+    if (cur > 0L) counts.update(key, cur + 1)
     else if (counts.size < capacity) counts.update(key, 1L)
     else {
       val dead = mutable.ArrayBuffer.empty[Long]
@@ -79,11 +82,10 @@ final class MGBuffer(val capacity: Int) {
   * complete candidate set for an exact second pass —
   * [[graft.operators.HeavyHitters.exact]] wires the two passes up.
   *
-  * NULL keys are ignored (consistent with `count(col)`/aggregate-
-  * function convention: NULL contributes to no group) but DO count
-  * toward `n`? No — they are skipped entirely; `n` counts folded
-  * (non-NULL) rows, keeping the error bound tied to rows that can
-  * actually hold a counter. */
+  * NULL keys are skipped entirely (consistent with `count(col)`:
+  * NULL contributes to no group) and do NOT count toward `n` either —
+  * `n` counts only non-NULL rows, keeping the error bound tied to
+  * rows that can actually hold a counter. */
 case class MisraGriesAgg(
     child: Expression,
     capacity: Int,

@@ -25,8 +25,14 @@ object CacheScope {
   private val active = new ThreadLocal[ArrayBuffer[DataFrame]]()
 
   /** Persist `df` (MEMORY_AND_DISK); register it with the open scope,
-    * if any, for later release. */
+    * if any, for later release. An already-persisted frame is returned
+    * untouched and NOT registered: composed operators that share a
+    * subtree (the curation report pins the same scored frame through
+    * four stages) would otherwise re-persist it — a WARN-per-call from
+    * the CacheManager — and hand the scope a double-release entry for
+    * a pin this call did not create. */
   def pin(df: DataFrame): DataFrame = {
+    if (df.storageLevel != StorageLevel.NONE) return df
     val c = df.persist(StorageLevel.MEMORY_AND_DISK)
     val buf = active.get()
     if (buf != null) buf += c

@@ -695,7 +695,33 @@ object ClassicQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Columns [[tableProfile]] profiles; shared with the oracle SQL so
+    * the two lists cannot drift. */
+  val ProfileCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Per-column profile of the lineitem measures — one row per column
+    * with count / nulls / exact distinct / min / max
+    * ([[TableProfile.profile]]). */
+  def tableProfile(s: SparkSession, dir: String): DataFrame =
+    TableProfile.profile(Tables.lineitem(s, dir), ProfileCols)
+
+  /** SCD-Type-2 dimension history from the orders changelog: one row
+    * per (customer, tracked-attribute version) with a half-open
+    * validity interval ([[Scd2.fromChangelog]]). o_orderkey is the
+    * unique per-instant tiebreak; o_totalprice rides along untracked
+    * (its value is the version-opening record's). */
+  def scd2Orders(s: SparkSession, dir: String): DataFrame =
+    Scd2.fromChangelog(Tables.orders(s, dir),
+        keys = Seq("o_custkey"), time = "o_orderdate",
+        seqCol = "o_orderkey",
+        attrs = Seq("o_orderstatus", "o_orderpriority"))
+      .select("o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "valid_from", "valid_to", "is_current")
+
   val queries: Map[String, Q] = Map(
+    "cls_table_profile" -> (tableProfile _),
+    "cls_scd2" -> (scd2Orders _),
     "cls_retention" -> (retention _),
     "cls_funnel" -> (funnel _),
     "cls_grouping_sets" -> (groupingSetsSummary _),
@@ -739,7 +765,47 @@ object ClassicQueries {
       s"(((ub >> $i) & 1) << ${2 * i})",
       s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
 
+  /** One UNION ALL arm per profiled column — generated from the same
+    * [[ProfileCols]] list the Spark query uses. */
+  private val tableProfileSql: String =
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+        count(*) - count($c) AS n_nulls,
+        count(DISTINCT $c) AS n_distinct,
+        CAST(min($c) AS DOUBLE) AS min_val,
+        CAST(max($c) AS DOUBLE) AS max_val
+      FROM lineitem"""
+    }.mkString("\nUNION ALL\n")
+
+  /** Window transcription of the three SCD2 passes: instant dedup by
+    * highest o_orderkey, null-safe change collapse (IS DISTINCT FROM
+    * per tracked attribute), interval assembly via lead(). */
+  private val scd2Sql: String =
+    """WITH d AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+          o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey, o_orderdate
+            ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+        WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL)
+      WHERE rn = 1),
+    v AS (
+      SELECT *,
+        (o_orderstatus IS DISTINCT FROM lag(o_orderstatus) OVER w
+         OR o_orderpriority IS DISTINCT FROM lag(o_orderpriority) OVER w)
+          AS chg
+      FROM d WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate))
+    SELECT o_custkey, o_orderstatus, o_orderpriority, o_totalprice,
+      o_orderdate AS valid_from,
+      lead(o_orderdate) OVER w2 AS valid_to,
+      lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM v WHERE chg
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"""
+
   val oracles: Map[String, String] = Map(
+    "cls_table_profile" -> tableProfileSql,
+    "cls_scd2" -> scd2Sql,
     "cls_retention" ->
       """WITH f AS (SELECT user_id, ts,
            min(ts) OVER (PARTITION BY user_id) AS first_ts

@@ -353,6 +353,26 @@ object LlmPrep {
   /** Vocabulary size cap of [[vocab]]. */
   val VocabSize = 50
 
+  /** Heavy-hitter threshold (fraction of all token occurrences) and
+    * sketch capacity for [[heavyTokens]]. The containment guarantee
+    * needs `HeavyFrac > 1/(HeavyCap+1)` — 0.002 > 1/1025 — so the
+    * same pair is valid at every corpus size. */
+  val HeavyFrac = 0.002
+  val HeavyCap = 1024
+
+  /** Every token whose corpus frequency is >= `ceil(HeavyFrac * n)`
+    * (n = total token occurrences), with its EXACT count — the
+    * boilerplate/spam-template mining shape, via the two-pass
+    * Misra-Gries sketch + bounded exact re-count
+    * ([[HeavyHitters.exactFraction]]). Unlike [[vocab]]'s top-k this
+    * never exchanges the full token space: the sketch pass shuffles
+    * KB partials and the exact pass groups only the ≤ HeavyCap
+    * candidates. */
+  def heavyTokens(documents: DataFrame): DataFrame =
+    HeavyHitters.exactFraction(
+      documents.select(explode(toks(col("text"))).as("token")),
+      col("token"), HeavyFrac, HeavyCap)
+
   /** Tokenizer vocabulary building: the corpus-wide token frequency
     * table a tokenizer trainer starts from — top [[VocabSize]] tokens
     * by count (ties broken lexically, so the cut is deterministic),
@@ -831,6 +851,14 @@ object LlmPrepSql {
         ' ') AS chunk
     FROM nc, UNNEST(range(0, n_chunks)) AS u(i)"""
   }
+
+  val heavyTokensSql: String =
+    s"""WITH $toksCte,
+    t AS (SELECT tok.tok AS token FROM tk, UNNEST(toks) AS tok(tok))
+    SELECT token, count(*) AS cnt FROM t
+    GROUP BY token
+    HAVING count(*) >= ceil(${LlmPrep.HeavyFrac} *
+      (SELECT count(*) FROM t))"""
 
   val vocabSql: String =
     s"""WITH $toksCte,

@@ -43,6 +43,7 @@ object LlmQueries {
     "llm_pack" -> ((s, d) => LlmPrep.pack(docs(s, d))),
     "llm_entropy" -> ((s, d) => LlmPrep.entropy(docs(s, d))),
     "llm_vocab" -> ((s, d) => LlmPrep.vocab(docs(s, d))),
+    "llm_heavy_hitters" -> ((s, d) => LlmPrep.heavyTokens(docs(s, d))),
     "llm_sample_weighted" ->
       ((s, d) => LlmPrep.sampleWeighted(docs(s, d))),
     "llm_split" -> ((s, d) => LlmPrep.splitAssign(docs(s, d))),
@@ -100,6 +101,7 @@ object LlmQueries {
     "llm_pack" -> LlmPrepSql.packSql,
     "llm_entropy" -> LlmPrepSql.entropySql,
     "llm_vocab" -> LlmPrepSql.vocabSql,
+    "llm_heavy_hitters" -> LlmPrepSql.heavyTokensSql,
     "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql,
     "llm_split" -> LlmPrepSql.splitAssignSql,
     "llm_repetition" -> LlmTextSql.repetitionSql,

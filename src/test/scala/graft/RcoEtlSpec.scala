@@ -272,6 +272,25 @@ class RcoEtlSpec extends GraftSuite {
         "the release handle on that path)")
   }
 
+  test("CacheScope.pin of an already-persisted frame is a no-op: no " +
+      "re-persist, no double scope registration") {
+    import graft.operators.CacheScope
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val ((first, second), release) = CacheScope.collect {
+      val a = CacheScope.pin(Seq(1, 2, 3).toDF("x"))
+      a.count()
+      // composed operators re-pin shared subtrees: must come back
+      // untouched (same persisted frame, no CacheManager WARN path)
+      (a, CacheScope.pin(a))
+    }
+    assert(second eq first, "re-pin must return the frame untouched")
+    assert(first.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    release()
+    // one release clears it: the second pin added no extra bookkeeping
+    assert(first.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
   test("load applies the adaptive decimal reduction before each write") {
     import org.apache.spark.sql.functions.col
     val full = Rco.downtimeLogDeduped(Tables.events(spark, dir))
