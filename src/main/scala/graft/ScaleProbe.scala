@@ -27,7 +27,7 @@ object ScaleProbe {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val knownSections =
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
-        "curation", "layout", "analytics")
+        "curation", "layout", "analytics", "dfcap")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -597,6 +597,39 @@ object ScaleProbe {
       timeDocs("warm", docBase, silent = true)
       timeDocs("1x", docBase)
       timeDocs(s"${k}x", docK)
+    }
+
+    // df-cap policy (round 12): a growth model where DUPLICATION
+    // scales with the corpus — every seed doc appears `dup` times.
+    // Past dup > NgramDfCap every gram of a copy family crosses the
+    // ABSOLUTE cap, so per-doc candidate work collapses to zero and
+    // recall with it; the corpus-fraction cap admits the same constant
+    // FRACTION of the corpus at any size, so the copies keep finding
+    // each other. (tfidfPairs shares the knob and the arithmetic.)
+    if (sections("dfcap")) {
+      val dup = math.max(25, 3 * k) // > NgramDfCap at any probe k
+      val seedN = 200
+      docBase.limit(seedN)
+        .write.mode("overwrite").parquet("/tmp/graft_scale_dfcap_seed")
+      val sd = spark.read.parquet("/tmp/graft_scale_dfcap_seed")
+      (0 until dup).map(i =>
+          sd.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet("/tmp/graft_scale_dfcap")
+      val grown = spark.read.parquet("/tmp/graft_scale_dfcap")
+      // frac chosen so ceil(frac·N) == NgramDfCap at SEED size: the 1×
+      // behavior is identical, only the growth behavior differs
+      val frac = LlmText.NgramDfCap.toDouble / seedN
+      def probeCap(tag: String, d: DataFrame, f: Double): Unit = {
+        val t0 = System.nanoTime()
+        val pairs = LlmText.dedupNgram(d, dfCapFraction = f).count()
+        println(f"dfcap  $tag%-12s pairs=$pairs%9d " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      probeCap("warm", sd, 0.0)
+      probeCap("abs_1x", sd, 0.0)
+      probeCap(s"abs_${dup}x", grown, 0.0)
+      probeCap(s"frac_${dup}x", grown, frac)
     }
     spark.stop()
   }

@@ -284,7 +284,10 @@ object LlmCorpus {
     * more documents than this generates no candidate pairs (its
     * posting list is quadratic in df — and a term that common carries
     * almost no idf weight anyway). Same hot-posting discipline as
-    * [[LlmText.NgramDfCap]]. */
+    * [[LlmText.NgramDfCap]]. Production corpora should pass
+    * `dfCapFraction` too — the effective cap is
+    * `max(dfCap, ⌈dfCapFraction·N⌉)`, so candidate vocabulary stays a
+    * constant corpus fraction instead of shrinking as N grows. */
   val TfidfPairsDfCap = 30
 
   /** Neighbors kept per document by [[tfidfPairs]]. */
@@ -313,7 +316,9 @@ object LlmCorpus {
     * accumulate in engine-specific order, and round(cos, 6) with the
     * id_b tie-break absorbs that noise exactly like [[LlmSim]]. */
   def tfidfPairs(documents: DataFrame, dfCap: Int = TfidfPairsDfCap,
-      k: Int = TfidfPairsK): DataFrame = {
+      k: Int = TfidfPairsK, dfCapFraction: Double = 0.0): DataFrame = {
+    require(dfCapFraction >= 0 && dfCapFraction < 1,
+      s"tfidfPairs: dfCapFraction must be in [0, 1), got $dfCapFraction")
     val tf = documents
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -322,8 +327,15 @@ object LlmCorpus {
     val wn = tf
       .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))))
-      .filter(col("df") <= dfCap)
       .crossJoin(broadcast(nd))
+      // corpus-relative cap: an ABSOLUTE cap silently shrinks each
+      // document's candidate vocabulary as the corpus grows (at 10×
+      // the same term crosses the cap with the same per-doc meaning);
+      // max(absolute, ⌈f·N⌉) keeps the admitted df a constant corpus
+      // FRACTION, using the N the idf already needs — no extra pass.
+      // f = 0 (the default) is exactly the absolute-cap behavior.
+      .filter(col("df") <= greatest(lit(dfCap.toLong),
+        ceil(lit(dfCapFraction) * col("n_docs")).cast("long")))
       .withColumn("w",
         col("tf") *
           (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) +
@@ -433,9 +445,19 @@ object LlmCorpus {
 
   /** Histogram bucket of a token count: `floor(log2(n+1))`, capped.
     * Bucket b holds counts in `[2^b − 1, 2^(b+1) − 2]` — ≤2× relative
-    * width, the precision/size trade a merge-forever profile wants. */
-  private def lenBucket(n: Column): Column =
-    least(floor(log(2.0, n + lit(1))), lit(LenHistBuckets - 1)).cast("int")
+    * width, the precision/size trade a merge-forever profile wants.
+    *
+    * Derived with integer thresholds, not floating log: Spark's
+    * `log(2, x)` is an ln ratio and lands just below the integer at
+    * exact powers of two (log2(2^29) = 28.999999999999996), which
+    * would drop boundary counts (n = 2^b − 1) one bucket low,
+    * libm-dependent. The 23-branch when-chain is bit-exact and
+    * engine-independent; the top branch caps at the last bucket. */
+  private def lenBucket(n: Column): Column = {
+    val x = n + lit(1L)
+    (1 until LenHistBuckets).foldLeft(lit(0): Column)((acc, b) =>
+      when(x >= lit(1L << b), lit(b)).otherwise(acc)).cast("int")
+  }
 
   /** Approximate `q`-quantile of the token-count distribution encoded
     * in a `len_hist` column: the midpoint of the first bucket whose

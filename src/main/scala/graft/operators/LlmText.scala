@@ -121,7 +121,11 @@ object LlmText {
     * reserved") quadratic hot keys. Near-duplicates at J ≥ 0.5 share
     * many grams; losing the ubiquitous ones costs recall only for a
     * pair whose EVERY shared gram is corpus-wide boilerplate — which at
-    * J ≥ 0.5 means the documents are boilerplate. */
+    * J ≥ 0.5 means the documents are boilerplate. Production corpora
+    * should pass `dfCapFraction` too: the effective cap is
+    * `max(NgramDfCap, ⌈dfCapFraction·N⌉)`, keeping the admitted grams
+    * a constant corpus FRACTION as N grows instead of silently
+    * shrinking each document's candidate surface. */
   val NgramDfCap = 20
 
   /** Minimum sub-cap grams a pair must share to become a candidate in
@@ -164,14 +168,26 @@ object LlmText {
     * package-private so the scale probe can count candidates without
     * re-stating the plan. */
   private[graft] def ngramCandidates(sh: DataFrame,
-      dfCap: Int = NgramDfCap, minShared: Int = NgramMinShared)
-      : DataFrame = {
-    val rare = CacheScope.pin(
+      dfCap: Int = NgramDfCap, minShared: Int = NgramMinShared,
+      dfCapFraction: Double = 0.0): DataFrame = {
+    require(dfCapFraction >= 0 && dfCapFraction < 1,
+      s"ngramCandidates: dfCapFraction must be in [0, 1), got " +
+        dfCapFraction)
+    val posting =
       sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("gram"))))
-        .filter(col("df") <= dfCap)
-        .select(col("doc_id"), col("gram")))
+    // corpus-relative cap (max(absolute, ⌈f·N⌉)): the absolute cap
+    // alone admits a SHRINKING per-doc gram fraction as the corpus
+    // grows. The default f = 0 keeps the absolute behavior with no
+    // extra stage; N is one count over the per-doc shingle frame.
+    val capped =
+      if (dfCapFraction == 0.0) posting.filter(col("df") <= dfCap)
+      else posting
+        .crossJoin(broadcast(sh.agg(count(lit(1)).as("n_docs"))))
+        .filter(col("df") <= greatest(lit(dfCap.toLong),
+          ceil(lit(dfCapFraction) * col("n_docs")).cast("long")))
+    val rare = CacheScope.pin(capped.select(col("doc_id"), col("gram")))
 
     // Per-doc shingle counts feed the short-doc gate below: one row per
     // doc, equi-joined onto the (already aggregated) candidate pairs —
@@ -196,9 +212,10 @@ object LlmText {
   }
 
   def dedupNgram(documents: DataFrame, dfCap: Int = NgramDfCap,
-      minShared: Int = NgramMinShared): DataFrame = {
+      minShared: Int = NgramMinShared, dfCapFraction: Double = 0.0)
+      : DataFrame = {
     val sh = CacheScope.pin(shingles(documents))
-    verifyJaccard(ngramCandidates(sh, dfCap, minShared), sh)
+    verifyJaccard(ngramCandidates(sh, dfCap, minShared, dfCapFraction), sh)
   }
 
   /** Training-set curation: the end-to-end composition a data pipeline

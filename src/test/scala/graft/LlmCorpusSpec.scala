@@ -416,4 +416,21 @@ class LlmCorpusSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (2L, 1L)))
   }
+
+  test("tfidfPairs: dfCapFraction lifts the cap with N — and is a " +
+      "no-op while ceil(f*N) stays under the absolute cap") {
+    val docs = Seq((1L, "the apple"), (2L, "the apple"),
+      (3L, "the pear"), (4L, "the plum"), (5L, "the fig"))
+      .toDF("doc_id", "text")
+    def qids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("qid").collect().map(_.getLong(0)).toSet
+    // effective cap max(3, ceil(0.99*5)) = 5 readmits 'the': every doc
+    // now shares a term with every other, so all five get lists
+    assert(qids(LlmCorpus.tfidfPairs(docs, dfCap = 3,
+      dfCapFraction = 0.99)) == Set(1L, 2L, 3L, 4L, 5L))
+    // ceil(0.2*5) = 1 < 3: identical to the absolute-cap result
+    val strict = LlmCorpus.tfidfPairs(docs, dfCap = 3).collect().toSet
+    assert(LlmCorpus.tfidfPairs(docs, dfCap = 3, dfCapFraction = 0.2)
+      .collect().toSet == strict)
+  }
 }

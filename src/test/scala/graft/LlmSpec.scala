@@ -146,6 +146,11 @@ class LlmSpec extends GraftSuite {
     val boiler = (1L to 21L).map(i => (i, "same three words"))
       .toDF("doc_id", "text")
     assert(LlmText.dedupNgram(boiler).isEmpty)
+    // corpus-relative cap: max(20, ceil(0.99·21)) = 21 readmits the
+    // saturated gram — all 210 unordered pairs are found again
+    assert(LlmText.dedupNgram(boiler, dfCapFraction = 0.99).count() == 210)
+    // while ceil(f·N) under the absolute cap changes nothing
+    assert(LlmText.dedupNgram(boiler, dfCapFraction = 0.5).isEmpty)
   }
 
   test("identical texts get identical simhash and fingerprint") {

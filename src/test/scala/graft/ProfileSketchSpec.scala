@@ -9,6 +9,7 @@ import graft.operators.LlmCorpus
   * split-merge equals whole-corpus, estimates inside the error
   * envelope, overlap absorbed by the sketch (not double-counted). */
 class ProfileSketchSpec extends GraftSuite {
+  import spark.implicits._
 
   private lazy val docs =
     graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
@@ -71,6 +72,24 @@ class ProfileSketchSpec extends GraftSuite {
         s"$src p50 est=$p50 exact=$e50")
       assert(bucket(p95.toDouble) === bucket(e95),
         s"$src p95 est=$p95 exact=$e95")
+    }
+  }
+
+  test("length buckets are bit-exact at the [2^b-1, 2^(b+1)-2] " +
+      "boundaries (no floating-log off-by-one)") {
+    // token counts sitting exactly ON both edges of several buckets;
+    // floor(log2(n+1)) computed with integer arithmetic as reference
+    val ns = Seq(0, 1, 2, 3, 6, 7, 8, 14, 15, 16, 30, 31, 32, 127, 128)
+    val docs = ns.map(n => (n.toLong, s"src$n", Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val hist = LlmCorpus.profileSketch(docs)
+      .select(col("source"), col("len_hist")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (n <- ns) {
+      val want = 63 - java.lang.Long.numberOfLeadingZeros(n + 1L)
+      val h = hist(s"src$n")
+      assert(h(want) == 1L && h.sum == 1L,
+        s"n=$n expected bucket $want, hist=$h")
     }
   }
 
