@@ -45,6 +45,9 @@ object SparkEntry {
     "cls_funnel",
     "cls_session_paths",
     "cls_scd2",
+    "cls_bloom_join",
+    "cls_fuzzy_join",
+    "cls_table_diff",
     "llm_heavy_hitters",
     "rco_sessionize",
     "rco_co_agg",

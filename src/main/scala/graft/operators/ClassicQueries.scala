@@ -719,7 +719,67 @@ object ClassicQueries {
       .select("o_custkey", "o_orderstatus", "o_orderpriority",
         "o_totalprice", "valid_from", "valid_to", "is_current")
 
+  /** Bloom-pruned fact⋈dim join ([[BloomJoin.inner]]): lineitem joined
+    * to a selectively filtered orders subset, the big side pruned at
+    * the scan by a bloom over the dim keys before any exchange.
+    * Semantics are EXACTLY the plain join's (the bloom only removes
+    * guaranteed non-members; the equi-join removes its false
+    * positives), which is what the oracle asserts. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F" &&
+        col("o_totalprice") > 400000.0)
+    BloomJoin.inner(Tables.lineitem(s, dir), dim,
+      "l_orderkey", "o_orderkey")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("month"))
+  }
+
+  /** Edit-distance similarity self-join ([[FuzzyJoin.selfJoin]]) over
+    * customer names at k=1: every pair of customers whose names are
+    * one edit apart, via the rarest-q-gram prefix-filter join — never
+    * the n² cross join the oracle runs. */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfJoin(Tables.customer(s, dir), "c_custkey", "c_name",
+      k = 1, q = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Compare columns of [[tableDiff]] — shared with the oracle SQL so
+    * the changed-cols attribution order matches by construction. */
+  private val DiffCols = Seq("o_orderstatus", "o_totalprice",
+    "o_orderpriority")
+
+  /** Snapshot CDC derivation ([[SnapshotDiff.diff]]): `before` is the
+    * orders table minus every 7th key (so those keys diff as inserts),
+    * `after` perturbs status on key%3==0 and totalprice on key%5==0
+    * (updates, with column attribution; %15 hits both). Deletes are
+    * exercised in the spec (here the after side is a superset).
+    * changed_cols is emitted comma-joined — the driver hash-compares
+    * strings, not arrays. */
+  def tableDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val before = o.filter(col("o_orderkey") % 7 =!= 0)
+    val after = o
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 3 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.05)
+          .otherwise(col("o_totalprice")))
+    SnapshotDiff.diff(before, after, Seq("o_orderkey"), DiffCols)
+      .select(col("o_orderkey"), col("op"),
+        array_join(col("changed_cols"), ",").as("changed"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_bloom_join" -> (bloomJoin _),
+    "cls_fuzzy_join" -> (fuzzyJoin _),
+    "cls_table_diff" -> (tableDiff _),
     "cls_table_profile" -> (tableProfile _),
     "cls_scd2" -> (scd2Orders _),
     "cls_retention" -> (retention _),
@@ -804,6 +864,47 @@ object ClassicQueries {
     WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"""
 
   val oracles: Map[String, String] = Map(
+    "cls_bloom_join" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F' AND o_totalprice > 400000
+         GROUP BY 1 ORDER BY month""",
+    "cls_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY id_a, id_b""",
+    "cls_table_diff" ->
+      """WITH bef AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+           o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),
+       aft AS (SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.05
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+         FROM orders),
+       j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'I'
+                WHEN a.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           CASE WHEN b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+                THEN 'o_orderstatus,o_totalprice,o_orderpriority'
+                ELSE array_to_string(list_filter([
+                  CASE WHEN b.o_orderstatus IS DISTINCT FROM
+                    a.o_orderstatus THEN 'o_orderstatus' END,
+                  CASE WHEN b.o_totalprice IS DISTINCT FROM
+                    a.o_totalprice THEN 'o_totalprice' END,
+                  CASE WHEN b.o_orderpriority IS DISTINCT FROM
+                    a.o_orderpriority THEN 'o_orderpriority' END],
+                  x -> x IS NOT NULL), ',') END AS changed
+         FROM bef b FULL OUTER JOIN aft a ON b.o_orderkey = a.o_orderkey)
+       SELECT o_orderkey, op, changed FROM j
+       WHERE op <> 'U' OR changed <> ''
+       ORDER BY o_orderkey""",
     "cls_table_profile" -> tableProfileSql,
     "cls_scd2" -> scd2Sql,
     "cls_retention" ->

@@ -128,4 +128,63 @@ object HeavyHitters {
     probed.groupBy(key).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minFreq)
   }
+
+  /** Per-group exact heavy hitters: for every group, every key whose
+    * in-group frequency is >= `ceil(minFrac * n_group)` — the
+    * per-domain / per-language form of [[exactFraction]] (hot tokens
+    * per source, spam templates per domain).
+    *
+    * Unlike the global form, NOTHING is driver-materialized: the
+    * per-group sketches (one `graft_mg_agg` row per group) stay a
+    * DataFrame, candidate counters explode out of the sketch map and
+    * equi-join back against the input on `(group, xxhash64(key))`, and
+    * the exact re-count groups only candidate rows — ≤ capacity keys
+    * per group by construction. The fraction form's guarantee
+    * (`minFrac > 1/(capacity+1)`) is data-independent, so one
+    * (minFrac, capacity) pair is valid for every group at every size
+    * and the check happens before any job runs.
+    *
+    * The candidate join duplicates no rows (sketch map keys are unique
+    * per group, and a key hashes to exactly one counter), so the
+    * post-join count IS the true in-group frequency. Hash collisions
+    * only merge counters in the sketch (overcount ⇒ containment
+    * survives); the exact pass groups by the real key and filters by
+    * the true per-group threshold, removing any collision stray.
+    *
+    * NULL keys are skipped by the sketch and excluded here for
+    * symmetry; NULL groups are excluded up front (no group to report
+    * against). Output: `group, key, cnt`. */
+  def exactFractionByGroup(df: DataFrame, groupCol: String, key: Column,
+      minFrac: Double, capacity: Int): DataFrame = {
+    require(minFrac > 0 && minFrac < 1,
+      s"heavyHitters: minFrac must be in (0, 1), got $minFrac")
+    require(minFrac * (capacity + 1L) > 1.0,
+      s"heavyHitters: minFrac $minFrac is not above 1/(capacity+1) = " +
+        s"1/${capacity + 1}; use capacity >= ${(1.0 / minFrac).toInt + 1}")
+    val in = df.filter(col(groupCol).isNotNull)
+    val sk = in
+      .groupBy(col(groupCol))
+      .agg(call_function("graft_mg_agg", xxhash64(key), lit(capacity))
+        .as("sk"))
+      .select(col(groupCol), col("sk.counts").as("__counts"),
+        col("sk.n").as("__n"),
+        ceil(lit(minFrac) * col("sk.n")).cast("long").as("__min"))
+    // counters that could still reach the group threshold:
+    // est + floor(n/(capacity+1)) >= ceil(minFrac * n)
+    val cand = sk
+      .select(col(groupCol).as("__g"), col("__min"),
+        explode(col("__counts")).as(Seq("__h", "__est")),
+        (col("__n") / lit(capacity + 1L)).cast("long").as("__err"))
+      .filter(col("__est") + col("__err") >= col("__min"))
+      .select(col("__g"), col("__h"), col("__min"))
+    val rows = in.filter(key.isNotNull)
+      .select(col(groupCol).as("__g0"), key.as("key"),
+        xxhash64(key).as("__h0"))
+    rows.join(cand,
+        col("__g0") === col("__g") && col("__h0") === col("__h"))
+      .groupBy(col("__g0"), col("key"))
+      .agg(count(lit(1)).as("cnt"), max(col("__min")).as("__m"))
+      .filter(col("cnt") >= col("__m"))
+      .select(col("__g0").as(groupCol), col("key"), col("cnt"))
+  }
 }

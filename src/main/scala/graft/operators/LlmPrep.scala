@@ -373,6 +373,25 @@ object LlmPrep {
       documents.select(explode(toks(col("text"))).as("token")),
       col("token"), HeavyFrac, HeavyCap)
 
+  /** Per-group threshold of [[heavyDomainTokens]]; guarantee needs
+    * `HeavyDomFrac > 1/(HeavyCap+1)` — 0.005 > 1/1025 — so the pair is
+    * valid for every group at every size, checked before any job. */
+  val HeavyDomFrac = 0.005
+
+  /** Per-SOURCE heavy tokens: every token whose in-source frequency is
+    * >= `ceil(HeavyDomFrac * n_source)`, with its EXACT count — the
+    * per-domain spam-template / boilerplate mining shape, via the
+    * fully distributed grouped Misra-Gries two-pass
+    * ([[HeavyHitters.exactFractionByGroup]]): per-group KB sketches,
+    * candidate explode + equi-join, bounded exact re-count; no driver
+    * materialization at any group count. */
+  def heavyDomainTokens(documents: DataFrame): DataFrame =
+    HeavyHitters.exactFractionByGroup(
+      documents.select(col("source"),
+        explode(toks(col("text"))).as("token")),
+      "source", col("token"), HeavyDomFrac, HeavyCap)
+      .withColumnRenamed("key", "token")
+
   /** Tokenizer vocabulary building: the corpus-wide token frequency
     * table a tokenizer trainer starts from — top [[VocabSize]] tokens
     * by count (ties broken lexically, so the cut is deterministic),
@@ -852,13 +871,31 @@ object LlmPrepSql {
     FROM nc, UNNEST(range(0, n_chunks)) AS u(i)"""
   }
 
+  // the thresholds below CAST the fraction literal to DOUBLE before
+  // the multiply: DuckDB parses `0.002` as DECIMAL and its exact
+  // decimal ceil can disagree with Spark's double ceil exactly when
+  // frac*n lands on an integer (0.005*200 = 1.0 decimal but
+  // 1.0000000000000002 double); forcing both engines onto doubles
+  // makes the boundary identical
   val heavyTokensSql: String =
     s"""WITH $toksCte,
     t AS (SELECT tok.tok AS token FROM tk, UNNEST(toks) AS tok(tok))
     SELECT token, count(*) AS cnt FROM t
     GROUP BY token
-    HAVING count(*) >= ceil(${LlmPrep.HeavyFrac} *
+    HAVING count(*) >= ceil(CAST(${LlmPrep.HeavyFrac} AS DOUBLE) *
       (SELECT count(*) FROM t))"""
+
+  val heavyDomainTokensSql: String =
+    s"""WITH tks AS (SELECT source,
+      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+        AS toks
+      FROM documents WHERE source IS NOT NULL),
+    t AS (SELECT source, tok.tok AS token FROM tks,
+      UNNEST(toks) AS tok(tok)),
+    g AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+    n AS (SELECT source, sum(cnt) AS n FROM g GROUP BY 1)
+    SELECT g.source, g.token, g.cnt FROM g JOIN n ON g.source = n.source
+    WHERE g.cnt >= ceil(CAST(${LlmPrep.HeavyDomFrac} AS DOUBLE) * n.n)"""
 
   val vocabSql: String =
     s"""WITH $toksCte,

@@ -44,6 +44,8 @@ object LlmQueries {
     "llm_entropy" -> ((s, d) => LlmPrep.entropy(docs(s, d))),
     "llm_vocab" -> ((s, d) => LlmPrep.vocab(docs(s, d))),
     "llm_heavy_hitters" -> ((s, d) => LlmPrep.heavyTokens(docs(s, d))),
+    "llm_heavy_domains" ->
+      ((s, d) => LlmPrep.heavyDomainTokens(docs(s, d))),
     "llm_sample_weighted" ->
       ((s, d) => LlmPrep.sampleWeighted(docs(s, d))),
     "llm_split" -> ((s, d) => LlmPrep.splitAssign(docs(s, d))),
@@ -102,6 +104,7 @@ object LlmQueries {
     "llm_entropy" -> LlmPrepSql.entropySql,
     "llm_vocab" -> LlmPrepSql.vocabSql,
     "llm_heavy_hitters" -> LlmPrepSql.heavyTokensSql,
+    "llm_heavy_domains" -> LlmPrepSql.heavyDomainTokensSql,
     "llm_sample_weighted" -> LlmPrepSql.sampleWeightedSql,
     "llm_split" -> LlmPrepSql.splitAssignSql,
     "llm_repetition" -> LlmTextSql.repetitionSql,

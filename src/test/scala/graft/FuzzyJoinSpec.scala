@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** [[FuzzyJoin]] contract: exact parity with the brute-force
+  * levenshtein cross join — including the adversarial inputs the
+  * prefix-filter theorem does NOT cover on its own (short strings,
+  * repetitive strings), which must route through the poor branch. */
+class FuzzyJoinSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Brute-force truth: all id_a < id_b pairs within distance k. */
+  private def brute(df: DataFrame, k: Int): Set[(Long, Long, Long)] = {
+    val rows = df.select(col("id"), col("s")).as[(Long, String)]
+      .collect().toSeq
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = levDist(sa, sb) if d <= k
+    } yield (ia, ib, d.toLong)).toSet
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  private def run(df: DataFrame, k: Int, q: Int = 3)
+      : Set[(Long, Long, Long)] =
+    FuzzyJoin.selfJoin(df, "id", "s", k, q)
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def strings(ss: Seq[String]): DataFrame =
+    ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+
+  test("random small-alphabet strings ≡ brute force (k=1 and k=2)") {
+    val rnd = new scala.util.Random(42)
+    val df = strings((0 until 120).map { _ =>
+      (0 until 6 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString
+    })
+    for (k <- Seq(1, 2))
+      assert(run(df, k) == brute(df, k), s"mismatch at k=$k")
+  }
+
+  test("sequential-id names (ubiquitous shared prefix gram) ≡ brute") {
+    val df = strings((0 until 150).map(i => f"Customer#$i%09d"))
+    assert(run(df, 1) == brute(df, 1))
+    assert(run(df, 2) == brute(df, 2))
+  }
+
+  test("short and repetitive strings take the poor branch and stay exact") {
+    // "aaa" vs "aab" share ZERO distinct 3-grams at ed=1 — the pair the
+    // prefix filter alone would silently lose.
+    val df = strings(Seq("aaa", "aab", "aaaaaaa", "aaaaaab", "ab", "ac",
+      "", "a", "xyzzyx", "xyzzyy"))
+    for (k <- Seq(1, 2); q <- Seq(2, 3))
+      assert(run(df, k, q) == brute(df, k), s"mismatch at k=$k q=$q")
+  }
+
+  test("no duplicate pairs across branches") {
+    val df = strings(Seq("aaaa", "aaab", "abcdefgh", "abcdefgx", "aaba"))
+    val out = FuzzyJoin.selfJoin(df, "id", "s", 2, 2)
+    assert(out.count() == out.distinct().count())
+  }
+
+  test("NULL ids and strings are dropped") {
+    val df = Seq((Some(1L), Some("abcdef")), (Some(2L), Some("abcdeg")),
+      (Some(3L), Option.empty[String]), (Option.empty[Long], Some("abcdef")))
+      .toDF("id", "s")
+    assert(run(df, 1) == Set((1L, 2L, 1L)))
+  }
+}

@@ -137,4 +137,50 @@ class HeavyHittersSpec extends GraftSuite {
       Seq.empty[String].toDF("k"), col("k"), frac, capacity = 128)
     assert(empty.count() == 0)
   }
+
+
+  test("grouped fraction form ≡ per-group exact groupBy/HAVING, " +
+      "fully distributed") {
+    val gA = stream(5000, 300, seed = 21).map(("A", _))
+    val gB = stream(800, 40, seed = 22).map(("B", _))
+    val gC = stream(12000, 800, seed = 23).map(("C", _))
+    val frac = 0.01
+    val cap = 256 // 0.01 > 1/257
+    val df = scala.util.Random.shuffle(gA ++ gB ++ gC).toDF("g", "k")
+      .repartition(7)
+    val got = HeavyHitters
+      .exactFractionByGroup(df, "g", col("k"), frac, cap)
+      .as[(String, Long, Long)].collect().toSet
+    val want = Seq(("A", gA), ("B", gB), ("C", gC)).flatMap {
+      case (g, rows) =>
+        val n = rows.size
+        val minFreq = math.ceil(frac * n).toLong
+        freqs(rows.map(_._2)).collect {
+          case (k, c) if c >= minFreq => (g, k, c)
+        }
+    }.toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.exists(_._1 == "B"))
+  }
+
+  test("grouped form rejects an unsatisfiable (minFrac, capacity) pair " +
+      "before any job runs") {
+    val df = Seq(("A", 1L)).toDF("g", "k")
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.exactFractionByGroup(df, "g", col("k"), 0.001, 100)
+    }
+    assert(e.getMessage.contains("capacity"))
+  }
+
+  test("grouped form excludes NULL groups and NULL keys") {
+    val df = Seq((Option("A"), Option(1L)), (Option("A"), Option(1L)),
+      (Option("A"), Option.empty[Long]), (Option.empty[String], Option(1L)))
+      .toDF("g", "k")
+    val got = HeavyHitters
+      .exactFractionByGroup(df, "g", col("k"), 0.5, 16)
+      .as[(String, Long, Long)].collect().toSet
+    // group A: n = 2 non-NULL keys, threshold ceil(0.5*2) = 1 → key 1
+    // twice; the NULL key and NULL group never appear
+    assert(got == Set(("A", 1L, 2L)))
+  }
 }
