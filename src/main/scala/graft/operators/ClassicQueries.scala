@@ -776,7 +776,62 @@ object ClassicQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Data-quality audit suite over the star schema: fused per-table
+    * conditional-aggregate passes ([[QualityChecks.audit]]) plus two
+    * referential-integrity joins, unioned into one sorted report.
+    * Thresholds are chosen so the report carries BOTH passing and
+    * failing rows (l_quantity caps at 50 in the data, the check says
+    * 40; o_orderstatus 'P' is deliberately not accepted). */
+  def qualityAudit(s: SparkSession, dir: String): DataFrame = {
+    import QualityChecks._
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    report(
+      audit(orders, "orders", Seq(
+        NotNull("o_custkey"),
+        Unique(Seq("o_orderkey")),
+        InRange("o_totalprice", 0.0, 1000000.0),
+        AcceptedValues("o_orderstatus", Seq("O", "F")))),
+      audit(li, "lineitem", Seq(
+        NotNull("l_orderkey"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_quantity", 1.0, 40.0),
+        InRange("l_discount", 0.0, 0.1))),
+      refIntegrity(li, "lineitem", "l_orderkey",
+        orders, "orders", "o_orderkey"),
+      refIntegrity(Tables.customer(s, dir), "customer", "c_nationkey",
+        Tables.nation(s, dir), "nation", "n_nationkey"))
+  }
+
+  /** Entity resolution over a derived key column with a real cluster
+    * structure: 300 entities ("E" + zero-padded multiple of 11 — any
+    * two clean keys are >= 2 edits apart), each with ~5 member rows of
+    * which some carry a 1-edit typo (appended 'x' or 'E'->'z'), so an
+    * entity is recoverable only TRANSITIVELY through its clean hub.
+    * The oracle is a recursive-CTE connected component over the same
+    * levenshtein<=1 edge set. */
+  def entityRes(s: SparkSession, dir: String): DataFrame = {
+    val named = Tables.customer(s, dir)
+      .filter(col("c_custkey").isNotNull)
+      .withColumn("__clean", concat(lit("E"),
+        lpad((col("c_custkey") % 300 * 11).cast("string"), 6, "0")))
+      // variant selector must VARY within an entity (members are 300
+      // apart and 300 ≡ 0 mod 3, so c%3 would give every member the
+      // same variant): floor(c/300)%3 walks clean/x/z across members.
+      .withColumn("__v", floor(col("c_custkey") / 300) % 3)
+      .withColumn("__nm",
+        when(col("__v") === 1, concat(col("__clean"), lit("x")))
+          .when(col("__v") === 2,
+            concat(lit("z"), expr("substring(__clean, 2)")))
+          .otherwise(col("__clean")))
+    EntityResolution.resolve(named, "c_custkey", "__nm", k = 1)
+      .withColumnRenamed("canonical", "canonical_name")
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_entity_res" -> (entityRes _),
+    "cls_quality_audit" -> (qualityAudit _),
     "cls_bloom_join" -> (bloomJoin _),
     "cls_fuzzy_join" -> (fuzzyJoin _),
     "cls_table_diff" -> (tableDiff _),
@@ -864,6 +919,92 @@ object ClassicQueries {
     WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"""
 
   val oracles: Map[String, String] = Map(
+    "cls_entity_res" ->
+      """WITH RECURSIVE base AS (
+           SELECT c_custkey AS id,
+             CASE WHEN (c_custkey // 300) % 3 = 1 THEN nm0 || 'x'
+                  WHEN (c_custkey // 300) % 3 = 2
+                    THEN 'z' || substr(nm0, 2)
+                  ELSE nm0 END AS nm
+           FROM (SELECT c_custkey,
+                   'E' || lpad(CAST(c_custkey % 300 * 11 AS VARCHAR),
+                               6, '0') AS nm0
+                 FROM customer WHERE c_custkey IS NOT NULL)),
+         pairs AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM base a JOIN base b ON a.id < b.id
+           WHERE abs(length(a.nm) - length(b.nm)) <= 1
+             AND levenshtein(a.nm, b.nm) <= 1),
+         edges AS (SELECT ia AS s, ib AS d FROM pairs
+                   UNION SELECT ib, ia FROM pairs),
+         reach AS (
+           SELECT id AS s, id AS d FROM base
+           UNION
+           SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         comp AS (SELECT s AS c_custkey, min(d) AS entity_id
+                  FROM reach GROUP BY s)
+       SELECT c.c_custkey, c.entity_id, b.nm AS canonical_name
+       FROM comp c JOIN base b ON c.entity_id = b.id
+       ORDER BY c.c_custkey""",
+    "cls_quality_audit" ->
+      """WITH o AS (SELECT count(*) AS total,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS v_nn,
+           count(CASE WHEN o_orderkey IS NOT NULL THEN 1 END)
+             - count(DISTINCT o_orderkey) AS v_uq,
+           count(CASE WHEN o_totalprice < 0.0
+                        OR o_totalprice > 1000000.0 THEN 1 END) AS v_rg,
+           count(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F') THEN 1 END) AS v_av
+         FROM orders),
+       l AS (SELECT count(*) AS total,
+           count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS v_nn,
+           count(CASE WHEN l_orderkey IS NOT NULL
+                       AND l_linenumber IS NOT NULL THEN 1 END)
+             - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey,
+                  l_linenumber FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND l_linenumber IS NOT NULL)) AS v_uq,
+           count(CASE WHEN l_quantity < 1.0
+                        OR l_quantity > 40.0 THEN 1 END) AS v_rg1,
+           count(CASE WHEN l_discount < 0.0
+                        OR l_discount > 0.1 THEN 1 END) AS v_rg2
+         FROM lineitem),
+       ri1 AS (SELECT count(*) AS total,
+           count(CASE WHEN c.l_orderkey IS NOT NULL
+                       AND p.o_orderkey IS NULL THEN 1 END) AS v
+         FROM lineitem c LEFT JOIN
+           (SELECT DISTINCT o_orderkey FROM orders
+            WHERE o_orderkey IS NOT NULL) p
+           ON c.l_orderkey = p.o_orderkey),
+       ri2 AS (SELECT count(*) AS total,
+           count(CASE WHEN c.c_nationkey IS NOT NULL
+                       AND p.n_nationkey IS NULL THEN 1 END) AS v
+         FROM customer c LEFT JOIN
+           (SELECT DISTINCT n_nationkey FROM nation
+            WHERE n_nationkey IS NOT NULL) p
+           ON c.c_nationkey = p.n_nationkey)
+       SELECT * FROM (
+         SELECT 'orders' AS table_name, 'not_null' AS "check",
+           'o_custkey' AS target, v_nn AS violations, total,
+           v_nn = 0 AS passed FROM o
+         UNION ALL SELECT 'orders', 'unique', 'o_orderkey', v_uq,
+           total, v_uq = 0 FROM o
+         UNION ALL SELECT 'orders', 'in_range', 'o_totalprice', v_rg,
+           total, v_rg = 0 FROM o
+         UNION ALL SELECT 'orders', 'accepted_values', 'o_orderstatus',
+           v_av, total, v_av = 0 FROM o
+         UNION ALL SELECT 'lineitem', 'not_null', 'l_orderkey', v_nn,
+           total, v_nn = 0 FROM l
+         UNION ALL SELECT 'lineitem', 'unique',
+           'l_orderkey,l_linenumber', v_uq, total, v_uq = 0 FROM l
+         UNION ALL SELECT 'lineitem', 'in_range', 'l_quantity', v_rg1,
+           total, v_rg1 = 0 FROM l
+         UNION ALL SELECT 'lineitem', 'in_range', 'l_discount', v_rg2,
+           total, v_rg2 = 0 FROM l
+         UNION ALL SELECT 'lineitem', 'ref_integrity',
+           'l_orderkey->orders.o_orderkey', v, total, v = 0 FROM ri1
+         UNION ALL SELECT 'customer', 'ref_integrity',
+           'c_nationkey->nation.n_nationkey', v, total, v = 0 FROM ri2)
+       ORDER BY table_name, "check", target""",
     "cls_bloom_join" ->
       """SELECT date_trunc('month', o_orderdate) AS month,
          round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: group rows whose key strings are within edit
+  * distance `k` of each other — TRANSITIVELY (a↔b and b↔c puts a and c
+  * in one entity even when ed(a,c) > k, the classic hub-and-variants
+  * shape of typo'd duplicates) — and pick one canonical row per
+  * entity.
+  *
+  * Composition of three already-proven distributed pieces, no new
+  * join shapes:
+  *  1. [[FuzzyJoin.selfJoin]] — exact ed<=k pairs via the rarest-gram
+  *     prefix filter (never all-pairs);
+  *  2. [[LlmText.clustersFromPairs]] — min-label propagation to the
+  *     connected component (O(diameter) bucket-join rounds; typo
+  *     clusters have tiny diameter because variants hang off a hub);
+  *  3. survivorship — the min-id member is the entity's canonical
+  *     row, attached with one equi-join against the (cluster-count
+  *     sized, AQE-broadcastable) representative frame.
+  *
+  * Cite: generic engine capability (master-data reconciliation the
+  * reference does by exact key only, ref/App/etl/transform/
+  * rco_brandcode.py:31).
+  */
+object EntityResolution {
+
+  /** Resolve `df` rows into entities by `strCol` similarity.
+    * Returns `(idCol, entity_id, canonical)` — `entity_id` is the
+    * minimum id in the row's connected component, `canonical` that
+    * row's string. NULL ids/strings are dropped (as in the underlying
+    * fuzzy join — no distance to NULL). */
+  def resolve(df: DataFrame, idCol: String, strCol: String, k: Int,
+      q: Int = 3): DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(strCol).as("__str"))
+    val pairs = FuzzyJoin.selfJoin(df, idCol, strCol, k, q)
+    val clusters = LlmText.clustersFromPairs(
+      pairs.select(col("id_a"), col("id_b")), base.select(col("doc_id")))
+    val canon = base.select(col("doc_id").as("entity_id"),
+      col("__str").as("canonical"))
+    clusters
+      .select(col("doc_id").as(idCol), col("cluster_id").as("entity_id"))
+      .join(canon, Seq("entity_id"))
+      .select(col(idCol), col("entity_id"), col("canonical"))
+  }
+}

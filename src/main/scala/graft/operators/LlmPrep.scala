@@ -448,6 +448,43 @@ object LlmPrep {
       "n", "pair", "rank")
   }
 
+  /** Recrawl suppression (time-windowed dedup): within each key (a
+    * URL / content fingerprint in a crawl log), keep only the FIRST
+    * row of every gap-session — a fetch is kept iff it is more than
+    * `gapSec` after its kept-or-dropped predecessor's timestamp, i.e.
+    * the same trigger rule as [[TemporalJoins.sessionizeByGap]], so
+    * "kept rows" ≡ "session openers" by construction (a re-fetch
+    * within the window refreshes nothing and is dropped; a fetch
+    * after a quiet gap opens a new retained version).
+    *
+    * One window over the key partitioning — the lag IS the session
+    * trigger, no second pass, no groupBy. Ties on the timestamp are
+    * broken by `idCol` so the kept row is deterministic cross-engine.
+    * NULL-timestamp rows are malformed fetch records and are dropped
+    * (documented contract, mirrors the as-of family's NULL-time rule).
+    * Scale: per-key sequential scan, the standard windowed-dedup
+    * shape; hot keys take the sliced-sessionize path if ever needed.
+    *
+    * Cite: generic curation capability (Common-Crawl-style refetch
+    * collapse); same gap semantics as ref's sessionization trigger
+    * (ref/App/etl/transform/rco_sessionize.py:61). */
+  def recrawlDedup(log: DataFrame, keys: Seq[String], timeCol: String,
+      idCol: String, gapSec: Long): DataFrame = {
+    require(keys.nonEmpty, "recrawlDedup: no key columns")
+    require(gapSec > 0, s"recrawlDedup: gapSec must be > 0, got $gapSec")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol), col(idCol))
+    log.filter(col(timeCol).isNotNull)
+      .withColumn("__prev_t", lag(col(timeCol), 1).over(w))
+      // cast("timestamp") first: unix_micros rejects TIMESTAMP_NTZ
+      // (the events table's µs-truncated ns column arrives NTZ)
+      .filter(col("__prev_t").isNull ||
+        unix_micros(col(timeCol).cast("timestamp")) -
+          unix_micros(col("__prev_t").cast("timestamp")) >
+          gapSec * 1000000L)
+      .drop("__prev_t")
+  }
+
   /** Synthetic blocklist for [[blocklistFilter]]: content hashes of
     * every doc_id ≡ 0 (mod 17) play the "known-bad content registry"
     * (takedowns, opt-outs, toxic-content hashes). A real pipeline
@@ -756,6 +793,18 @@ object LlmPrep {
 /** DuckDB twin of [[LlmPrep]] — same tokenization, same md5 sample
   * order, same window frames, same entropy formula. */
 object LlmPrepSql {
+
+  /** Twin of [[LlmPrep.recrawlDedup]] over `events` keyed by
+    * (user_id, event_type), 1800 s window — the lag IS the keep rule. */
+  val recrawlSql: String =
+    """SELECT event_id, user_id, event_type, ts FROM (
+         SELECT event_id, user_id, event_type, ts,
+           lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS prev_ts
+         FROM events)
+       WHERE prev_ts IS NULL
+          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+       ORDER BY event_id"""
 
   import LlmPrep._
 

@@ -18,6 +18,16 @@ object LlmQueries {
     Tables.embeddings(s, dir)
 
   val queries: Map[String, Q] = Map(
+    "llm_recrawl_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      // events as the crawl-log stand-in: (user_id, event_type) plays
+      // the URL key, 30-min refetch window
+      LlmPrep.recrawlDedup(Tables.events(s, d),
+          Seq("user_id", "event_type"), "ts", "event_id", 1800L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"))
+        .orderBy(col("event_id"))
+    }),
     "llm_dedup_exact" -> ((s, d) => LlmText.dedupExact(docs(s, d))),
     "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
     "llm_dedup_ngram" -> ((s, d) => LlmText.dedupNgram(docs(s, d))),
@@ -80,6 +90,7 @@ object LlmQueries {
     "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "llm_recrawl_dedup" -> LlmPrepSql.recrawlSql,
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
     "llm_dedup_near" -> LlmTextSql.dedupNearSql,
     "llm_dedup_ngram" -> LlmTextSql.dedupNgramSql,
