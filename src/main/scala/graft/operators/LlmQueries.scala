@@ -28,6 +28,11 @@ object LlmQueries {
           col("ts"))
         .orderBy(col("event_id"))
     }),
+    // no SQL oracle (iterative fixpoint: each round's argmax feeds the
+    // next round's plan) -> driver records rows-only; exact parity is
+    // pinned by BpeTrainSpec's single-threaded reference differential
+    "llm_bpe_train" -> ((s, d) =>
+      BpeTrain.train(docs(s, d), merges = 12, minCount = 2L)),
     "llm_dedup_exact" -> ((s, d) => LlmText.dedupExact(docs(s, d))),
     "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
     "llm_dedup_ngram" -> ((s, d) => LlmText.dedupNgram(docs(s, d))),
