@@ -451,6 +451,34 @@ object ClassicQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** IQR winsorization: per-group exact p25/p75 (dyadic fractions —
+    * bit-exact cross-engine, the [[percentiles]] convention), every
+    * value clamped into [p25, p75], and the clipped distribution
+    * summarized. The bounds frame is group-count-sized and broadcast
+    * into the clamp scan — two passes over the fact table, no
+    * row-expanding join, the standard robust-clipping shape for
+    * outlier-resistant aggregates at any scale. */
+  def winsorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.groupBy(col("l_returnflag").as("flag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.25)).as("lo"),
+        percentile(col("l_extendedprice"), lit(0.75)).as("hi"))
+    li.join(broadcast(bounds), col("l_returnflag") === col("flag"))
+      .withColumn("w",
+        least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(min(col("lo")), 4).as("p25"),
+        round(min(col("hi")), 4).as("p75"),
+        round(avg(col("w")), 4).as("w_avg"),
+        count(when(col("l_extendedprice") < col("lo"), lit(1)))
+          .as("n_clip_lo"),
+        count(when(col("l_extendedprice") > col("hi"), lit(1)))
+          .as("n_clip_hi"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** [[asofJoin]] with the staleness `tolerance` engaged (1 hour): a
     * view older than an hour before the purchase is nulled out, the
     * purchase row survives unmatched. Gates the tolerance projection
@@ -832,6 +860,7 @@ object ClassicQueries {
   val queries: Map[String, Q] = Map(
     "cls_entity_res" -> (entityRes _),
     "cls_quality_audit" -> (qualityAudit _),
+    "cls_winsorize" -> (winsorize _),
     "cls_bloom_join" -> (bloomJoin _),
     "cls_fuzzy_join" -> (fuzzyJoin _),
     "cls_table_diff" -> (tableDiff _),
@@ -1198,6 +1227,21 @@ object ClassicQueries {
          WINDOW w AS (PARTITION BY o_custkey
            ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",
+    "cls_winsorize" ->
+      """WITH b AS (SELECT l_returnflag AS flag,
+           quantile_cont(l_extendedprice, 0.25) AS lo,
+           quantile_cont(l_extendedprice, 0.75) AS hi
+         FROM lineitem GROUP BY 1)
+       SELECT l_returnflag,
+         round(min(lo), 4) AS p25,
+         round(min(hi), 4) AS p75,
+         round(avg(least(greatest(l_extendedprice, lo), hi)), 4)
+           AS w_avg,
+         count(CASE WHEN l_extendedprice < lo THEN 1 END) AS n_clip_lo,
+         count(CASE WHEN l_extendedprice > hi THEN 1 END) AS n_clip_hi,
+         count(*) AS n
+       FROM lineitem JOIN b ON l_returnflag = flag
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
     "cls_percentiles" ->
       """SELECT l_returnflag, l_linestatus,
          round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,

@@ -485,6 +485,60 @@ object LlmPrep {
       .drop("__prev_t")
   }
 
+  val PmiMinCount = 20L
+  val PmiK = 150
+
+  /** PMI collocation mining: adjacent-token pairs scored by pointwise
+    * mutual information `ln( p(a,b) / (p(a)·p(b)) )` — the classic
+    * corpus-linguistics signal for multi-word expressions ("new york",
+    * "machine learning") that frequency alone buries under stopword
+    * pairs. `minCount` screens the unstable low-count tail BEFORE the
+    * unigram joins, so the scored frame is collocation-sized.
+    *
+    * Shape: the pair count and unigram count are the two map-side-
+    * combined aggregates over one pinned tokenized frame; the two
+    * probability joins hit the vocabulary-sized unigram table (AQE
+    * broadcasts it when it fits); totals ride a one-row crossJoin
+    * (the [[bm25]] stats pattern). Top-k lands via TakeOrdered on the
+    * ROUNDED score — float ties are broken by the pair string, so the
+    * cut is identical cross-engine. Keep the pmi expression
+    * character-for-character parallel to [[LlmPrepSql.pmiSql]]. */
+  def collocations(documents: DataFrame, minCount: Long = PmiMinCount,
+      k: Int = PmiK): DataFrame = {
+    require(minCount >= 1, s"collocations: minCount >= 1, got $minCount")
+    val arrLen = org.apache.spark.sql.functions.size _
+    val tk = CacheScope.pin(documents.select(toks(col("text")).as("toks")))
+    val pc = tk
+      .select(explode(when(arrLen(col("toks")) >= 2,
+        transform(sequence(lit(1), (arrLen(col("toks")) - 1).cast("int")),
+          i => struct(element_at(col("toks"), i).as("l"),
+            element_at(col("toks"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+    val uni = tk.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
+    val totals = tk.agg(
+      sum(arrLen(col("toks"))).cast("double").as("n_uni"),
+      sum(greatest(arrLen(col("toks")) - 1, lit(0))).cast("double")
+        .as("n_pair"))
+    val scored = pc.filter(col("n") >= minCount)
+      .join(uni.select(col("tok").as("l"), col("n_tok").as("n_a")),
+        Seq("l"))
+      .join(uni.select(col("tok").as("r"), col("n_tok").as("n_b")),
+        Seq("r"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("n").cast("double") / col("n_pair")) /
+          ((col("n_a").cast("double") / col("n_uni")) *
+            (col("n_b").cast("double") / col("n_uni")))), 6))
+      .select(concat_ws(" ", col("l"), col("r")).as("pair"), col("n"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("pair")).limit(k)
+    headRanked(scored, "pmi", "pair", "rank")
+  }
+
   /** Synthetic blocklist for [[blocklistFilter]]: content hashes of
     * every doc_id ≡ 0 (mod 17) play the "known-bad content registry"
     * (takedowns, opt-outs, toxic-content hashes). A real pipeline
@@ -865,6 +919,33 @@ object LlmPrepSql {
     SELECT pair, n,
       CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
     FROM cnt ORDER BY n DESC, pair LIMIT ${LlmPrep.BpePairsK}"""
+
+  /** Twin of [[LlmPrep.collocations]] — same pmi expression
+    * association order, same rounded-score tie-break and cut. */
+  val pmiSql: String =
+    s"""WITH $toksCte,
+    pr AS (SELECT toks[i] AS l, toks[i + 1] AS r
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+    pc AS (SELECT l, r, count(*) AS n FROM pr GROUP BY 1, 2),
+    uni AS (SELECT t AS tok, count(*) AS n_tok
+      FROM (SELECT unnest(toks) AS t FROM tk) GROUP BY 1),
+    tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_uni,
+      CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_pair
+      FROM tk),
+    scored AS (SELECT pc.l || ' ' || pc.r AS pair, pc.n,
+        round(ln((CAST(pc.n AS DOUBLE) / n_pair) /
+          ((CAST(a.n_tok AS DOUBLE) / n_uni) *
+           (CAST(b.n_tok AS DOUBLE) / n_uni))), 6) AS pmi
+      FROM pc JOIN uni a ON pc.l = a.tok
+              JOIN uni b ON pc.r = b.tok, tot
+      WHERE pc.n >= ${LlmPrep.PmiMinCount}),
+    head AS (SELECT * FROM scored
+      ORDER BY pmi DESC, pair LIMIT ${LlmPrep.PmiK})
+    SELECT pair, n, pmi,
+      CAST(row_number() OVER (ORDER BY pmi DESC, pair) AS BIGINT)
+        AS rank
+    FROM head ORDER BY rank"""
 
   /** Twin of [[LlmPrep.boilerplateScrub]] — same 1-based positions,
     * same df-cap, same space re-join. */

@@ -33,6 +33,7 @@ object LlmQueries {
     // pinned by BpeTrainSpec's single-threaded reference differential
     "llm_bpe_train" -> ((s, d) =>
       BpeTrain.train(docs(s, d), merges = 12, minCount = 2L)),
+    "llm_pmi" -> ((s, d) => LlmPrep.collocations(docs(s, d))),
     "llm_dedup_exact" -> ((s, d) => LlmText.dedupExact(docs(s, d))),
     "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
     "llm_dedup_ngram" -> ((s, d) => LlmText.dedupNgram(docs(s, d))),
@@ -96,6 +97,7 @@ object LlmQueries {
 
   val oracles: Map[String, String] = Map(
     "llm_recrawl_dedup" -> LlmPrepSql.recrawlSql,
+    "llm_pmi" -> LlmPrepSql.pmiSql,
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
     "llm_dedup_near" -> LlmTextSql.dedupNearSql,
     "llm_dedup_ngram" -> LlmTextSql.dedupNgramSql,
