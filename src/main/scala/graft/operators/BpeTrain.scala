@@ -133,6 +133,50 @@ object BpeTrain {
     toMergeFrame(spark, learned.toSeq)
   }
 
+  /** Apply a learned merge table to the corpus: every document becomes
+    * its BPE piece sequence `(doc_id, word_pos, piece_pos, piece)`
+    * (1-based positions, word order = token order).
+    *
+    * The merges are applied IN RANK ORDER to the distinct-word table
+    * (same vocabulary-sized frame as training — the corpus is touched
+    * exactly twice: once to build the word list, once to join the
+    * encoded pieces back), each rule via the same greedy
+    * [[mergePair]] fold, with lineage cut every few rules. R rules
+    * cost R vocabulary-sized stages — the training cost profile; a
+    * production 30k-rule apply wants the pieces joined from a
+    * persisted word→pieces table refreshed only when the tokenizer
+    * changes, which is exactly what this produces. */
+  def encode(documents: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    var words = documents
+      .select(explode(call_function("graft_tokens", col(textCol)))
+        .as("word"))
+      .distinct()
+      .select(col("word"), initialSymbols(col("word")).as("syms"))
+      .localCheckpoint(true)
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      val next0 = words.select(col("word"),
+        mergePair(col("syms"), l, r).as("syms"))
+      val next =
+        if ((i + 1) % 6 == 0 || i == merges.size - 1)
+          next0.localCheckpoint(true)
+        else next0
+      if (next ne next0) words.unpersist()
+      words = next
+    }
+    documents
+      .select(col(idCol),
+        posexplode(call_function("graft_tokens", col(textCol))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("word_pos"),
+        col("col").as("word"))
+      .join(words, Seq("word"))
+      .select(col(idCol), col("word_pos"),
+        posexplode(col("syms")))
+      .select(col(idCol), col("word_pos"),
+        (col("pos") + 1).cast("long").as("piece_pos"),
+        col("col").as("piece"))
+  }
+
   private[graft] def toMergeFrame(spark: SparkSession,
       rows: Seq[(Int, String, String, String, Long)]): DataFrame = {
     import spark.implicits._

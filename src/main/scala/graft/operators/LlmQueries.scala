@@ -34,6 +34,15 @@ object LlmQueries {
     "llm_bpe_train" -> ((s, d) =>
       BpeTrain.train(docs(s, d), merges = 12, minCount = 2L)),
     "llm_pmi" -> ((s, d) => LlmPrep.collocations(docs(s, d))),
+    // rows-only like llm_bpe_train (BpeTrainSpec is the oracle): the
+    // learned 12-rule table (bounded driver collect) applied corpus-wide
+    "llm_bpe_encode" -> ((s, d) => {
+      val dd = docs(s, d)
+      val m = BpeTrain.train(dd, merges = 12, minCount = 2L)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encode(dd, m)
+    }),
     "llm_dedup_exact" -> ((s, d) => LlmText.dedupExact(docs(s, d))),
     "llm_dedup_near" -> ((s, d) => LlmText.dedupNear(docs(s, d))),
     "llm_dedup_ngram" -> ((s, d) => LlmText.dedupNgram(docs(s, d))),

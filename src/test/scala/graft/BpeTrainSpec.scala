@@ -85,6 +85,52 @@ class BpeTrainSpec extends GraftSuite {
     assert(got.isEmpty)
   }
 
+  test("encode ≡ reference apply; pieces concatenate back to the word") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abc"
+    def word() = (0 until (1 + rnd.nextInt(5)))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val texts = (1 to 60).map(_ =>
+      (1 to (1 + rnd.nextInt(6))).map(_ => word()).mkString(" "))
+    val merges = refTrain(texts, 15, 2L).map(m => (m._2, m._3))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = BpeTrain.encode(docs, merges)
+      .as[(Long, Long, Long, String)].collect().toSet
+    // reference apply: greedy fold per merge in rank order
+    def applyAll(w: String): Vector[String] = {
+      var syms = w.split("").toVector :+ BpeTrain.EndOfWord
+      merges.foreach { case (l, r) =>
+        val b = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2
+          } else { b += syms(i); i += 1 }
+        }
+        syms = b.result()
+      }
+      syms
+    }
+    val exp = texts.zipWithIndex.flatMap { case (t, d) =>
+      t.split("\\s+").filter(_.nonEmpty).zipWithIndex.flatMap {
+        case (w, wp) => applyAll(w).zipWithIndex.map { case (p, pp) =>
+          (d.toLong, wp + 1L, pp + 1L, p)
+        }
+      }
+    }.toSet
+    assert(got == exp)
+    // concatenation invariant on the distributed output
+    val rebuilt = BpeTrain.encode(docs, merges)
+      .orderBy("doc_id", "word_pos", "piece_pos")
+      .groupBy("doc_id", "word_pos")
+      .agg(concat_ws("", sort_array(collect_list(
+        struct(col("piece_pos"), col("piece")))).getField("piece"))
+        .as("w"))
+      .select("w").as[String].collect()
+    assert(rebuilt.forall(_.endsWith(BpeTrain.EndOfWord)))
+  }
+
   test("full merge-table parity with the reference trainer, random corpus") {
     val rnd = new scala.util.Random(42)
     val alphabet = "abcde"
