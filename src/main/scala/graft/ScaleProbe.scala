@@ -27,7 +27,7 @@ object ScaleProbe {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val knownSections =
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
-        "curation", "layout", "analytics", "dfcap")
+        "curation", "layout", "analytics", "dfcap", "resolve")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -630,6 +630,79 @@ object ScaleProbe {
       probeCap("abs_1x", sd, 0.0)
       probeCap(s"abs_${dup}x", grown, 0.0)
       probeCap(s"frac_${dup}x", grown, frac)
+    }
+
+    // Round-12 additions: entity resolution (pair work bounded per
+    // entity -> linear in rows), the fused quality audit (one scan),
+    // PMI collocations (two aggregates + vocab joins), and BPE
+    // training (per-round cost ∝ DISTINCT words, which grows far
+    // slower than the corpus).
+    if (sections("resolve")) {
+      def t(tag: String, name: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"resolve $tag%-8s $name%-12s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      val cust = Tables.customer(spark, sfDir)
+      def entities(mult: Int): DataFrame = {
+        val rep = (0 until mult).map(i => cust.withColumn("c_custkey",
+          col("c_custkey") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        // same guarantees as cls_entity_res: clean keys are padded
+        // multiples of 11 (pairwise >= 2 edits), variants 1 edit off
+        rep.filter(col("c_custkey").isNotNull)
+          .withColumn("__e", pmod(col("c_custkey"), lit(30000L)))
+          .withColumn("__clean", concat(lit("E"),
+            lpad((col("__e") * 11).cast("string"), 7, "0")))
+          .withColumn("__v", pmod(floor(col("c_custkey") / 30000L),
+            lit(3)))
+          .withColumn("__nm",
+            when(col("__v") === 1, concat(col("__clean"), lit("x")))
+              .when(col("__v") === 2,
+                concat(lit("z"), expr("substring(__clean, 2)")))
+              .otherwise(col("__clean")))
+      }
+      // On a SHORT DENSE key space the q=3 gram vocabulary saturates
+      // (~4k grams), per-gram df grows linearly with rows and the
+      // candidate equi-join quadratically — measured 2.6 s -> 372 s at
+      // 10x (and larger q only shunts these 8-char keys into the poor
+      // branch). resolve(k=1) therefore routes through the FastSS
+      // deletion-neighborhood join, whose per-key fan-in is bounded by
+      // alphabet x length, independent of row count: the 10x probe
+      // must stay ~linear. The 1x gram-path entry keeps the contrast
+      // on record.
+      def ent(tag: String, mult: Int): Unit =
+        t(tag, "entity_del1")(EntityResolution
+          .resolve(entities(mult), "c_custkey", "__nm", k = 1))
+      def entGram(tag: String, mult: Int): Unit =
+        t(tag, "entity_gram3")(FuzzyJoin.selfJoin(
+          entities(mult).select(col("c_custkey").as("id"),
+            col("__nm").as("s")), "id", "s", k = 1, q = 3))
+      ent("warm", 1); ent("1x", 1); ent(s"${k}x", k)
+      entGram("1x", 1)
+
+      import graft.operators.QualityChecks
+      def qa(tag: String, ev: DataFrame): Unit =
+        t(tag, "quality")(QualityChecks.audit(ev, "events", Seq(
+          QualityChecks.NotNull("user_id"),
+          QualityChecks.InRange("value", 0.0, 500.0),
+          QualityChecks.AcceptedValues("event_type",
+            Seq("view", "cart", "purchase")),
+          QualityChecks.Unique(Seq("event_id")))))
+      qa("1x", base); qa(s"${k}x", wide)
+
+      def pmi(tag: String, d: DataFrame): Unit =
+        t(tag, "pmi")(LlmPrep.collocations(d))
+      pmi("1x", docBase); pmi(s"${k}x", docK)
+
+      def bpe(tag: String, d: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        BpeTrain.train(d, merges = 4, minCount = 2L).count()
+        println(f"resolve $tag%-8s bpe_train4   " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      bpe("1x", docBase); bpe(s"${k}x", docK)
     }
     spark.stop()
   }

@@ -48,6 +48,9 @@ object SparkEntry {
     "cls_bloom_join",
     "cls_fuzzy_join",
     "cls_table_diff",
+    "cls_quality_audit",
+    "cls_entity_res",
+    "llm_pmi",
     "llm_heavy_hitters",
     "rco_sessionize",
     "rco_co_agg",

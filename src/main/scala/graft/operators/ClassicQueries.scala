@@ -857,7 +857,30 @@ object ClassicQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** CDC roundtrip through the gate: derive the changelog with
+    * [[SnapshotDiff.diffFull]] from the same before/after construction
+    * as [[tableDiff]], APPLY it back to `before` with
+    * [[SnapshotDiff.applyChanges]], and let DuckDB compute `after`
+    * directly — any defect in either derivation or application breaks
+    * row parity. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val before = o.filter(col("o_orderkey") % 7 =!= 0)
+    val after = o
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 3 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.05)
+          .otherwise(col("o_totalprice")))
+    val changes = SnapshotDiff.diffFull(before, after,
+      Seq("o_orderkey"), DiffCols)
+    SnapshotDiff.applyChanges(before, changes, Seq("o_orderkey"),
+      DiffCols).orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_cdc_apply" -> (cdcApply _),
     "cls_entity_res" -> (entityRes _),
     "cls_quality_audit" -> (qualityAudit _),
     "cls_winsorize" -> (winsorize _),
@@ -948,6 +971,14 @@ object ClassicQueries {
     WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"""
 
   val oracles: Map[String, String] = Map(
+    "cls_cdc_apply" ->
+      """SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.05
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+         FROM orders ORDER BY o_orderkey""",
     "cls_entity_res" ->
       """WITH RECURSIVE base AS (
            SELECT c_custkey AS id,

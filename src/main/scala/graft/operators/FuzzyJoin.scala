@@ -54,7 +54,17 @@ object FuzzyJoin {
 
   /** All pairs `(id_a, id_b, dist)` with `id_a < id_b` and
     * `levenshtein(str_a, str_b) <= k`. NULL ids/strings are dropped
-    * (no distance to NULL). `k >= 1`, `q >= 2`. */
+    * (no distance to NULL). `k >= 1`, `q >= 2`.
+    *
+    * Choosing `q`: the prefix filter is linear only while the gram
+    * VOCABULARY outgrows the input — per-gram df is what the candidate
+    * equi-join squares. On a short, dense key space (zero-padded codes,
+    * fixed-alphabet ids) the q=3 vocabulary saturates at a few thousand
+    * grams, df grows linearly with rows, and the join goes quadratic
+    * (ScaleProbe `resolve`: 2.6 s → 372 s at 10×; q=5 restores ~linear
+    * — measured there). Rule of thumb: pick q so
+    * `alphabet^q >> expected row count`. Rich-entropy strings (names,
+    * urls, titles) are fine at the q=3 default. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int,
       q: Int = 3): DataFrame = {
     require(k >= 1, s"fuzzyJoin: k must be >= 1, got $k")
@@ -126,6 +136,53 @@ object FuzzyJoin {
       .withColumn("dist",
         levenshtein(col("str_a"), col("str_b")).cast("long"))
       .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** k=1 exact similarity self-join via DELETION-NEIGHBORHOOD blocking
+    * (FastSS, Bocek et al. 2007): each string's candidate keys are the
+    * string itself plus every single-character deletion, and
+    * `ed(a,b) <= 1` GUARANTEES the key sets intersect (equal: trivial;
+    * substitution at i: both delete i; insert/delete: the shorter
+    * string IS a deletion key of the longer). False positives (e.g.
+    * "ab"/"ba" share deletion key "a") are removed by the exact
+    * verify, so the operator is exact unconditionally — no poor
+    * branch, no theorem precondition.
+    *
+    * Scale: per-string work is `len+1` keys regardless of alphabet —
+    * unlike the q-gram prefix filter, the blocking CANNOT saturate on
+    * a short dense key space (per-key fan-in is bounded by
+    * `alphabet × (len+1)` string VALUES, independent of row count;
+    * duplicate values fan in further, but m copies of one value owe
+    * m² output pairs anyway). Key material is O(len²) bytes per
+    * string — built for key/code/name columns, not document bodies.
+    * ScaleProbe `resolve` pins the contrast with the q-gram path on
+    * the saturating key space. */
+  def selfJoin1(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame = {
+    val base = df
+      .filter(col(idCol).isNotNull && col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("str"),
+        length(col(strCol)).as("len"))
+    val keys = base.select(col("id"), col("str"), col("len"),
+      explode(array_distinct(concat(
+        array(col("str")),
+        transform(sequence(lit(1), col("len").cast("int")),
+          i => concat(col("str").substr(lit(1), i - 1),
+            col("str").substr(i + 1, col("len").cast("int")))))))
+        .as("dkey"))
+    val a = keys.select(col("id").as("id_a"), col("str").as("str_a"),
+      col("len").as("len_a"), col("dkey"))
+    val b = keys.select(col("id").as("id_b"), col("str").as("str_b"),
+      col("len").as("len_b"), col("dkey"))
+    a.join(b,
+        a("dkey") === b("dkey") && col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= 1)
+      .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

@@ -79,4 +79,40 @@ object SnapshotDiff {
       .filter(col("op") =!= "U" || size(col("changed_cols")) > 0)
       .select(keyCols.map(col) :+ col("op") :+ col("changed_cols"): _*)
   }
+
+  /** [[diff]] carrying the AFTER-image values (NULL payload on `D`
+    * rows) — the changelog shape [[applyChanges]] consumes, i.e. a
+    * change-data feed a downstream table can be maintained from. */
+  def diffFull(before: DataFrame, after: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    val d = diff(before, after, keyCols, compareCols)
+    val aft = after
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((keyCols ++ compareCols).map(col): _*)
+    d.join(aft, keyCols, "left")
+      .select(keyCols.map(col) ++ (col("op") +: col("changed_cols") +:
+        compareCols.map(col)): _*)
+  }
+
+  /** Apply a changelog (the [[diffFull]] shape) to a base snapshot:
+    * `D` keys drop, `I`/`U` rows take their after-image. One
+    * change-sized anti-join plus a union — never a rewrite of
+    * untouched rows in the plan (the storage-level analogue is the
+    * bucketed delete-then-append upsert in ParquetSinks); the
+    * roundtrip law `applyChanges(before, diffFull(before, after)) ≡
+    * after` (over non-NULL-key rows) is pinned in SnapshotDiffSpec.
+    * NULL-key base rows pass through untouched — the changelog cannot
+    * address them (same contract as [[diff]], which never emits
+    * NULL-key ops). */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "applyChanges: keyCols must be non-empty")
+    val outCols = (keyCols ++ compareCols).map(col)
+    val touched = changes.select(keyCols.map(col): _*).distinct()
+    val kept = base.select(outCols: _*)
+      .join(touched, keyCols, "left_anti")
+    val upserts = changes.filter(col("op") =!= "D")
+      .select(outCols: _*)
+    kept.unionByName(upserts)
+  }
 }

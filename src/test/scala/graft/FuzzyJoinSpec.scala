@@ -81,4 +81,36 @@ class FuzzyJoinSpec extends GraftSuite {
       .toDF("id", "s")
     assert(run(df, 1) == Set((1L, 2L, 1L)))
   }
+
+  private def run1(df: DataFrame): Set[(Long, Long, Long)] =
+    FuzzyJoin.selfJoin1(df, "id", "s").as[(Long, Long, Long)]
+      .collect().toSet
+
+  test("deletion-neighborhood k=1 ≡ brute on every adversarial class") {
+    val rnd = new scala.util.Random(7)
+    val random = strings((0 until 120).map { _ =>
+      (0 until 4 + rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString
+    })
+    val dense = strings((0 until 150).map(i => f"E${(i % 40) * 11}%06d") ++
+      Seq("", "a", "aa", "aaa", "aab", "ab", "ba"))
+    val seqIds = strings((0 until 150).map(i => f"Customer#$i%09d"))
+    for ((df, tag) <- Seq((random, "random"), (dense, "dense-codes"),
+        (seqIds, "seq-ids")))
+      assert(run1(df) == brute(df, 1), s"mismatch on $tag")
+  }
+
+  test("deletion-neighborhood k=1 ≡ gram-prefix k=1, incl. dup values") {
+    val df = strings(Seq("dup", "dup", "dup", "dupe", "dupx",
+      "other", "othex"))
+    assert(run1(df) == run(df, 1))
+    assert(run1(df) == brute(df, 1))
+  }
+
+  test("deletion-neighborhood drops NULLs like the gram path") {
+    val df = Seq((Some(1L), Some("abcdef")), (Some(2L), Some("abcdeg")),
+      (Some(3L), Option.empty[String]), (Option.empty[Long], Some("abcdef")))
+      .toDF("id", "s")
+    assert(run1(df) == Set((1L, 2L, 1L)))
+  }
 }

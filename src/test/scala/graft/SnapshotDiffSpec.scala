@@ -66,4 +66,43 @@ class SnapshotDiffSpec extends GraftSuite {
       .as[(Long, String, String)].collect().toSet
     assert(out == Set((1L, "q", "U"), (2L, "p", "I")))
   }
+
+  test("diffFull carries after-images; D rows have NULL payload") {
+    val before = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val after = Seq((2L, "bX"), (3L, "c")).toDF("k", "s")
+    val out = SnapshotDiff.diffFull(before, after, Seq("k"), Seq("s"))
+      .select(col("k"), col("op"), col("s"))
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(out == Set((1L, "D", None), (2L, "U", Some("bX")),
+      (3L, "I", Some("c"))))
+  }
+
+  test("roundtrip law: applyChanges(before, diffFull(before, after)) ≡ after") {
+    val rnd = new scala.util.Random(5)
+    val before = (1L to 300L).map(k => (k, s"s${rnd.nextInt(4)}",
+      rnd.nextInt(100).toDouble)).toDF("k", "s", "v")
+    // after: drop ~1/7, mutate ~1/3, insert a fresh tail
+    val after = before.filter(col("k") % 7 =!= 0)
+      .withColumn("s", when(col("k") % 3 === 0,
+        concat(col("s"), lit("!"))).otherwise(col("s")))
+      .unionByName(Seq((1001L, "new", 1.0), (1002L, "new", 2.0))
+        .toDF("k", "s", "v"))
+    val changes = SnapshotDiff.diffFull(before, after, Seq("k"),
+      Seq("s", "v"))
+    val applied = SnapshotDiff.applyChanges(before, changes, Seq("k"),
+      Seq("s", "v"))
+    assert(applied.exceptAll(after).isEmpty &&
+      after.exceptAll(applied).isEmpty)
+    assert(applied.count() == after.count())
+    // changelog is change-sized, not snapshot-sized
+    assert(changes.count() < before.count())
+  }
+
+  test("applyChanges leaves NULL-key base rows untouched") {
+    val base = Seq((Option(1L), "a"), (None, "ghost")).toDF("k", "s")
+    val changes = Seq((1L, "U", "aX")).toDF("k", "op", "s")
+    val out = SnapshotDiff.applyChanges(base, changes, Seq("k"), Seq("s"))
+      .select(col("s")).as[String].collect().toSet
+    assert(out == Set("aX", "ghost"))
+  }
 }
