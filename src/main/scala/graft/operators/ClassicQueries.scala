@@ -879,7 +879,26 @@ object ClassicQueries {
       DiffCols).orderBy(col("o_orderkey"))
   }
 
+  private val PrIters = 10
+  private val PrScale = 7
+
+  /** PageRank over a deterministic synthetic citation graph derived
+    * from orders (src = customer, dst = a hash of the order key into
+    * the customer id space — SF-independent logic both engines can
+    * compute). Per-iteration quantization to [[PrScale]] decimals is
+    * what makes the 10-round float fixpoint cross-engine exact. */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val nc = Tables.customer(s, dir).count()
+    val edges = Tables.orders(s, dir)
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey").as("src"),
+        pmod(col("o_orderkey") * 131 + 7, lit(nc)).as("dst"))
+    PageRank.run(edges, iters = PrIters, scale = PrScale)
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_pagerank" -> (pageRank _),
     "cls_cdc_apply" -> (cdcApply _),
     "cls_entity_res" -> (entityRes _),
     "cls_quality_audit" -> (qualityAudit _),
@@ -970,7 +989,40 @@ object ClassicQueries {
     FROM v WHERE chg
     WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)"""
 
+  /** One CTE per PageRank round (recursive CTEs cannot aggregate in
+    * the recursive term, so the fixpoint is UNROLLED — generated from
+    * the same [[PrIters]]/[[PrScale]] the Spark query uses; `1.0-0.85`
+    * is spelled, not folded, so both engines bind the identical
+    * double). */
+  private def pageRankSql: String = {
+    val rounds = (1 to PrIters).map { i =>
+      s"""pr$i AS (SELECT n.node,
+         round((1.0 - 0.85) / (SELECT n FROM par) +
+               0.85 * coalesce(s.c, 0.0), $PrScale) AS r
+         FROM nodes n LEFT JOIN (
+           SELECT e.dst, sum(p.r / o.od) AS c
+           FROM pr${i - 1} p JOIN outdeg o ON p.node = o.src
+                JOIN edges e ON e.src = o.src
+           GROUP BY e.dst) s ON n.node = s.dst)"""
+    }.mkString(",\n")
+    s"""WITH par AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer),
+       edges AS (SELECT o_custkey AS src,
+           (o_orderkey * 131 + 7) % (SELECT count(*) FROM customer)
+             AS dst
+         FROM orders WHERE o_custkey IS NOT NULL),
+       nodes AS (SELECT DISTINCT node FROM
+         (SELECT src AS node FROM edges
+          UNION ALL SELECT dst FROM edges)),
+       outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
+         FROM edges GROUP BY 1),
+       pr0 AS (SELECT node, round(1.0 / (SELECT n FROM par), $PrScale)
+         AS r FROM nodes),
+       $rounds
+       SELECT node, r AS "rank" FROM pr$PrIters ORDER BY node"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "cls_pagerank" -> pageRankSql,
     "cls_cdc_apply" ->
       """SELECT o_orderkey,
            CASE WHEN o_orderkey % 3 = 0 THEN 'X'

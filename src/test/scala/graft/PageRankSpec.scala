@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.PageRank
+
+/** [[PageRank]] contract: analytic fixpoints on hand graphs, the
+  * dangling-leak convention, and parity with a single-threaded power
+  * iteration on a random graph. */
+class PageRankSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 10)
+      : Map[Long, Double] =
+    PageRank.run(edges.toDF("src", "dst"), iters)
+      .as[(Long, Double)].collect().toMap
+
+  test("symmetric cycle converges to uniform") {
+    // 4-cycle: uniform 0.25 is the exact fixpoint from the uniform
+    // start, every iteration reproduces it
+    val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    r.values.foreach(v => assert(math.abs(v - 0.25) < 1e-9))
+  }
+
+  test("sink absorbs: hub-and-spoke ranks the hub highest") {
+    // the 1<->9 cycle oscillates with iteration parity; 40 rounds
+    // decay the oscillation (0.85^40) well below the fixpoint gap
+    val r = run(Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 1L)), iters = 40)
+    assert(r(9L) > r(1L) && r(1L) > r(2L))
+    assert(math.abs(r(2L) - r(3L)) < 1e-12, "symmetric spokes tie")
+  }
+
+  test("dangling node keeps base rank and leaks mass (documented)") {
+    // 1 -> 2, 2 has no out-edges: 2's mass evaporates
+    val r = run(Seq((1L, 2L)))
+    assert(math.abs(r(1L) - 0.075) < 1e-9) // (1-d)/N with N=2
+    assert(r(2L) > r(1L))
+    assert(r.values.sum < 1.0)
+  }
+
+  test("parity with a single-threaded power iteration, random graph") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val got = run(edges, iters = 8)
+    // reference with the SAME per-iteration quantization
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size }
+    def q(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = nodes.map(_ -> q(1.0 / n)).toMap
+    (1 to 8).foreach { _ =>
+      val in = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      edges.foreach { case (s, d) => in(d) += r(s) / out(s) }
+      r = nodes.map(v => v -> q((1.0 - 0.85) / n + 0.85 * in(v))).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 2e-9,
+        s"node $v: got ${got(v)} ref ${r(v)}")
+    }
+  }
+}
