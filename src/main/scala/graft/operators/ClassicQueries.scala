@@ -771,9 +771,13 @@ object ClassicQueries {
     * customer names at k=1: every pair of customers whose names are
     * one edit apart, via the rarest-q-gram prefix-filter join — never
     * the n² cross join the oracle runs. */
+  /** k=1 goes through the deletion-neighborhood join: sequential
+    * customer ids are exactly the saturating key space where the
+    * q-gram path's per-gram df grows with SF (first sf0.1 bench run
+    * measured it at 120 s; selfJoin1 ≡ selfJoin row-identical by
+    * FuzzyJoinSpec's seq-ids differential). */
   def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
-    FuzzyJoin.selfJoin(Tables.customer(s, dir), "c_custkey", "c_name",
-      k = 1, q = 3)
+    FuzzyJoin.selfJoin1(Tables.customer(s, dir), "c_custkey", "c_name")
       .orderBy(col("id_a"), col("id_b"))
 
   /** Compare columns of [[tableDiff]] — shared with the oracle SQL so
