@@ -158,6 +158,18 @@ object FuzzyJoin {
     * string — built for key/code/name columns, not document bodies.
     * ScaleProbe `resolve` pins the contrast with the q-gram path on
     * the saturating key space. */
+  /** Deletion neighborhood of a string column: the string itself plus
+    * every single-character deletion, distinct. `ed(a,b) <= 1` implies
+    * the neighborhoods intersect (the FastSS blocking property
+    * [[selfJoin1]] and the incremental [[ErIngest]] both build on). */
+  def deletionKeys(str: Column): Column = {
+    val len = length(str).cast("int")
+    array_distinct(concat(
+      array(str),
+      transform(sequence(lit(1), len),
+        i => concat(str.substr(lit(1), i - 1), str.substr(i + 1, len)))))
+  }
+
   def selfJoin1(df: DataFrame, idCol: String, strCol: String)
       : DataFrame = {
     val base = df
@@ -165,12 +177,7 @@ object FuzzyJoin {
       .select(col(idCol).as("id"), col(strCol).as("str"),
         length(col(strCol)).as("len"))
     val keys = base.select(col("id"), col("str"), col("len"),
-      explode(array_distinct(concat(
-        array(col("str")),
-        transform(sequence(lit(1), col("len").cast("int")),
-          i => concat(col("str").substr(lit(1), i - 1),
-            col("str").substr(i + 1, col("len").cast("int")))))))
-        .as("dkey"))
+      explode(deletionKeys(col("str"))).as("dkey"))
     val a = keys.select(col("id").as("id_a"), col("str").as("str_a"),
       col("len").as("len_a"), col("dkey"))
     val b = keys.select(col("id").as("id_b"), col("str").as("str_b"),
