@@ -703,6 +703,34 @@ object ScaleProbe {
           f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
       }
       bpe("1x", docBase); bpe(s"${k}x", docK)
+
+      // Incremental ER: per-batch fold cost must track the BATCH, not
+      // the registry — same O(batch) claim (and probe shape) as the
+      // vector ingest. Grow the registry k× via pre-folds, then time
+      // an identical batch against small vs grown state.
+      {
+        val erPath = "/tmp/graft_scale_er"
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(erPath))
+        // doubled batch tag keeps batches >= 2 edits apart: each fold
+        // opens a fresh entity space, so the probe isolates
+        // state-growth cost from true-duplicate density (which is
+        // output-bound by nature)
+        def batchOf(i: Int): DataFrame = entities(1)
+          .select((col("c_custkey") + lit(i.toLong * 100000000L))
+            .as("id"),
+            concat(lit(s"${i}_${i}_"), col("__nm")).as("s"))
+        def foldTimed(tag: String, i: Int): Unit = {
+          val t0 = System.nanoTime()
+          ErIngest.ingest(spark, batchOf(i), erPath, "id", "s", s"b$i")
+          println(f"resolve $tag%-8s er_fold      " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        foldTimed("warm", 0); foldTimed("1x", 1)
+        (2 until k).foreach(i =>
+          ErIngest.ingest(spark, batchOf(i), erPath, "id", "s", s"b$i"))
+        foldTimed(s"${k}x", k)
+      }
     }
     spark.stop()
   }

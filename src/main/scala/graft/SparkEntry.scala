@@ -50,6 +50,8 @@ object SparkEntry {
     "cls_table_diff",
     "cls_quality_audit",
     "cls_entity_res",
+    "cls_cdc_apply",
+    "cls_pagerank",
     "llm_pmi",
     "llm_heavy_hitters",
     "rco_sessionize",
