@@ -901,7 +901,30 @@ object ClassicQueries {
       .orderBy(col("node"))
   }
 
+  /** Distribution drift between the [[cdcApply]] before/after
+    * snapshots: categorical PSI/KL on the status column (the injected
+    * 'X' is a real new-category shift) and fixed-width-binned numeric
+    * drift on the price column. */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val before = o.filter(col("o_orderkey") % 7 =!= 0)
+    val after = o
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 3 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.05)
+          .otherwise(col("o_totalprice")))
+    Drift.categorical(before, after, "o_orderstatus")
+      .withColumn("kind", lit("status"))
+      .unionByName(Drift
+        .numeric(before, after, "o_totalprice", 0.0, 600000.0, 12)
+        .withColumn("kind", lit("price")))
+      .orderBy(col("kind"), col("value"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_drift" -> (drift _),
     "cls_pagerank" -> (pageRank _),
     "cls_cdc_apply" -> (cdcApply _),
     "cls_entity_res" -> (entityRes _),
@@ -1026,6 +1049,71 @@ object ClassicQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "cls_drift" ->
+      """WITH bef AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+       aft AS (SELECT
+           CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.05
+                ELSE o_totalprice END AS o_totalprice
+         FROM orders),
+       sb AS (SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '__null')
+           AS value, count(*) AS n FROM bef GROUP BY 1),
+       sa AS (SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '__null')
+           AS value, count(*) AS n FROM aft GROUP BY 1),
+       scells AS (SELECT coalesce(sb.value, sa.value) AS value,
+           coalesce(sb.n, 0) AS n_before, coalesce(sa.n, 0) AS n_after
+         FROM sb FULL OUTER JOIN sa ON sb.value = sa.value),
+       stot AS (SELECT CAST(sum(n_before) AS DOUBLE) AS tb,
+           CAST(sum(n_after) AS DOUBLE) AS ta,
+           CAST(count(*) AS DOUBLE) AS nv FROM scells),
+       pb AS (SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+           WHEN o_totalprice < 0.0 THEN -1
+           WHEN o_totalprice >= 600000.0 THEN 12
+           ELSE CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT)
+           END AS b FROM bef),
+       pa AS (SELECT CASE WHEN o_totalprice IS NULL THEN NULL
+           WHEN o_totalprice < 0.0 THEN -1
+           WHEN o_totalprice >= 600000.0 THEN 12
+           ELSE CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT)
+           END AS b FROM aft),
+       pb2 AS (SELECT coalesce(CAST(b AS VARCHAR), '__null') AS value,
+           count(*) AS n FROM pb GROUP BY 1),
+       pa2 AS (SELECT coalesce(CAST(b AS VARCHAR), '__null') AS value,
+           count(*) AS n FROM pa GROUP BY 1),
+       pcells AS (SELECT coalesce(pb2.value, pa2.value) AS value,
+           coalesce(pb2.n, 0) AS n_before, coalesce(pa2.n, 0) AS n_after
+         FROM pb2 FULL OUTER JOIN pa2 ON pb2.value = pa2.value),
+       ptot AS (SELECT CAST(sum(n_before) AS DOUBLE) AS tb,
+           CAST(sum(n_after) AS DOUBLE) AS ta,
+           CAST(count(*) AS DOUBLE) AS nv FROM pcells)
+       SELECT * FROM (
+         SELECT value, n_before, n_after,
+           round(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv)
+                - (CAST(n_after AS DOUBLE) + 0.5) / (ta + 0.5 * nv))
+             * ln(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv))
+                / ((CAST(n_after AS DOUBLE) + 0.5) / (ta + 0.5 * nv))),
+             6) AS psi_term,
+           round(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv))
+             * ln(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv))
+                / ((CAST(n_after AS DOUBLE) + 0.5) / (ta + 0.5 * nv))),
+             6) AS kl_term,
+           'status' AS kind
+         FROM scells, stot
+         UNION ALL
+         SELECT value, n_before, n_after,
+           round(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv)
+                - (CAST(n_after AS DOUBLE) + 0.5) / (ta + 0.5 * nv))
+             * ln(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv))
+                / ((CAST(n_after AS DOUBLE) + 0.5) / (ta + 0.5 * nv))),
+             6),
+           round(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv))
+             * ln(((CAST(n_before AS DOUBLE) + 0.5) / (tb + 0.5 * nv))
+                / ((CAST(n_after AS DOUBLE) + 0.5) / (ta + 0.5 * nv))),
+             6),
+           'price'
+         FROM pcells, ptot)
+       ORDER BY kind, value""",
     "cls_pagerank" -> pageRankSql,
     "cls_cdc_apply" ->
       """SELECT o_orderkey,
