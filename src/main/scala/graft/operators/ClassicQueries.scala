@@ -923,7 +923,24 @@ object ClassicQueries {
       .orderBy(col("kind"), col("value"))
   }
 
+  /** Record linkage: the clean customer registry against a dirty feed
+    * (every third name typo'd — char dropped / appended / substituted
+    * by position parity). Exact ed<=1 crosswalk via the deletion
+    * blocking; brute levenshtein cross-join oracle. */
+  def fuzzyLink(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val dirty = cust.select(
+      (col("c_custkey") + lit(1000000L)).as("d_id"),
+      when(col("c_custkey") % 3 =!= 0, col("c_name"))
+        .when(col("c_custkey") % 2 === 0,
+          expr("substring(c_name, 2)"))
+        .otherwise(concat(col("c_name"), lit("q"))).as("d_name"))
+    FuzzyJoin.join1(cust, "c_custkey", "c_name", dirty, "d_id", "d_name")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_fuzzy_link" -> (fuzzyLink _),
     "cls_drift" -> (drift _),
     "cls_pagerank" -> (pageRank _),
     "cls_cdc_apply" -> (cdcApply _),
@@ -1049,6 +1066,18 @@ object ClassicQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "cls_fuzzy_link" ->
+      """WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
+           CASE WHEN c_custkey % 3 <> 0 THEN c_name
+                WHEN c_custkey % 2 = 0 THEN substr(c_name, 2)
+                ELSE c_name || 'q' END AS d_name
+         FROM customer)
+       SELECT a.c_custkey AS id_a, b.d_id AS id_b,
+         CAST(levenshtein(a.c_name, b.d_name) AS BIGINT) AS dist
+       FROM customer a JOIN dirty b
+         ON abs(length(a.c_name) - length(b.d_name)) <= 1
+       WHERE levenshtein(a.c_name, b.d_name) <= 1
+       ORDER BY id_a, id_b""",
     "cls_drift" ->
       """WITH bef AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
        aft AS (SELECT

@@ -192,4 +192,29 @@ object FuzzyJoin {
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Cross-TABLE k=1 similarity join (record linkage / crosswalk
+    * building: a clean registry against a dirty feed): all pairs
+    * `(id_a, id_b, dist)` with `id_a` from `left`, `id_b` from
+    * `right`, and `levenshtein <= 1` — the [[selfJoin1]] deletion
+    * blocking between two frames, same exactness and same bounded
+    * per-key fan-in. NULL ids/strings drop on both sides. */
+  def join1(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String): DataFrame = {
+    def keyed(df: DataFrame, id: String, str: String, tag: String)
+        : DataFrame = df
+      .filter(col(id).isNotNull && col(str).isNotNull)
+      .select(col(id).as(s"id_$tag"), col(str).as(s"str_$tag"),
+        length(col(str)).as(s"len_$tag"),
+        explode(deletionKeys(col(str))).as("dkey"))
+    keyed(left, leftId, leftStr, "a")
+      .join(keyed(right, rightId, rightStr, "b"), Seq("dkey"))
+      .filter(abs(col("len_a") - col("len_b")) <= 1)
+      .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

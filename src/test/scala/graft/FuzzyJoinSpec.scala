@@ -107,6 +107,23 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(run1(df) == brute(df, 1))
   }
 
+  test("cross-table join1 ≡ brute cross levenshtein") {
+    val rnd = new scala.util.Random(21)
+    def word() = (0 until 4 + rnd.nextInt(5))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val left = strings((0 until 80).map(_ => word()))
+    val rightRows = (0 until 80).map(i => (1000L + i, word()))
+    val right = rightRows.toDF("id", "s")
+    val got = FuzzyJoin.join1(left, "id", "s", right, "id", "s")
+      .as[(Long, Long, Long)].collect().toSet
+    val lrows = left.as[(Long, String)].collect()
+    val exp = (for {
+      (ia, sa) <- lrows; (ib, sb) <- rightRows
+      d = levDist(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == exp)
+  }
+
   test("deletion-neighborhood drops NULLs like the gram path") {
     val df = Seq((Some(1L), Some("abcdef")), (Some(2L), Some("abcdeg")),
       (Some(3L), Option.empty[String]), (Option.empty[Long], Some("abcdef")))
