@@ -832,7 +832,11 @@ object ClassicQueries {
       refIntegrity(li, "lineitem", "l_orderkey",
         orders, "orders", "o_orderkey"),
       refIntegrity(Tables.customer(s, dir), "customer", "c_nationkey",
-        Tables.nation(s, dir), "nation", "n_nationkey"))
+        Tables.nation(s, dir), "nation", "n_nationkey"),
+      // holds by construction (o_orderkey is unique)
+      fdCheck(orders, "orders", Seq("o_orderkey"), "o_orderstatus"),
+      // fails: an order's lines ship on many dates
+      fdCheck(li, "lineitem", Seq("l_orderkey"), "l_shipdate"))
   }
 
   /** Entity resolution over a derived key column with a real cluster
@@ -1214,7 +1218,17 @@ object ClassicQueries {
          FROM customer c LEFT JOIN
            (SELECT DISTINCT n_nationkey FROM nation
             WHERE n_nationkey IS NOT NULL) p
-           ON c.c_nationkey = p.n_nationkey)
+           ON c.c_nationkey = p.n_nationkey),
+       fd1 AS (SELECT count(CASE WHEN n > 1 THEN 1 END) AS v,
+           count(*) AS total FROM
+         (SELECT o_orderkey, count(DISTINCT coalesce(
+            CAST(o_orderstatus AS VARCHAR), '__null')) AS n
+          FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1)),
+       fd2 AS (SELECT count(CASE WHEN n > 1 THEN 1 END) AS v,
+           count(*) AS total FROM
+         (SELECT l_orderkey, count(DISTINCT coalesce(
+            CAST(l_shipdate AS VARCHAR), '__null')) AS n
+          FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1))
        SELECT * FROM (
          SELECT 'orders' AS table_name, 'not_null' AS "check",
            'o_custkey' AS target, v_nn AS violations, total,
@@ -1236,7 +1250,11 @@ object ClassicQueries {
          UNION ALL SELECT 'lineitem', 'ref_integrity',
            'l_orderkey->orders.o_orderkey', v, total, v = 0 FROM ri1
          UNION ALL SELECT 'customer', 'ref_integrity',
-           'c_nationkey->nation.n_nationkey', v, total, v = 0 FROM ri2)
+           'c_nationkey->nation.n_nationkey', v, total, v = 0 FROM ri2
+         UNION ALL SELECT 'orders', 'functional_dep',
+           'o_orderkey->o_orderstatus', v, total, v = 0 FROM fd1
+         UNION ALL SELECT 'lineitem', 'functional_dep',
+           'l_orderkey->l_shipdate', v, total, v = 0 FROM fd2)
        ORDER BY table_name, "check", target""",
     "cls_bloom_join" ->
       """SELECT date_trunc('month', o_orderdate) AS month,

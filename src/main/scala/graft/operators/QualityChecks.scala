@@ -122,6 +122,35 @@ object QualityChecks {
         (col("__v") === lit(0)).as("passed"))
   }
 
+  /** Functional-dependency check: `lhs -> rhs` must hold (every lhs
+    * tuple maps to ONE rhs value — "a machine id determines its
+    * plant", "an order key determines its status"). Violations =
+    * number of lhs groups with more than one distinct rhs; total =
+    * number of lhs groups. Rows with a NULL lhs component are outside
+    * the dependency's domain (NotNull's business); NULL rhs counts as
+    * a value (a group mixing NULL and non-NULL rhs violates).
+    *
+    * Needs its own two-level aggregate (group → distinct count →
+    * violation count), so it cannot fuse into [[audit]]'s single
+    * pass — same standalone-row contract as [[refIntegrity]]. */
+  def fdCheck(df: DataFrame, tableName: String, lhs: Seq[String],
+      rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fdCheck: empty lhs")
+    df.filter(lhs.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(lhs.map(col): _*)
+      .agg(countDistinct(coalesce(col(rhs).cast("string"),
+        lit("__null"))).as("__nrhs"))
+      .agg(count(when(col("__nrhs") > 1, lit(1))).as("__v"),
+        count(lit(1)).as("__total"))
+      .select(
+        lit(tableName).as("table_name"),
+        lit("functional_dep").as("check"),
+        lit(s"${lhs.mkString(",")}->$rhs").as("target"),
+        col("__v").cast("long").as("violations"),
+        col("__total").cast("long").as("total"),
+        (col("__v") === lit(0)).as("passed"))
+  }
+
   /** Union audit report frames into one sorted report. */
   def report(parts: DataFrame*): DataFrame = {
     require(parts.nonEmpty, "report: no parts")

@@ -90,6 +90,27 @@ class QualityChecksSpec extends GraftSuite {
     assert(!r.getBoolean(5))
   }
 
+  test("functional dependency: mixed-rhs groups counted once each") {
+    val df = Seq(
+      (1L, Option("x")), (1L, Option("x")),      // consistent
+      (2L, Option("x")), (2L, Option("y")),      // violates
+      (3L, Option("z")), (3L, None),             // NULL rhs mixes -> violates
+      (4L, None), (4L, None)                     // consistent (all NULL)
+    ).toDF("k", "v")
+    val r = QualityChecks.fdCheck(df, "t", Seq("k"), "v").collect().head
+    assert(r.getString(2) == "k->v")
+    assert(r.getLong(3) == 2L, "groups 2 and 3 violate")
+    assert(r.getLong(4) == 4L, "total = lhs groups")
+    assert(!r.getBoolean(5))
+  }
+
+  test("functional dependency: NULL lhs rows are outside the domain") {
+    val df = Seq((Option(1L), "a"), (None, "b"), (None, "c"))
+      .toDF("k", "v")
+    val r = QualityChecks.fdCheck(df, "t", Seq("k"), "v").collect().head
+    assert(r.getLong(3) == 0L && r.getLong(4) == 1L && r.getBoolean(5))
+  }
+
   test("report unions and sorts deterministically") {
     val a = QualityChecks.audit(fixture, "b_t", Seq(NotNull("id")))
     val b = QualityChecks.audit(fixture, "a_t", Seq(NotNull("id")))
