@@ -719,6 +719,75 @@ object LlmCorpus {
         round(col("target_share") /
           (col("n_tokens") / col("tot_tokens")), 6).as("weight"))
   }
+
+  val CalibBuckets = 10
+
+  /** Cross-source quality-score calibration: a raw score (the shared
+    * token-entropy kernel, [[LlmPrep.entropy]]) is NOT comparable
+    * across heterogeneous sources — a web source and a books source
+    * have different score distributions, so one global threshold
+    * over- or under-prunes per source. Quantile normalization fixes
+    * it: percent_rank WITHIN source (ties broken by doc_id so the
+    * rank is cross-engine exact), bucketed into [[CalibBuckets]]
+    * deciles — "keep the top 30% of EACH source" becomes a plain
+    * bucket filter. One window over the source partitioning; the
+    * score scan is the entropy kernel's. */
+  def calibrateBySource(documents: DataFrame): DataFrame = {
+    val scores = LlmPrep.entropy(documents)
+      .select(col("doc_id"), col("token_entropy").as("score"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score"), col("doc_id"))
+    documents.select(col("doc_id"), col("source"))
+      .join(scores, Seq("doc_id"))
+      .withColumn("__pr", percent_rank().over(w))
+      .select(col("doc_id"), col("source"), col("score"),
+        round(col("__pr"), 6).as("pct"),
+        least(floor(col("__pr") * CalibBuckets),
+          lit(CalibBuckets - 1L)).cast("long").as("bucket"))
+  }
+
+  val DistinctiveK = 10
+
+  /** Distinctive vocabulary per source (Monroe et al.'s "Fightin'
+    * Words" shape, simplified): smoothed log-odds of each token in a
+    * source vs the REST of the corpus, variance-normalized —
+    * `z = Δ / sqrt(1/(n_s+0.5) + 1/(n_r+0.5))` with
+    * `Δ = ln((n_s+.5)/(T_s−n_s+.5)) − ln((n_r+.5)/(T_r−n_r+.5))` —
+    * top-k per source by (rounded z DESC, token). Everything after
+    * the one token scan is vocabulary-sized; grand totals ride a
+    * one-row broadcast. Keep character-parallel to
+    * [[LlmCorpusSql.distinctiveTermsSql]]. */
+  def distinctiveTerms(documents: DataFrame,
+      k: Int = DistinctiveK): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    val bySource = counts.groupBy(col("source"))
+      .agg(sum(col("n")).as("ts"))
+    val byToken = counts.groupBy(col("token"))
+      .agg(sum(col("n")).as("nt"))
+    val grand = counts.agg(sum(col("n")).cast("double").as("g"))
+    val ns = col("n").cast("double")
+    val nr = (col("nt") - col("n")).cast("double")
+    val tsd = col("ts").cast("double")
+    val delta = log((ns + lit(0.5)) / (tsd - ns + lit(0.5))) -
+      log((nr + lit(0.5)) / (col("g") - tsd - nr + lit(0.5)))
+    val scored = counts
+      .join(bySource, Seq("source"))
+      .join(byToken, Seq("token"))
+      .crossJoin(broadcast(grand))
+      .withColumn("z", round(delta /
+        sqrt(lit(1.0) / (ns + lit(0.5)) + lit(1.0) / (nr + lit(0.5))),
+        6))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("z").desc, col("token"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("token"), col("n"), col("z"),
+        col("rank"))
+  }
 }
 
 /** DuckDB twin of [[LlmCorpus]] — same hash family, same window/stride
@@ -729,6 +798,49 @@ object LlmCorpusSql {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  /** Twin of [[LlmCorpus.calibrateBySource]] — same entropy kernel as
+    * the llm_entropy oracle, same tie order, same decile floor. */
+  val calibrateSql: String =
+    s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks
+         FROM documents),
+    tf AS (SELECT doc_id, t.u, count(*) AS k
+      FROM tk, UNNEST(toks) AS t(u) GROUP BY 1, 2),
+    te AS (SELECT doc_id,
+      round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 6) AS score
+      FROM tf GROUP BY doc_id),
+    s AS (SELECT d.doc_id, d.source, coalesce(te.score, 0.0) AS score
+      FROM documents d LEFT JOIN te ON te.doc_id = d.doc_id)
+    SELECT doc_id, source, score,
+      round(percent_rank() OVER w, 6) AS pct,
+      CAST(least(floor(percent_rank() OVER w * $CalibBuckets),
+                 ${CalibBuckets - 1}) AS BIGINT) AS bucket
+    FROM s WINDOW w AS (PARTITION BY source ORDER BY score, doc_id)"""
+
+  /** Twin of [[LlmCorpus.distinctiveTerms]] — identical smoothed
+    * log-odds association order. */
+  val distinctiveTermsSql: String =
+    s"""WITH tk AS (SELECT source, $toksSql AS toks FROM documents),
+    counts AS (SELECT source, t.u AS token, count(*) AS n
+      FROM tk, UNNEST(toks) AS t(u) GROUP BY 1, 2),
+    bys AS (SELECT source, sum(n) AS ts FROM counts GROUP BY 1),
+    byt AS (SELECT token, sum(n) AS nt FROM counts GROUP BY 1),
+    gt AS (SELECT CAST(sum(n) AS DOUBLE) AS g FROM counts),
+    sc AS (SELECT c.source, c.token, c.n,
+      round((ln((CAST(c.n AS DOUBLE) + 0.5)
+              / (CAST(ts AS DOUBLE) - CAST(c.n AS DOUBLE) + 0.5))
+           - ln((CAST(nt - c.n AS DOUBLE) + 0.5)
+              / (g - CAST(ts AS DOUBLE)
+                 - CAST(nt - c.n AS DOUBLE) + 0.5)))
+        / sqrt(1.0 / (CAST(c.n AS DOUBLE) + 0.5)
+             + 1.0 / (CAST(nt - c.n AS DOUBLE) + 0.5)), 6) AS z
+      FROM counts c JOIN bys USING (source) JOIN byt USING (token), gt)
+    SELECT source, token, n, z, rank FROM (
+      SELECT source, token, n, z,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY z DESC, token) AS BIGINT) AS rank
+      FROM sc)
+    WHERE rank <= $DistinctiveK"""
 
   val shuffleShardsSql: String =
     s"""WITH h AS (SELECT doc_id,
