@@ -943,7 +943,53 @@ object ClassicQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: `P(next type | type)` — the journey-analysis shape
+    * (what do users do after a cart?). One lead window per user
+    * (ordered by ts, event_id — tie-deterministic), then a
+    * vocabulary-sized count aggregate; probabilities are
+    * count/row-total rounded 6. Terminal events (no next) drop. */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("t"))
+    pairs.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("t").cast("double"), 6)
+          .as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
+  /** Time-based train/test split with an EMBARGO gap (leakage guard
+    * for forecasting data: rows within `EmbargoDays` before the
+    * cutoff belong to neither side, so lookback features computed on
+    * train can't peek across the boundary). Cutoff = max ts minus 30
+    * days, embargo 3 days — both derived IN-PLAN from the data so the
+    * rule is SF-independent. */
+  def timeSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.agg(max(col("ts")).as("mx"))
+    ev.crossJoin(broadcast(stats))
+      .withColumn("cutoff",
+        col("mx") - expr("INTERVAL 30 DAYS"))
+      .withColumn("split",
+        when(col("ts") < col("cutoff") - expr("INTERVAL 3 DAYS"),
+          lit("train"))
+          .when(col("ts") >= col("cutoff"), lit("test"))
+          .otherwise(lit("embargo")))
+      .select(col("event_id"), col("split"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_markov" -> (markovTransitions _),
+    "cls_time_split" -> (timeSplit _),
     "cls_fuzzy_link" -> (fuzzyLink _),
     "cls_drift" -> (drift _),
     "cls_pagerank" -> (pageRank _),
@@ -1070,6 +1116,27 @@ object ClassicQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "cls_markov" ->
+      """WITH pr AS (SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS next_type
+         FROM events),
+       pc AS (SELECT event_type, next_type, count(*) AS n
+         FROM pr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       tt AS (SELECT event_type, sum(n) AS t FROM pc GROUP BY 1)
+       SELECT pc.event_type, pc.next_type, pc.n,
+         round(CAST(pc.n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS p
+       FROM pc JOIN tt USING (event_type)
+       ORDER BY event_type, next_type""",
+    "cls_time_split" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+       SELECT event_id,
+         CASE WHEN ts < (SELECT m FROM mx) - INTERVAL 30 DAY
+                        - INTERVAL 3 DAY THEN 'train'
+              WHEN ts >= (SELECT m FROM mx) - INTERVAL 30 DAY
+                THEN 'test'
+              ELSE 'embargo' END AS split
+       FROM events ORDER BY event_id""",
     "cls_fuzzy_link" ->
       """WITH dirty AS (SELECT c_custkey + 1000000 AS d_id,
            CASE WHEN c_custkey % 3 <> 0 THEN c_name
