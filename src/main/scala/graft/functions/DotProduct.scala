@@ -214,6 +214,16 @@ object GraftFunctions {
         MisraGriesAgg(exprs.head,
           literalInt("graft_mg_agg(key, capacity)", exprs, 1)))
 
+  /** `graft_nfc(text)` — Unicode NFC normalization
+    * ([[NfcNormalize]]). */
+  val nfcNormalize: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getCanonicalName,
+        "graft_nfc"),
+      (exprs: Seq[Expression]) =>
+        NfcNormalize(unaryArg("graft_nfc(text)", exprs)))
+
   val mightContain: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_might_contain"),
@@ -239,5 +249,6 @@ object GraftFunctions {
     ext.injectFunction(bloomAgg)
     ext.injectFunction(mightContain)
     ext.injectFunction(misraGries)
+    ext.injectFunction(nfcNormalize)
   }
 }

@@ -481,6 +481,24 @@ object LlmText {
         (col("twf") > topWordMax || col("t2f") > top2Max ||
           col("d3f") > dup3Max).cast("int").as("repetitive"))
   }
+
+  /** Text normalization — the canonical-form pass every dedup/
+    * fingerprint stage should see first: Unicode NFC (the native
+    * [[graft.functions.NfcNormalize]] expression — composed and
+    * decomposed accents hash identically after it), control chars →
+    * space, whitespace runs collapsed, ends trimmed. Control chars
+    * are replaced BEFORE the `\s+` collapse so the collapse only ever
+    * sees plain spaces (Java and RE2 disagree on whether `\s` matches
+    * vertical tab — this ordering makes the disagreement unreachable,
+    * which is what keeps the DuckDB twin exact). Pure projection,
+    * whole-stage codegen, zero shuffle. */
+  def normalizeText(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(
+        call_function("graft_nfc", col("text")),
+        "[\\x00-\\x1F\\x7F]", " "), "\\s+", " ")).as("text_norm"))
+      .withColumn("n_chars_norm",
+        length(col("text_norm")).cast("long"))
 }
 
 /** DuckDB twin of [[LlmText]] — same hash family (md5 strings), same
@@ -489,6 +507,20 @@ object LlmText {
 object LlmTextSql {
 
   import LlmText.{BandRows, JaccardThreshold, NumBands, NumHashes}
+
+  /** Twin of [[LlmText.normalizeText]] — DuckDB's nfc_normalize
+    * implements the same Unicode NFC standard; control strip precedes
+    * the whitespace collapse on both sides. */
+  val normalizeSql: String =
+    """SELECT doc_id,
+      trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))
+        AS text_norm,
+      CAST(length(trim(regexp_replace(regexp_replace(
+        nfc_normalize(text),
+        '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')))
+        AS BIGINT) AS n_chars_norm
+    FROM documents"""
 
   val toksCte: String =
     """tk AS (SELECT doc_id, text,
