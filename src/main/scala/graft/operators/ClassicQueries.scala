@@ -987,7 +987,35 @@ object ClassicQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Robust outlier screen: median / MAD instead of mean / stddev
+    * (the [[outliers]] z-score family breaks down when the outliers
+    * themselves inflate the stddev — MAD has a 50% breakdown point).
+    * Modified z = 0.6745·(x − med)/MAD, |z| > 3.5 (Iglewicz–Hoaglin).
+    * Two exact dyadic medians (bit-exact cross-engine like
+    * [[percentiles]]), group frame broadcast into the scan both
+    * times. */
+  def outliersMad(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val med = o.groupBy(col("o_orderpriority").as("prio"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+    val withMed = o.join(broadcast(med),
+      col("o_orderpriority") === col("prio"))
+    val mad = withMed.groupBy(col("prio").as("prio2"))
+      .agg(percentile(abs(col("o_totalprice") - col("med")), lit(0.5))
+        .as("mad"))
+    withMed.join(broadcast(mad), col("prio") === col("prio2"))
+      .withColumn("z",
+        lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(min(col("med")), 4).as("med"),
+        round(min(col("mad")), 4).as("mad"),
+        count(when(abs(col("z")) > 3.5, lit(1))).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_outliers_mad" -> (outliersMad _),
     "cls_markov" -> (markovTransitions _),
     "cls_time_split" -> (timeSplit _),
     "cls_fuzzy_link" -> (fuzzyLink _),
@@ -1116,6 +1144,22 @@ object ClassicQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "cls_outliers_mad" ->
+      """WITH med AS (SELECT o_orderpriority AS prio,
+           quantile_cont(o_totalprice, 0.5) AS med
+         FROM orders GROUP BY 1),
+       mad AS (SELECT o_orderpriority AS prio2,
+           quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+         FROM orders JOIN med ON o_orderpriority = prio GROUP BY 1)
+       SELECT o_orderpriority,
+         round(min(med), 4) AS med,
+         round(min(mad), 4) AS mad,
+         count(CASE WHEN abs(0.6745 * (o_totalprice - med) / mad) > 3.5
+               THEN 1 END) AS n_outliers,
+         count(*) AS n
+       FROM orders JOIN med ON o_orderpriority = prio
+                   JOIN mad ON o_orderpriority = prio2
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "cls_markov" ->
       """WITH pr AS (SELECT event_type,
            lead(event_type) OVER (PARTITION BY user_id

@@ -120,6 +120,48 @@ object LlmCorpus {
         round(avg(col("logp")), 6).as("avg_logp"),
         round(exp(-avg(col("logp"))), 6).as("ppl"))
 
+  /** Bigram language-model quality score — one order up from
+    * [[unigramLm]]: a doc full of common words in IMPLAUSIBLE order
+    * (shuffled text, keyword stuffing) scores well on unigrams and
+    * badly here. Add-one-smoothed conditional:
+    * `ln(c(l,r) + 1) − ln(c(l) + V)` per adjacent pair, averaged per
+    * doc, perplexity = exp(−avg). Docs with fewer than two tokens
+    * have no bigram evidence and drop (documented contract).
+    *
+    * Shape: the model is two DataFrames (bigram + unigram counts, one
+    * scan each over the pinned tokenized frame); scoring is two
+    * vocabulary-sized equi-joins, one doc aggregate — the unigram
+    * cost profile, nothing new at 100 TB. */
+  def bigramLm(documents: DataFrame): DataFrame = {
+    val tk = CacheScope.pin(documents
+      .select(col("doc_id"), toks(col("text")).as("toks")))
+    val arrLen = org.apache.spark.sql.functions.size _
+    val pairs = tk
+      .select(col("doc_id"), explode(when(arrLen(col("toks")) >= 2,
+        transform(sequence(lit(1), (arrLen(col("toks")) - 1).cast("int")),
+          i => struct(element_at(col("toks"), i).as("l"),
+            element_at(col("toks"), i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("p"))
+      .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+    val bi = pairs.groupBy(col("l"), col("r"))
+      .agg(count(lit(1)).as("c2"))
+    val uni = tk.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val v = uni.agg(count(lit(1)).cast("double").as("v_size"))
+    pairs
+      .join(bi, Seq("l", "r"), "left")
+      .join(uni.select(col("tok").as("l"), col("c")), Seq("l"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        (log(coalesce(col("c2"), lit(0L)) + 1) -
+          log(col("c") + col("v_size"))).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        round(avg(col("logp")), 6).as("avg_logp"),
+        round(exp(-avg(col("logp"))), 6).as("ppl"))
+  }
+
   /** Duplicated-span gram length (tokens) for [[substrDup]]: any
     * verbatim shared token span of ≥ DupN tokens is caught regardless
     * of where it sits in either document — token shingles at stride 1
@@ -798,6 +840,26 @@ object LlmCorpusSql {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  /** Twin of [[LlmCorpus.bigramLm]] — same smoothing association
+    * order as the unigram twin, same µ-doc drop rule. */
+  val bigramLmSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    uni AS (SELECT t.u AS tok, count(*) AS c
+      FROM tk, UNNEST(toks) AS t(u) GROUP BY 1),
+    vs AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni),
+    pr AS (SELECT doc_id, toks[i] AS l, toks[i + 1] AS r
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2),
+    bi AS (SELECT l, r, count(*) AS c2 FROM pr GROUP BY 1, 2),
+    sc AS (SELECT doc_id,
+        ln(coalesce(c2, 0) + 1) - ln(c + v_size) AS logp
+      FROM pr LEFT JOIN bi USING (l, r)
+        JOIN uni ON pr.l = uni.tok, vs)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      round(avg(logp), 6) AS avg_logp,
+      round(exp(-avg(logp)), 6) AS ppl
+    FROM sc GROUP BY doc_id"""
 
   /** Twin of [[LlmCorpus.calibrateBySource]] — same entropy kernel as
     * the llm_entropy oracle, same tie order, same decile floor. */

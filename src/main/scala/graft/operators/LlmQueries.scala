@@ -36,6 +36,7 @@ object LlmQueries {
     "llm_pmi" -> ((s, d) => LlmPrep.collocations(docs(s, d))),
     "llm_calibrate" -> ((s, d) => LlmCorpus.calibrateBySource(docs(s, d))),
     "llm_normalize" -> ((s, d) => LlmText.normalizeText(docs(s, d))),
+    "llm_bigram_lm" -> ((s, d) => LlmCorpus.bigramLm(docs(s, d))),
     "llm_distinctive" -> ((s, d) => LlmCorpus.distinctiveTerms(docs(s, d))),
     // rows-only like llm_bpe_train (BpeTrainSpec is the oracle): the
     // learned 12-rule table (bounded driver collect) applied corpus-wide
@@ -112,6 +113,7 @@ object LlmQueries {
     "llm_pmi" -> LlmPrepSql.pmiSql,
     "llm_calibrate" -> LlmCorpusSql.calibrateSql,
     "llm_normalize" -> LlmTextSql.normalizeSql,
+    "llm_bigram_lm" -> LlmCorpusSql.bigramLmSql,
     "llm_distinctive" -> LlmCorpusSql.distinctiveTermsSql,
     "llm_dedup_exact" -> LlmTextSql.dedupExactSql,
     "llm_dedup_near" -> LlmTextSql.dedupNearSql,
