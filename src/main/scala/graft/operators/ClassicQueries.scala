@@ -1014,7 +1014,32 @@ object ClassicQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Gini concentration index of per-customer revenue within each
+    * market segment — the inequality measure that quantifies
+    * "how skewed is this key?" (the same number a skew-join planner
+    * wants before choosing salting). Rank formulation over the
+    * ascending sort: `G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n`, ties broken by
+    * customer id so the rank is cross-engine exact. One aggregate to
+    * customer grain, one window per segment, one segment aggregate. */
+  def giniRevenue(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("c_custkey"))
+      .agg(sum(col("o_totalprice")).as("x"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("x"), col("c_custkey"))
+    rev.withColumn("i", row_number().over(w).cast("double"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(lit(2.0) * sum(col("i") * col("x")) /
+          (count(lit(1)) * sum(col("x"))) -
+          (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "cls_gini" -> (giniRevenue _),
     "cls_outliers_mad" -> (outliersMad _),
     "cls_markov" -> (markovTransitions _),
     "cls_time_split" -> (timeSplit _),
@@ -1144,6 +1169,19 @@ object ClassicQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "cls_gini" ->
+      """WITH rev AS (SELECT c_mktsegment, c_custkey,
+           sum(o_totalprice) AS x
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2),
+       rk AS (SELECT c_mktsegment, x,
+           CAST(row_number() OVER (PARTITION BY c_mktsegment
+             ORDER BY x, c_custkey) AS DOUBLE) AS i
+         FROM rev)
+       SELECT c_mktsegment, count(*) AS n_customers,
+         round(2.0 * sum(i * x) / (count(*) * sum(x))
+           - (count(*) + 1.0) / count(*), 6) AS gini
+       FROM rk GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "cls_outliers_mad" ->
       """WITH med AS (SELECT o_orderpriority AS prio,
            quantile_cont(o_totalprice, 0.5) AS med
