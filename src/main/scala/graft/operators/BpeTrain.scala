@@ -29,11 +29,11 @@ import org.apache.spark.sql.functions._
   * large frame; it shrinks as merges fuse symbols and is re-persisted
   * per round.
   *
-  * No SQL oracle exists for the gate (the per-round argmax feeds the
-  * next round's plan — an iterative fixpoint DuckDB can't express in
-  * one query), so the driver records a rows-only check; exact parity
-  * is pinned in-suite against a single-threaded reference trainer
-  * (BpeTrainSpec).
+  * The gate oracle unrolls the fixed merge count into chained
+  * MATERIALIZED CTE rounds ([[BpeTrainSql]] — the per-round argmax is
+  * deterministic by (n DESC, left, right) so cross-engine order is
+  * pinned); exact parity is additionally pinned in-suite against a
+  * single-threaded reference trainer (BpeTrainSpec).
   *
   * Cite: generic LLM-pipeline capability (mandate §multimodal/text;
   * no counterpart in the reference ETL).
@@ -154,15 +154,20 @@ object BpeTrain {
       .distinct()
       .select(col("word"), initialSymbols(col("word")).as("syms"))
       .localCheckpoint(true)
+    // `pinned` tracks the last CHECKPOINTED frame: on a checkpoint
+    // round `words` is the lazy frame built since the previous cut, so
+    // unpersisting it would be a no-op and the old checkpoint's blocks
+    // would leak for the length of the merge list (ADVICE r12).
+    var pinned = words
     merges.zipWithIndex.foreach { case ((l, r), i) =>
       val next0 = words.select(col("word"),
         mergePair(col("syms"), l, r).as("syms"))
-      val next =
-        if ((i + 1) % 6 == 0 || i == merges.size - 1)
-          next0.localCheckpoint(true)
-        else next0
-      if (next ne next0) words.unpersist()
-      words = next
+      if ((i + 1) % 6 == 0 || i == merges.size - 1) {
+        val next = next0.localCheckpoint(true)
+        pinned.unpersist()
+        pinned = next
+        words = next
+      } else words = next0
     }
     documents
       .select(col(idCol),

@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *
   * Cite: generic engine capability (master-data reconciliation the
   * reference does by exact key only, ref/App/etl/transform/
-  * rco_brandcode.py:31).
+  * mes_etl.py:194 brandcode resolution).
   */
 object EntityResolution {
 

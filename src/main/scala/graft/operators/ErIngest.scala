@@ -41,7 +41,7 @@ import graft.sinks.ParquetSinks
   *
   * Cite: generic engine capability (incremental master-data
   * reconciliation; the reference re-runs its exact-key joins from
-  * scratch each cycle, ref/App/etl/transform/rco_brandcode.py:31).
+  * scratch each cycle, ref/App/etl/transform/mes_etl.py:194).
   */
 object ErIngest {
 

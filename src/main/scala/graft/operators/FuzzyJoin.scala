@@ -47,8 +47,8 @@ import org.apache.spark.sql.functions._
   * vocabulary-sized (one map-side-combined count).
   *
   * Cite: generic engine capability (the reference's joins are all
-  * exact-key; ref/App/etl/transform/rco_brandcode.py:31 motivates the
-  * drifting-id reconciliation this generalizes).
+  * exact-key; ref/App/etl/transform/mes_etl.py:194's brandcode
+  * reconciliation motivates the drifting-id case this generalizes).
   */
 object FuzzyJoin {
 

@@ -466,8 +466,8 @@ object LlmPrep {
     * shape; hot keys take the sliced-sessionize path if ever needed.
     *
     * Cite: generic curation capability (Common-Crawl-style refetch
-    * collapse); same gap semantics as ref's sessionization trigger
-    * (ref/App/etl/transform/rco_sessionize.py:61). */
+    * collapse); same gap semantics as ref's CO-trigger sessionization
+    * (ref/App/etl/transform/mes_etl.py:82). */
   def recrawlDedup(log: DataFrame, keys: Seq[String], timeCol: String,
       idCol: String, gapSec: Long): DataFrame = {
     require(keys.nonEmpty, "recrawlDedup: no key columns")

@@ -28,9 +28,9 @@ object LlmQueries {
           col("ts"))
         .orderBy(col("event_id"))
     }),
-    // no SQL oracle (iterative fixpoint: each round's argmax feeds the
-    // next round's plan) -> driver records rows-only; exact parity is
-    // pinned by BpeTrainSpec's single-threaded reference differential
+    // oracle: the fixed 12 merge rounds unrolled as chained CTEs
+    // (BpeTrainSql); exact parity additionally pinned by BpeTrainSpec's
+    // single-threaded reference differential
     "llm_bpe_train" -> ((s, d) =>
       BpeTrain.train(docs(s, d), merges = 12, minCount = 2L)),
     "llm_pmi" -> ((s, d) => LlmPrep.collocations(docs(s, d))),
@@ -38,8 +38,8 @@ object LlmQueries {
     "llm_normalize" -> ((s, d) => LlmText.normalizeText(docs(s, d))),
     "llm_bigram_lm" -> ((s, d) => LlmCorpus.bigramLm(docs(s, d))),
     "llm_distinctive" -> ((s, d) => LlmCorpus.distinctiveTerms(docs(s, d))),
-    // rows-only like llm_bpe_train (BpeTrainSpec is the oracle): the
-    // learned 12-rule table (bounded driver collect) applied corpus-wide
+    // the learned 12-rule table (bounded driver collect) applied
+    // corpus-wide; oracle joins the unrolled chain's final word table
     "llm_bpe_encode" -> ((s, d) => {
       val dd = docs(s, d)
       val m = BpeTrain.train(dd, merges = 12, minCount = 2L)
@@ -109,6 +109,8 @@ object LlmQueries {
     "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))))
 
   val oracles: Map[String, String] = Map(
+    "llm_bpe_train" -> BpeTrainSql.trainSql(merges = 12, minCount = 2L),
+    "llm_bpe_encode" -> BpeTrainSql.encodeSql(merges = 12, minCount = 2L),
     "llm_recrawl_dedup" -> LlmPrepSql.recrawlSql,
     "llm_pmi" -> LlmPrepSql.pmiSql,
     "llm_calibrate" -> LlmCorpusSql.calibrateSql,
