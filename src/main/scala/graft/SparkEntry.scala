@@ -75,6 +75,9 @@ object SparkEntry {
     "llm_quality_clf",
     "llm_vocab_encode",
     "llm_curation_report",
+    "llm_cms",
+    "llm_skipgram",
+    "cls_rolling_anomaly",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —
     // and the 3-site heterogeneous fleet (the production entry point)

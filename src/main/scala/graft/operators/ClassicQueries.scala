@@ -780,6 +780,51 @@ object ClassicQueries {
     FuzzyJoin.selfJoin1(Tables.customer(s, dir), "c_custkey", "c_name")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** k=2 edit-distance self-join via the two-deletion FastSS
+    * neighborhood ([[FuzzyJoin.selfJoin2]]) — the oracle brute-forces
+    * DuckDB's levenshtein over the cross join, so the gate proves the
+    * blocking loses nothing at radius 2. */
+  def fuzzyJoin2(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.selfJoin2(Tables.customer(s, dir), "c_custkey", "c_name")
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val RollN = 20
+  private val RollMinWin = 10
+  private val RollZ = 3.0
+
+  /** Rolling per-user anomaly screen: each event's value is z-scored
+    * against that user's TRAILING window (the previous [[RollN]]
+    * events — never the row itself, so an anomaly cannot mask itself),
+    * flagged when |z| > [[RollZ]] with at least [[RollMinWin]] prior
+    * observations. The windowed twin of the global [[outlierAudit]]:
+    * per-entity baselines drift, so a fixed global band both misses
+    * local spikes and false-flags naturally-high users. One shuffle on
+    * user_id + an ordered frame scan; output is anomaly-sized.
+    * Timestamps are second-truncated BEFORE ordering on both sides —
+    * the parquet carries ns precision Spark truncates to µs, so raw-ts
+    * ordering could disagree across engines; (second, event_id) cannot.
+    * The z-score is rounded to 4 decimals before the threshold compare
+    * so both engines flag the identical set. */
+  def rollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-RollN, -1)
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("ts"), col("value"))
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n_win", count(col("value")).over(w))
+      .filter(col("n_win") >= RollMinWin && col("sd") > 0)
+      .withColumn("z",
+        round((col("value") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("z")) > RollZ)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("z"))
+      .orderBy(col("event_id"))
+  }
+
   /** Compare columns of [[tableDiff]] — shared with the oracle SQL so
     * the changed-cols attribution order matches by construction. */
   private val DiffCols = Seq("o_orderstatus", "o_totalprice",
@@ -1052,6 +1097,8 @@ object ClassicQueries {
     "cls_winsorize" -> (winsorize _),
     "cls_bloom_join" -> (bloomJoin _),
     "cls_fuzzy_join" -> (fuzzyJoin _),
+    "cls_fuzzy_join2" -> (fuzzyJoin2 _),
+    "cls_rolling_anomaly" -> (rollingAnomaly _),
     "cls_table_diff" -> (tableDiff _),
     "cls_table_profile" -> (tableProfile _),
     "cls_scd2" -> (scd2Orders _),
@@ -1152,14 +1199,17 @@ object ClassicQueries {
                 JOIN edges e ON e.src = o.src
            GROUP BY e.dst) s ON n.node = s.dst)"""
     }.mkString(",\n")
-    s"""WITH par AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer),
-       edges AS (SELECT o_custkey AS src,
+    s"""WITH edges AS (SELECT o_custkey AS src,
            (o_orderkey * 131 + 7) % (SELECT count(*) FROM customer)
              AS dst
          FROM orders WHERE o_custkey IS NOT NULL),
        nodes AS (SELECT DISTINCT node FROM
          (SELECT src AS node FROM edges
           UNION ALL SELECT dst FROM edges)),
+       -- N must be the DISTINCT EDGE-NODE population, the same N
+       -- PageRank.run computes (ADVICE r12: count(customer) only
+       -- coincides while pmod dst coverage saturates every residue)
+       par AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
        outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS od
          FROM edges GROUP BY 1),
        pr0 AS (SELECT node, round(1.0 / (SELECT n FROM par), $PrScale)
@@ -1418,6 +1468,29 @@ object ClassicQueries {
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 1
          ORDER BY id_a, id_b""",
+    "cls_fuzzy_join2" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE levenshtein(a.c_name, b.c_name) <= 2
+         ORDER BY id_a, id_b""",
+    "cls_rolling_anomaly" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+           date_trunc('second', ts) AS ts, value
+         FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       w AS (SELECT event_id, user_id, ts, value,
+           avg(value) OVER win AS mu,
+           stddev_samp(value) OVER win AS sd,
+           count(value) OVER win AS n_win
+         FROM e WINDOW win AS (PARTITION BY user_id
+           ORDER BY ts, event_id
+           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+       SELECT event_id, user_id, ts, value,
+         round((value - mu) / sd, 4) AS z
+       FROM w
+       WHERE n_win >= 10 AND sd > 0
+         AND abs(round((value - mu) / sd, 4)) > 3.0
+       ORDER BY event_id""",
     "cls_table_diff" ->
       """WITH bef AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
            o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),

@@ -36,11 +36,12 @@ object EntityResolution {
     val base = df
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(strCol).as("__str"))
-    // k=1 (the dominant ER case) takes the deletion-neighborhood path:
-    // exact same pair set, but blocking that cannot saturate on short
-    // dense key spaces the way a fixed q-gram vocabulary does
+    // k<=2 (the dominant ER cases) take the deletion-neighborhood
+    // paths: exact same pair set, but blocking that cannot saturate on
+    // short dense key spaces the way a fixed q-gram vocabulary does
     val pairs =
       if (k == 1) FuzzyJoin.selfJoin1(df, idCol, strCol)
+      else if (k == 2) FuzzyJoin.selfJoin2(df, idCol, strCol)
       else FuzzyJoin.selfJoin(df, idCol, strCol, k, q)
     val clusters = LlmText.clustersFromPairs(
       pairs.select(col("id_a"), col("id_b")), base.select(col("doc_id")))

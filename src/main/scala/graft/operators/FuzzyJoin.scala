@@ -34,11 +34,15 @@ import org.apache.spark.sql.functions._
   *
   * Strings with <= k*q distinct grams (shorter than ~q*(k+1) chars, or
   * pathologically repetitive — "aaaa…") get NO overlap guarantee from
-  * the theorem, so they take the `poor` branch: a length-banded
-  * nested-loop probe against the whole input. That keeps the operator
-  * EXACT unconditionally; its cost is proportional to the poor
-  * fraction, which for realistic key/name columns is ~0 (the operator
-  * never pays it when the frame is empty).
+  * the theorem, so they take the `poor` branch: each poor string
+  * explodes to its <= 2k+1 admissible lengths and EQUI-joins the whole
+  * input on length (an edit changes length by at most 1, so every true
+  * partner lives in [len-k, len+k]). That keeps the operator EXACT
+  * unconditionally AND shuffle-based — the non-equi formulation of the
+  * same probe plans as BroadcastNestedLoopJoin, a scale-killer the
+  * moment the poor fraction is nonzero. Cost is (poor rows × 2k+1)
+  * join keys against per-length buckets; for realistic key/name
+  * columns the poor fraction is ~0 and the branch is free.
   *
   * Scale: no all-pairs stage exists for rich strings — per-string work
   * is bounded by `k*q + 1` prefix grams, the candidate join is an
@@ -105,24 +109,26 @@ object FuzzyJoin {
     val a = prefix.select(col("id").as("id_a"), col("str").as("str_a"),
       col("len").as("len_a"), col("gram"))
     val b = prefix.select(col("id").as("id_b"), col("str").as("str_b"),
-      col("len").as("len_b"), col("gram"))
+      col("len").as("len_b"), col("gram").as("gram_b"))
     val richCands = a.join(b,
-        a("gram") === b("gram") && col("id_a") < col("id_b") &&
+        col("gram") === col("gram_b") && col("id_a") < col("id_b") &&
           abs(col("len_a") - col("len_b")) <= k)
       .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
       .distinct()
 
-    // Poor strings (no prefix guarantee): length-banded probe against
-    // EVERY string. id-normalized so a poor-poor pair dedups with its
-    // mirror; rich-rich pairs never enter here, so the union stays
+    // Poor strings (no prefix guarantee): explode to the <= 2k+1
+    // admissible partner lengths and equi-join the whole input on
+    // length — a shuffled hash/sort-merge join, never a nested loop.
+    // id-normalized so a poor-poor pair dedups with its mirror;
+    // rich-rich pairs never enter here, so the union stays
     // duplicate-free across branches after the distinct.
     val p = poor.select(col("id").as("p_id"), col("str").as("p_str"),
-      col("len").as("p_len"))
+      explode(sequence(greatest(col("len") - k, lit(0)),
+        col("len") + k)).as("o_len"))
     val all = base.select(col("id").as("o_id"), col("str").as("o_str"),
       col("len").as("o_len"))
-    val poorCands = p.join(all,
-        col("p_id") =!= col("o_id") &&
-          abs(col("p_len") - col("o_len")) <= k)
+    val poorCands = p.join(all, Seq("o_len"))
+      .filter(col("p_id") =!= col("o_id"))
       .select(
         least(col("p_id"), col("o_id")).as("id_a"),
         when(col("p_id") < col("o_id"), col("p_str"))
@@ -171,25 +177,62 @@ object FuzzyJoin {
   }
 
   def selfJoin1(df: DataFrame, idCol: String, strCol: String)
-      : DataFrame = {
+      : DataFrame =
+    deletionSelfJoin(df, idCol, strCol, deletionKeys, 1)
+
+  /** Two-deletion neighborhood: the string, every single-char
+    * deletion, and every two-char deletion (i < j on the ORIGINAL
+    * positions), distinct. `ed(a,b) <= 2` implies the neighborhoods
+    * intersect: an edit script of length <= 2 marks <= 2 positions on
+    * each side (substitution marks one on both, insertion one on b,
+    * deletion one on a); removing the marked positions from both
+    * strings yields the same string, which is a <= 2-deletion key of
+    * each. False positives die in the exact verify. Key material is
+    * O(len^3) bytes per string — key/code/name columns, not document
+    * bodies. */
+  def deletionKeys2(str: Column): Column = {
+    val len = length(str).cast("int")
+    val del2 = when(len >= lit(2),
+      flatten(transform(sequence(lit(1), greatest(len - 1, lit(1))),
+        i => transform(sequence(i + 1, len), j =>
+          concat(str.substr(lit(1), i - 1),
+            str.substr(i + 1, j - i - 1),
+            str.substr(j + 1, len))))))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(concat(deletionKeys(str), del2))
+  }
+
+  /** k=2 exact similarity self-join via the two-deletion neighborhood
+    * — same contract as [[selfJoin1]]: exact unconditionally, per-key
+    * fan-in bounded by string VALUES within distance 2 of the key
+    * (alphabet-and-length bounded, independent of row count), no
+    * theorem precondition and no poor branch. The FastSS alternative
+    * for k=2 key spaces dense enough to saturate the q-gram
+    * vocabulary ([[selfJoin]]'s documented failure mode). */
+  def selfJoin2(df: DataFrame, idCol: String, strCol: String)
+      : DataFrame =
+    deletionSelfJoin(df, idCol, strCol, deletionKeys2, 2)
+
+  private def deletionSelfJoin(df: DataFrame, idCol: String,
+      strCol: String, keysOf: Column => Column, k: Int): DataFrame = {
     val base = df
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("str"),
         length(col(strCol)).as("len"))
     val keys = base.select(col("id"), col("str"), col("len"),
-      explode(deletionKeys(col("str"))).as("dkey"))
+      explode(keysOf(col("str"))).as("dkey"))
     val a = keys.select(col("id").as("id_a"), col("str").as("str_a"),
       col("len").as("len_a"), col("dkey"))
     val b = keys.select(col("id").as("id_b"), col("str").as("str_b"),
-      col("len").as("len_b"), col("dkey"))
+      col("len").as("len_b"), col("dkey").as("dkey_b"))
     a.join(b,
-        a("dkey") === b("dkey") && col("id_a") < col("id_b") &&
-          abs(col("len_a") - col("len_b")) <= 1)
+        col("dkey") === col("dkey_b") && col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= k)
       .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
       .distinct()
       .withColumn("dist",
         levenshtein(col("str_a"), col("str_b")).cast("long"))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

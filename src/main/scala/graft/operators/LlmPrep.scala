@@ -539,6 +539,43 @@ object LlmPrep {
     headRanked(scored, "pmi", "pair", "rank")
   }
 
+  /** Skip-gram window radius / count floor / head size for
+    * [[skipgrams]]. */
+  val SkipWindow = 3
+  val SkipMinCount = 30L
+  val SkipK = 200
+
+  /** Skip-gram co-occurrence counts — the word2vec-style training-pair
+    * generator, and [[collocations]]'s windowed generalization: every
+    * ORDERED token pair (t_i, t_{i+o}) with 1 <= o <= `window` counts
+    * once, so "new york city" yields (new,york), (new,city),
+    * (york,city). One corpus scan; the pair explosion is window-bounded
+    * (≤ W rows per token), the count a map-side-combined aggregate over
+    * the pair vocabulary — the same posting-scan scale shape as PMI.
+    * Output: top `k` by (n DESC, pair ASC) with a rank, count floor
+    * `minCount` (rare pairs are noise at any corpus size). */
+  def skipgrams(documents: DataFrame, window: Int = SkipWindow,
+      minCount: Long = SkipMinCount, k: Int = SkipK): DataFrame = {
+    require(window >= 1, s"skipgrams: window >= 1, got $window")
+    val arrLen = org.apache.spark.sql.functions.size _
+    val n = arrLen(col("toks"))
+    val pairs = documents.select(toks(col("text")).as("toks"))
+      .select(explode(when(n >= 2, flatten(
+        transform(sequence(lit(1), (n - 1).cast("int")),
+          i => transform(sequence(lit(1),
+              least(lit(window), (n - i).cast("int"))),
+            o => struct(element_at(col("toks"), i).as("l"),
+              element_at(col("toks"), i + o).as("r"))))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+    val head = pairs.filter(col("n") >= minCount)
+      .select(concat_ws(" ", col("l"), col("r")).as("pair"), col("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+    headRanked(head, "n", "pair", "rank")
+  }
+
   /** Synthetic blocklist for [[blocklistFilter]]: content hashes of
     * every doc_id ≡ 0 (mod 17) play the "known-bad content registry"
     * (takedowns, opt-outs, toxic-content hashes). A real pipeline
@@ -919,6 +956,22 @@ object LlmPrepSql {
     SELECT pair, n,
       CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
     FROM cnt ORDER BY n DESC, pair LIMIT ${LlmPrep.BpePairsK}"""
+
+  /** Twin of [[LlmPrep.skipgrams]] — same windowed ordered-pair
+    * generator, count floor, and (n DESC, pair ASC) head cut. */
+  val skipgramsSql: String =
+    s"""WITH $toksCte,
+    pr AS (SELECT toks[i] || ' ' || toks[i + o] AS pair
+      FROM tk, UNNEST(range(1, len(toks))) AS u(i),
+        UNNEST(range(1, ${LlmPrep.SkipWindow} + 1)) AS v(o)
+      WHERE len(toks) >= 2 AND i + o <= len(toks)),
+    cnt AS (SELECT pair, count(*) AS n FROM pr GROUP BY 1
+      HAVING count(*) >= ${LlmPrep.SkipMinCount})
+    SELECT pair, n,
+      CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+    FROM (SELECT * FROM cnt ORDER BY n DESC, pair
+      LIMIT ${LlmPrep.SkipK})
+    ORDER BY rank"""
 
   /** Twin of [[LlmPrep.collocations]] — same pmi expression
     * association order, same rounded-score tie-break and cut. */

@@ -106,7 +106,10 @@ object LlmQueries {
     "llm_vocab_encode" -> ((s, d) => LlmCorpus.vocabEncode(docs(s, d))),
     "llm_curation_report" ->
       ((s, d) => LlmCorpus.curationReport(docs(s, d), embs(s, d))),
-    "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))))
+    "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))),
+    "llm_cms" -> ((s, d) => LlmSketch.cmsEstimates(docs(s, d))),
+    "llm_skipgram" -> ((s, d) => LlmPrep.skipgrams(docs(s, d))),
+    "llm_split_safe" -> ((s, d) => LlmText.splitSafe(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_bpe_train" -> BpeTrainSql.trainSql(merges = 12, minCount = 2L),
@@ -163,5 +166,8 @@ object LlmQueries {
     "llm_tfidf_pairs" -> LlmCorpusSql.tfidfPairsSql,
     "llm_vocab_encode" -> LlmCorpusSql.vocabEncodeSql,
     "llm_curation_report" -> LlmCorpusSql.curationReportSql,
-    "llm_embed_quant" -> LlmSimSql.embedQuantSql)
+    "llm_embed_quant" -> LlmSimSql.embedQuantSql,
+    "llm_cms" -> LlmSketchSql.cmsSql,
+    "llm_skipgram" -> LlmPrepSql.skipgramsSql,
+    "llm_split_safe" -> LlmTextSql.splitSafeSql)
 }

@@ -293,6 +293,31 @@ object LlmText {
     clustersFromPairs(dedupNear(documents),
       documents.select(col("doc_id")))
 
+  /** LEAKAGE-SAFE train/val/test split: the split is a pure function
+    * of the NEAR-DUP CLUSTER id, not the document id — every member
+    * of a cluster lands in the same split, so a near-duplicate of a
+    * test document can never sit in train (the eval-contamination
+    * vector [[LlmPrep.splitAssign]]'s per-document hash cannot close:
+    * two near-identical docs hash independently and straddle splits
+    * with probability 2·p·(1−p)). Same per-mille md5 idiom and the
+    * same train/val/test thresholds as splitAssign, applied to
+    * `cluster_id`; singletons (the overwhelming majority) degrade to
+    * exactly a per-document hash on their own id. Cost over
+    * splitAssign: the [[dedupClusters]] pass — LSH-banded pairs plus
+    * O(diameter) label rounds, never all-pairs. */
+  def splitSafe(documents: DataFrame,
+      trainPm: Int = LlmPrep.SplitTrainPm,
+      valPm: Int = LlmPrep.SplitValPm): DataFrame = {
+    val pm = conv(substring(
+      md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 4),
+      16, 10).cast("long") % 1000
+    dedupClusters(documents)
+      .select(col("doc_id"), col("cluster_id"),
+        when(pm < trainPm, "train")
+          .when(pm < valPm, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** Canonical member per cluster from pre-computed inputs: the
     * longest member wins (token count), ties to the smallest doc_id —
     * the "keep the richest representative" policy web-scale dedup
@@ -616,6 +641,19 @@ object LlmTextSql {
       CAST(coalesce(least(c.min_reach, d.doc_id), d.doc_id) <> d.doc_id
         AS INTEGER) AS is_dup
     FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+
+  /** Twin of [[LlmText.splitSafe]] — the clustering twin's output fed
+    * through the identical per-mille hash of cluster_id. */
+  val splitSafeSql: String =
+    s"""WITH cl AS ($dedupClustersSql)
+    SELECT doc_id, cluster_id,
+      CASE WHEN pm < ${LlmPrep.SplitTrainPm} THEN 'train'
+           WHEN pm < ${LlmPrep.SplitValPm} THEN 'val'
+           ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+        CAST('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)),
+          1, 4) AS BIGINT) % 1000 AS pm
+      FROM cl)"""
 
   /** Twin of [[LlmText.dedupCanonical]] — row_number with the same
     * (n_tokens DESC, doc_id ASC) order is exactly the max_by

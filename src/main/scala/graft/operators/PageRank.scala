@@ -12,16 +12,45 @@ import org.apache.spark.sql.functions._
   * makes a cross-engine oracle possible at all (and, at cluster
   * scale, makes reruns bit-reproducible regardless of partitioning).
   *
-  * Dangling nodes (no out-edges) leak their mass — deliberately NOT
-  * redistributed: redistribution needs a per-round global scalar
-  * (one more driver round-trip per iteration) and changes nothing
-  * about the join/aggregate shape this operator exists to provide;
-  * both the spec reference and the SQL twin use the same convention.
+  * Exchange discipline (round 13): every round-invariant frame is
+  * CACHED on the `hashpartitioning` of its join key once, up front —
+  * edges repartitioned by `src`, `outdeg`/`nodes` shuffle-produced on
+  * their keys. An InMemoryRelation's output partitioning is stable
+  * (AQE keeps cached-plan partitioning unless
+  * `canChangeCachedPlanOutputPartitioning` is flipped), so Catalyst's
+  * EnsureRequirements inserts NO Exchange on the EDGE side of any
+  * round's join: a round shuffles only the node-sized rank frame onto
+  * its join key plus the inherent `groupBy(dst)` transpose (itself
+  * map-side combined down to distinct-dst rows per partition).
+  * Checkpoints deliberately do NOT carry the pinning — under AQE a
+  * checkpointed plan's partitioning degrades to unknown, which is
+  * exactly why the r12 localCheckpoint-everything design re-shuffled
+  * the edge list every round. PageRankSpec asserts the plan shape:
+  * two Exchanges per round, neither on the edge key. The caches are
+  * released before returning.
   *
-  * Scale: the rank frame is node-sized, edges are scanned once per
-  * round (the classic Pregel-style cost), lineage is cut per round
-  * with localCheckpoint. Iteration count is a hyperparameter bounded
-  * by construction, same driver-loop contract as [[BpeTrain]].
+  * Durability: the rank frame's lineage is cut per round.
+  * `localCheckpoint` (default) stores the cut on executor-local
+  * storage — right for single-node and short jobs, lost on executor
+  * death; pass `reliable = true` (with
+  * `sparkContext.setCheckpointDir` configured) to write round cuts to
+  * the checkpoint directory instead, the 1000-executor-run setting
+  * where losing round 37 of 50 to one preemption is not acceptable.
+  * The cached round-invariant frames need no such treatment: an
+  * evicted or lost cache block recomputes from source lineage.
+  *
+  * Dangling nodes (no out-edges) leak their mass by default — the
+  * convention the SQL twin replays. `redistributeDangling = true`
+  * adds the standard correction: each round the dangling mass `m`
+  * (one scalar aggregate — a bounded per-round driver probe, the
+  * same sanctioned shape as the N count) is spread uniformly,
+  * `r' = (1-d)/N + d·(Σ r/outdeg + m/N)`, making the rank vector sum
+  * to ~1 every round (PageRankSpec pins the invariant).
+  *
+  * Scale: the rank frame is node-sized, edges are scanned (never
+  * re-shuffled) once per round — the classic Pregel-style cost.
+  * Iteration count is a hyperparameter bounded by construction, same
+  * driver-loop contract as [[BpeTrain]].
   *
   * Cite: generic engine capability; no counterpart in the reference.
   */
@@ -31,41 +60,81 @@ object PageRank {
     * multi-edges count multiply, NULL endpoints dropped). Returns
     * `(node, rank)` for every node appearing as src or dst. */
   def run(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
-      scale: Int = 9): DataFrame = {
+      scale: Int = 9, reliable: Boolean = false,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping in (0,1), got $damping")
-    val e = edges
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .localCheckpoint(true)
-    val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("od"))
-      .localCheckpoint(true)
-    // N is a bounded one-row probe (the sanctioned scalar shape)
-    val n = nodes.count().toDouble
-    val base = lit((1.0 - damping) / n)
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
-    var ranks = nodes.select(col("node"),
-      round(lit(1.0) / lit(n), scale).as("r")).localCheckpoint(true)
-    (1 to iters).foreach { _ =>
-      val contrib = ranks
-        .join(outdeg, ranks("node") === outdeg("src"))
-        .join(e, Seq("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("r") / col("od")).as("c"))
-      val next = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          round(base + lit(damping) * coalesce(col("c"), lit(0.0)),
-            scale).as("r"))
-        .localCheckpoint(true)
-      ranks.unpersist()
-      ranks = next
+    val p = pin(edges)
+    try {
+      var ranks = cut(p.nodes.select(col("node"),
+        round(lit(1.0) / lit(p.n), scale).as("r")))
+      (1 to iters).foreach { _ =>
+        // dangling mass: one scalar aggregate per round (opt-in)
+        val dm =
+          if (!redistributeDangling) 0.0
+          else ranks.join(p.outdeg, ranks("node") === p.outdeg("src"),
+              "left_anti")
+            .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
+        val next = cut(iterate(p, ranks, damping, scale, dm))
+        ranks.unpersist()
+        ranks = next
+      }
+      ranks.select(col("node"), col("r").as("rank"))
+    } finally p.release()
+  }
+
+  /** The round-invariant frames, each cached on the hash partitioning
+    * of its join key, plus the node count and a cache-release handle. */
+  private[graft] case class Pinned(e: DataFrame, nodes: DataFrame,
+    outdeg: DataFrame, n: Double, release: () => Unit)
+
+  /** Cache the round-invariant frames on their join keys ONCE: edges
+    * by src (the explicit repartition — a raw scan has no
+    * partitioning), outdeg and nodes by construction (groupBy/distinct
+    * shuffle on the key). The cache — not a checkpoint — is what makes
+    * the partitioning visible to every later round's planner. */
+  private[graft] def pin(edges: DataFrame): Pinned = {
+    val (frames, release) = CacheScope.collect {
+      val e = CacheScope.pin(edges
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .select(col("src"), col("dst"))
+        .repartition(col("src")))
+      val nodes = CacheScope.pin(e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct())
+      val outdeg = CacheScope.pin(e.groupBy(col("src"))
+        .agg(count(lit(1)).cast("double").as("od")))
+      (e, nodes, outdeg)
     }
-    ranks.select(col("node"), col("r").as("rank"))
+    val (e, nodes, outdeg) = frames
+    // Materialize every cache up front (two bounded one-row probes —
+    // the sanctioned scalar shape; N is needed anyway): an
+    // UNmaterialized cached adaptive plan reports unknown partitioning
+    // at planning time, which would hand round 1 a spurious Exchange.
+    val n = nodes.count().toDouble
+    outdeg.count()
+    Pinned(e, nodes, outdeg, n, release)
+  }
+
+  /** One un-cut rank iteration over pinned inputs — the frame whose
+    * physical plan PageRankSpec asserts carries a single shuffle (the
+    * groupBy(dst) transpose). */
+  private[graft] def iterate(p: Pinned, ranks: DataFrame,
+      damping: Double, scale: Int, dm: Double): DataFrame = {
+    val contrib = ranks
+      .join(p.outdeg, ranks("node") === p.outdeg("src"))
+      .join(p.e, Seq("src"))
+      .groupBy(col("dst"))
+      .agg(sum(col("r") / col("od")).as("c"))
+    p.nodes
+      .join(contrib, p.nodes("node") === contrib("dst"), "left")
+      .select(col("node"),
+        round(lit((1.0 - damping) / p.n + damping * dm / p.n) +
+          lit(damping) * coalesce(col("c"), lit(0.0)),
+          scale).as("r"))
   }
 }

@@ -445,6 +445,70 @@ object ParquetSinks {
     fs.delete(tmp, true)
   }
 
+  /** Apply an I/D/U changelog (the [[graft.operators.SnapshotDiff
+    * .diffFull]] shape: key columns, an op column, after-image compare
+    * columns) to the bucketed table at `path` — the storage-level
+    * twin of [[graft.operators.SnapshotDiff.applyChanges]], and the
+    * delete-aware sibling of [[upsertByKeyBucketed]]: every touched
+    * key is removed from its bucket, then only the non-`D` rows'
+    * after-images are re-added, so `D` ops physically delete. Only
+    * the buckets the incoming keys land in are read back and
+    * rewritten. A bucket whose rows are ALL deleted (nothing
+    * re-added) produces no staged directory, so its stale directory
+    * is dropped explicitly rather than left behind by the swap loop.
+    *
+    * The caller folds multi-op batches to one op per key first (a
+    * changelog between two snapshots has at most one); see
+    * [[graft.streaming.StreamingCdcApply]]. */
+  def applyChangesBucketed(spark: SparkSession, changes: DataFrame,
+      path: String, keyCols: Seq[String], compareCols: Seq[String],
+      bucketCol: String, opCol: String = "op",
+      numBuckets: Int = 64): Unit = {
+    require(keyCols.contains(bucketCol),
+      s"bucketCol $bucketCol must be one of the merge keys $keyCols")
+    val fs = fsOf(spark, path)
+    healCrashedSwaps(fs, path)
+    cleanLegacyBackup(fs, path)
+    val outCols = (keyCols ++ compareCols).map(col)
+    val upserts = changes.filter(col(opCol) =!= "D").select(outCols: _*)
+    if (!exists(spark, path)) {
+      createBucketed(spark, upserts, path, bucketCol)
+      return
+    }
+    val n = resolveBuckets(spark, path, bucketCol, numBuckets)
+    val touched = withBucket(changes.select(bucketCol).distinct(),
+      bucketCol, n).select(BucketCol).distinct().collect()
+      .map(_.getInt(0))
+    val keptOld = spark.read.parquet(path)
+      .filter(col(BucketCol).isin(touched.toSeq: _*))
+      .join(changes.select(keyCols.map(col): _*).distinct(), keyCols,
+        "left_anti")
+    val tmp = tmpPath(path)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writePartitioned(
+      keptOld.unionByName(
+        withBucket(upserts, bucketCol, n)
+          .select(keptOld.columns.map(col).toSeq: _*)),
+      BucketCol, SaveMode.Overwrite, tmp.toString, numBuckets = n)
+    val staged = fs.listStatus(tmp).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet
+    staged.foreach { name =>
+      swapDir(fs, new Path(tmp, name), new Path(path, name))
+    }
+    // delete-emptied buckets: touched but nothing staged back
+    touched.map(b => s"$BucketCol=$b").filterNot(staged).foreach { name =>
+      val dead = new Path(path, name)
+      if (fs.exists(dead)) fs.delete(dead, true)
+    }
+    // a fully-emptied table must stay READABLE: leave one zero-row
+    // file (data schema, partition value from the dir name) behind
+    if (!fs.listStatus(new Path(path)).exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"$BucketCol=")))
+      upserts.limit(0).write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/$BucketCol=0")
+    fs.delete(tmp, true)
+  }
+
   /** Bucket-pruned read of a bucketed table: only the hash buckets the
     * probe keys land in are scanned — the read-side dual of the
     * upserts' touched-bucket rewrite, for consumers that look up a

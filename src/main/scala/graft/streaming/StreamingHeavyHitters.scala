@@ -78,7 +78,7 @@ object StreamingHeavyHitters {
       .select(explode(col("counts")).as(Seq("key_hash", "est")))
       .groupBy(col("key_hash")).agg(sum(col("est")).as("est"))
     val totals = shards.agg(sum(col("n")).as("n_total"))
-    merged.crossJoin(totals)
+    merged.crossJoin(broadcast(totals))
       .filter(col("est") + (col("n_total") / lit(capacity + 1L))
         .cast("long") >=
         ceil(lit(minFrac) * col("n_total")).cast("long"))

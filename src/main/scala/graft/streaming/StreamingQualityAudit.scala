@@ -138,7 +138,7 @@ object StreamingQualityAudit {
         val uq = st.agg(
             (sum(col("agg_cnt")) - count(lit(1))).cast("long")
               .as("violations"))
-          .crossJoin(totals)
+          .crossJoin(broadcast(totals))
           .select(col("table_name"), lit("unique").as("check"),
             lit(uniqueKey.mkString(",")).as("target"),
             col("violations"), col("total"))

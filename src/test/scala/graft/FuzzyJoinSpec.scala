@@ -124,6 +124,43 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(got == exp)
   }
 
+  private def run2(df: DataFrame): Set[(Long, Long, Long)] =
+    FuzzyJoin.selfJoin2(df, "id", "s").as[(Long, Long, Long)]
+      .collect().toSet
+
+  test("deletion-neighborhood k=2 ≡ brute on every adversarial class") {
+    val rnd = new scala.util.Random(11)
+    val random = strings((0 until 100).map { _ =>
+      (0 until 4 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString
+    })
+    // dense fixed-alphabet code space: the q-gram path's documented
+    // saturation case, which k=2 now routes around
+    val dense = strings((0 until 140).map(i => f"E${(i % 40) * 11}%06d") ++
+      Seq("", "a", "aa", "ab", "ba", "aaa", "abc", "cba"))
+    val seqIds = strings((0 until 120).map(i => f"Customer#$i%09d"))
+    for ((df, tag) <- Seq((random, "random"), (dense, "dense-codes"),
+        (seqIds, "seq-ids")))
+      assert(run2(df) == brute(df, 2), s"mismatch on $tag")
+  }
+
+  test("deletion-neighborhood k=2 ≡ gram-prefix k=2, incl. dup values") {
+    val df = strings(Seq("dup", "dup", "dupee", "dupxy", "other",
+      "othexy", "abcdefgh", "abcdexgh", "abxdexgh"))
+    assert(run2(df) == run(df, 2))
+    assert(run2(df) == brute(df, 2))
+  }
+
+  test("poor branch is shuffle-based: no BroadcastNestedLoopJoin") {
+    // all-short strings force every row through the poor branch
+    val df = strings(Seq("aa", "ab", "ba", "a", "b", "aaa", "aab",
+      "bbb", "bab", ""))
+    val out = FuzzyJoin.selfJoin(df, "id", "s", 2, 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(out.as[(Long, Long, Long)].collect().toSet == brute(df, 2))
+  }
+
   test("deletion-neighborhood drops NULLs like the gram path") {
     val df = Seq((Some(1L), Some("abcdef")), (Some(2L), Some("abcdeg")),
       (Some(3L), Option.empty[String]), (Option.empty[Long], Some("abcdef")))

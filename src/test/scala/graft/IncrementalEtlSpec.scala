@@ -41,8 +41,12 @@ class IncrementalEtlSpec extends GraftSuite {
       .collect().map(_.mkString("|")).toSet
 
   test("lookback re-extract + windowed upsert equals a full recompute") {
-    val full = Rco.downtimeLogDeduped(Tables.events(spark, sfDir))
-      .persist()
+    // pin, not a raw persist: RcoPipeline's spine memo may already
+    // hold this exact plan from an earlier suite in the shared
+    // session, and pin's cache lookup absorbs that instead of
+    // WARN-ing the CacheManager (VERDICT r12 #6)
+    val full = graft.operators.CacheScope.pin(
+      Rco.downtimeLogDeduped(Tables.events(spark, sfDir)))
     val prod = Rco.productionLog(Tables.events(spark, sfDir))
     val Array(tMin, tMax) = full.agg(min("START_EPOCH"), max("START_EPOCH"))
       .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray

@@ -417,4 +417,43 @@ class LlmPrepSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(subset.nonEmpty && subset.forall { case (id, s) => whole(id) == s })
   }
+
+  test("skipgrams: windowed ordered pairs match a reference count") {
+    val docs = Seq(
+      (1L, "a b c d a b c"),
+      (2L, "b c a a b"),
+      (3L, "d"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = LlmPrep.skipgrams(docs, window = 2, minCount = 1L, k = 100)
+      .select(col("pair"), col("n"), col("rank"))
+      .as[(String, Long, Long)].collect()
+    val ref = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    Seq("a b c d a b c", "b c a a b").foreach { t =>
+      val ts = t.split(" ")
+      for (i <- ts.indices; o <- 1 to 2 if i + o < ts.length)
+        ref(s"${ts(i)} ${ts(i + o)}") += 1L
+    }
+    assert(got.map(g => g._1 -> g._2).toMap == ref.toMap)
+    // rank follows (n DESC, pair ASC)
+    val sorted = got.sortBy(_._3)
+    assert(sorted.map(g => (g._1, g._2)).sortBy(p => (-p._2, p._1))
+      .zip(sorted.map(g => (g._1, g._2))).forall(x => x._1 == x._2))
+  }
+
+  test("splitSafe: a near-dup cluster never straddles splits; " +
+      "singletons keep a pure per-cluster hash") {
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val got = graft.operators.LlmText.splitSafe(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // cluster integrity: one split per cluster_id
+    val perCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.values.forall(_.size == 1),
+      "a cluster straddles splits")
+    // every doc present exactly once; all three splits exist at the
+    // cluster level or the fixture is degenerate
+    assert(got.map(_._1).distinct.length == got.length)
+    assert(got.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }

@@ -38,6 +38,72 @@ class PageRankSpec extends GraftSuite {
     assert(r.values.sum < 1.0)
   }
 
+  test("edges are never re-shuffled: no per-round Exchange on src") {
+    // force shuffle joins (tiny frames would broadcast and hide the
+    // partitioning question the assertion exists to answer)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edges = (1 to 400).map(i =>
+        ((i % 40).toLong, ((i * 7) % 40).toLong)).toDF("src", "dst")
+      val p = PageRank.pin(edges)
+      try {
+        val ranks = p.nodes
+          .select(col("node"), round(lit(1.0) / lit(p.n), 9).as("r"))
+          .localCheckpoint(true)
+        val top = PageRank.iterate(p, ranks, 0.85, 9, 0.0)
+          .queryExecution.executedPlan
+        // collect() stops at InMemoryTableScan leaves, so the one-time
+        // cache-BUILD shuffles inside the pinned relations don't count
+        // — only what this round would actually execute
+        val root = top match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+          case o => o
+        }
+        val shuffles = root.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => e
+        }
+        // the rank frame onto its join key + the groupBy(dst)
+        // transpose — and NEITHER is a re-shuffle of the edge list
+        assert(shuffles.size == 2,
+          s"expected 2 shuffles (ranks, transpose), got " +
+            s"${shuffles.map(_.outputPartitioning)}:\n$root")
+        shuffles.foreach(e =>
+          assert(!e.outputPartitioning.toString.contains("src#"),
+            s"edge list re-shuffled on src:\n$root"))
+      } finally p.release()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("reliable checkpoint path is bit-identical to localCheckpoint") {
+    spark.sparkContext.setCheckpointDir("/tmp/graft_pr_ckpt")
+    val edges = (1 to 200).map(i =>
+      ((i % 23).toLong, ((i * 5) % 23).toLong))
+    val a = run(edges, iters = 5)
+    val b = PageRank.run(edges.toDF("src", "dst"), iters = 5,
+        reliable = true)
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("dangling-mass redistribution conserves total rank ~ 1") {
+    // node 2 and 4 dangle; without redistribution the sum decays
+    val edges = Seq((1L, 2L), (3L, 4L), (5L, 1L), (1L, 4L))
+      .toDF("src", "dst")
+    val r = PageRank.run(edges, iters = 15,
+        redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    // 5 nodes × 1e-9 quantization per round × 15 rounds bounds drift
+    assert(math.abs(r.values.sum - 1.0) < 1e-6,
+      s"sum=${r.values.sum}")
+    val leaky = run(Seq((1L, 2L), (3L, 4L), (5L, 1L), (1L, 4L)),
+      iters = 15)
+    assert(leaky.values.sum < 0.9, "control: leak convention decays")
+  }
+
   test("parity with a single-threaded power iteration, random graph") {
     val rnd = new scala.util.Random(13)
     val edges = (1 to 400).map(_ =>
