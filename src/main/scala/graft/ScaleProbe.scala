@@ -640,6 +640,33 @@ object ScaleProbe {
       timeDocs("warm", docBase, silent = true)
       timeDocs("1x", docBase)
       timeDocs(s"${k}x", docK)
+
+      // PageRank at K× edges (VERDICT r12 #4): the per-round cost is
+      // the edge scan + the groupBy(dst) transpose — with the edge
+      // list cache-pinned on src, K× edges should cost ~K× per round,
+      // never K² (no re-shuffle of edges, rank frame stays node-sized)
+      def timePr(tag: String, mult: Int, silent: Boolean = false)
+          : Unit = {
+        val dir = s"/tmp/graft_scale_pr_$tag"
+        val nc = 30000L
+        (0 until mult).map(i => base
+            .filter(col("user_id").isNotNull)
+            .select((col("user_id") + lit(i * 100000L)).as("src"),
+              pmod(col("event_id") * 131 + 7 + lit(i), lit(nc))
+                .as("dst")))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(dir)
+        val edges = spark.read.parquet(dir)
+        val t0 = System.nanoTime()
+        PageRank.run(edges, iters = 10, scale = 7)
+          .write.format("noop").mode("overwrite").save()
+        if (!silent)
+          println(f"an_$tag%-8s pagerank10   " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      timePr("warm", 1, silent = true)
+      timePr("1x", 1)
+      timePr(s"${k}x", k)
     }
 
     // df-cap policy (round 12): a growth model where DUPLICATION

@@ -77,6 +77,7 @@ object SparkEntry {
     "llm_curation_report",
     "llm_cms",
     "llm_skipgram",
+    "llm_rnn",
     "cls_rolling_anomaly",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —

@@ -36,19 +36,34 @@ object EntityResolution {
     val base = df
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(strCol).as("__str"))
+    // Collapse IDENTICAL strings to one vertex first (representative =
+    // min id): edit distance is a function of the VALUE, so m copies
+    // of a string contribute m² candidate verifies and m² output pairs
+    // to the similarity join while adding nothing to the clustering —
+    // on dup-heavy corpora the join works on distinct values and the
+    // copies rejoin by exact key at the end (round-13; the r12 shape
+    // fed every row through the join).
+    val values = CacheScope.pin(base.groupBy(col("__str"))
+      .agg(min(col("doc_id")).as("vid")))
     // k<=2 (the dominant ER cases) take the deletion-neighborhood
     // paths: exact same pair set, but blocking that cannot saturate on
     // short dense key spaces the way a fixed q-gram vocabulary does
     val pairs =
-      if (k == 1) FuzzyJoin.selfJoin1(df, idCol, strCol)
-      else if (k == 2) FuzzyJoin.selfJoin2(df, idCol, strCol)
-      else FuzzyJoin.selfJoin(df, idCol, strCol, k, q)
+      if (k == 1) FuzzyJoin.selfJoin1(values, "vid", "__str")
+      else if (k == 2) FuzzyJoin.selfJoin2(values, "vid", "__str")
+      else FuzzyJoin.selfJoin(values, "vid", "__str", k, q)
+    // cluster the VALUE graph; min-label over representative ids is
+    // the global min id of the component because each representative
+    // is already the min of its copy group
     val clusters = LlmText.clustersFromPairs(
-      pairs.select(col("id_a"), col("id_b")), base.select(col("doc_id")))
+      pairs.select(col("id_a"), col("id_b")),
+      values.select(col("vid").as("doc_id")))
+      .select(col("doc_id").as("vid"), col("cluster_id").as("entity_id"))
     val canon = base.select(col("doc_id").as("entity_id"),
       col("__str").as("canonical"))
-    clusters
-      .select(col("doc_id").as(idCol), col("cluster_id").as("entity_id"))
+    base.join(values, Seq("__str"))
+      .join(clusters, Seq("vid"))
+      .select(col("doc_id").as(idCol), col("entity_id"))
       .join(canon, Seq("entity_id"))
       .select(col(idCol), col("entity_id"), col("canonical"))
   }

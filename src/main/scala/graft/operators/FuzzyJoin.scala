@@ -208,7 +208,14 @@ object FuzzyJoin {
     * (alphabet-and-length bounded, independent of row count), no
     * theorem precondition and no poor branch. The FastSS alternative
     * for k=2 key spaces dense enough to saturate the q-gram
-    * vocabulary ([[selfJoin]]'s documented failure mode). */
+    * vocabulary ([[selfJoin]]'s documented failure mode).
+    *
+    * Fitness note (measured, ScaleProbe `resolve` round 13): the
+    * operator is for key spaces that stay SPARSE at radius 2. On a
+    * saturating numeral space (codes a couple of digit-edits apart)
+    * the TRUE ≤2-edit pair set itself grows combinatorially with
+    * density — no blocking scheme outruns its own output; expect
+    * cost proportional to the genuine pair graph there. */
   def selfJoin2(df: DataFrame, idCol: String, strCol: String)
       : DataFrame =
     deletionSelfJoin(df, idCol, strCol, deletionKeys2, 2)

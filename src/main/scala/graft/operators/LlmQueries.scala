@@ -109,7 +109,11 @@ object LlmQueries {
     "llm_embed_quant" -> ((s, d) => LlmSim.embedQuant(embs(s, d))),
     "llm_cms" -> ((s, d) => LlmSketch.cmsEstimates(docs(s, d))),
     "llm_skipgram" -> ((s, d) => LlmPrep.skipgrams(docs(s, d))),
-    "llm_split_safe" -> ((s, d) => LlmText.splitSafe(docs(s, d))))
+    "llm_split_safe" -> ((s, d) => LlmText.splitSafe(docs(s, d))),
+    // same clustering oracle as llm_dedup_cluster: the star-contraction
+    // and label-propagation paths must agree with SQL reachability
+    "llm_dedup_cluster2" -> ((s, d) => LlmText.dedupClustersStar(docs(s, d))),
+    "llm_rnn" -> ((s, d) => LlmSim.rnnPairs(embs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_bpe_train" -> BpeTrainSql.trainSql(merges = 12, minCount = 2L),
@@ -169,5 +173,7 @@ object LlmQueries {
     "llm_embed_quant" -> LlmSimSql.embedQuantSql,
     "llm_cms" -> LlmSketchSql.cmsSql,
     "llm_skipgram" -> LlmPrepSql.skipgramsSql,
-    "llm_split_safe" -> LlmTextSql.splitSafeSql)
+    "llm_split_safe" -> LlmTextSql.splitSafeSql,
+    "llm_dedup_cluster2" -> LlmTextSql.dedupClustersSql,
+    "llm_rnn" -> LlmSimSql.rnnPairsSql)
 }

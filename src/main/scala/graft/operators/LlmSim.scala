@@ -359,6 +359,43 @@ object LlmSim {
     * 100 TB the cell width grows with the corpus exactly like
     * [[semDedup]]'s codebook. Keep in sync with
     * [[LlmSimSql.labelNoiseSql]]. */
+  /** Reciprocal (mutual) nearest-neighbor pairs: `(id_a, id_b,
+    * cosine)` where a's top-1 neighbor is b AND b's is a — the
+    * high-precision near-dup/crosslink signal (a one-way NN can be a
+    * hub artifact; mutuality kills hubs), the pair primitive behind
+    * reciprocal-rank fusion and RNN-descent graph builders.
+    *
+    * Neighbors are searched inside the trained quantizer cell
+    * ([[assignTrained]] — the [[semDedup]] bargain: an equi-join on
+    * cent_id, never all-pairs; cell count is the corpus-growth knob).
+    * Top-1 is deterministic: (round(cos, 6) DESC, vec_id ASC).
+    * Vectors alone in their cell have no neighbor and emit nothing. */
+  def rnnPairs(embeddings: DataFrame, exactFold: Boolean = true,
+      cellDims: Int = IvfDims): DataFrame = {
+    val assigned = CacheScope.pin(
+      assignTrained(embeddings, exactFold, cellDims)
+        .select(col("vec_id"), col("v"), col("norm"), col("cent_id")))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("qid"),
+      col("v").as("qv"), col("norm").as("qn"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("nid"),
+      col("v").as("nv"), col("norm").as("nn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    val nn1 = a.join(b, Seq("cent_id"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), col("cos"))
+    nn1.alias("x").join(nn1.alias("y"),
+        col("x.qid") === col("y.nid") && col("x.nid") === col("y.qid") &&
+          col("x.qid") < col("x.nid"))
+      .select(col("x.qid").as("id_a"), col("x.nid").as("id_b"),
+        col("x.cos").as("cosine"))
+      .orderBy(col("id_a"))
+  }
+
   def labelNoise(embeddings: DataFrame, k: Int = LabelK,
       cellDims: Int = IvfDims): DataFrame = {
     val ec = labeled(embeddings, cellDims)
@@ -576,6 +613,26 @@ object LlmSimSql {
     SELECT a.vec_id, a.cent_id AS cluster, a.sim_r AS cent_sim,
       d.vec_id IS NULL AS keep
     FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id"""
+
+  /** Twin of [[LlmSim.rnnPairs]]: same trained assignment, same
+    * (round(cos,6) DESC, vec_id) top-1, same mutuality join. */
+  val rnnPairsSql: String =
+    s"""WITH $trainedCtes,
+    assigned AS (SELECT vec_id, v, norm, cent_id
+      FROM sims WHERE nr = 1),
+    nn AS (SELECT qid, nid, cos FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+        round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) AS cos,
+        row_number() OVER (PARTITION BY a.vec_id ORDER BY
+          round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) DESC,
+          b.vec_id) AS rk
+      FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id
+        AND a.vec_id <> b.vec_id)
+      WHERE rk = 1)
+    SELECT x.qid AS id_a, x.nid AS id_b, x.cos AS cosine
+    FROM nn x JOIN nn y ON x.qid = y.nid AND x.nid = y.qid
+      AND x.qid < x.nid
+    ORDER BY id_a"""
 
   /** Twin of [[LlmSim.labelNoise]]: same cell equi-join, same
     * (round(cos, 6) desc, id) neighbor rank, same (votes desc, label)

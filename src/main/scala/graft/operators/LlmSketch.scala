@@ -44,7 +44,7 @@ object LlmSketch {
       16, 10).cast("long") % width
 
   /** Vocabulary-sized exact token counts — the single corpus scan. */
-  private def tokenCounts(documents: DataFrame, textCol: String)
+  private[graft] def tokenCounts(documents: DataFrame, textCol: String)
       : DataFrame = documents
     .select(explode(call_function("graft_tokens", col(textCol)))
       .as("tok"))

@@ -293,6 +293,92 @@ object LlmText {
     clustersFromPairs(dedupNear(documents),
       documents.select(col("doc_id")))
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — the O(log n)-round alternative to
+    * [[clustersFromPairs]]'s min-label propagation, whose round count
+    * is the component DIAMETER. Typo/near-dup clusters are shallow
+    * (variants hang off a hub), so propagation wins there; chain-
+    * shaped components (doc A ≈ B ≈ C … pairwise-adjacent revisions,
+    * temporal crawls) make the diameter linear and propagation
+    * unbounded — star contraction converges logarithmically on ANY
+    * topology, each round two bounded shuffles over the (shrinking)
+    * edge list.
+    *
+    *  - large-star: every neighbor LARGER than the center links to
+    *    the center's minimum (incl. itself) — long chains fold onto
+    *    local minima without ever expanding the edge set;
+    *  - small-star: every neighbor at most the center (center
+    *    included) links to the center's minimum — stars flatten.
+    *
+    * Fixpoint = edge set unchanged (both passes idempotent there);
+    * the surviving edges are exactly (node → component minimum).
+    * Returns `(doc_id, cluster_id)` for nodes APPEARING IN PAIRS —
+    * same contract as the propagation core; [[dedupClustersStar]]
+    * completes singletons. Differential spec pins equality with
+    * [[clustersFromPairs]] on random graphs and correctness on chains
+    * past the propagation guard. */
+  private[graft] def ccStars(pairs: DataFrame,
+      maxRounds: Int = 60): DataFrame = {
+    var edges = pairs
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull &&
+        col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > maxRounds) sys.error("ccStars: no convergence")
+      // large-star over BOTH directions: center c, neighbors n;
+      // m = min(c, min n); every n > c links to m
+      val dirAll = edges.select(col("u").as("c"), col("v").as("n"))
+        .unionByName(edges.select(col("v").as("c"), col("u").as("n")))
+      val minsL = dirAll.groupBy(col("c"))
+        .agg(least(min(col("n")), col("c")).as("m"))
+      val ls = dirAll.join(minsL, Seq("c"))
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the small-pointing edges: center c = u,
+      // neighbors n = v (all < c); m = min n; every n links to m,
+      // and c itself links to m
+      val minsS = ls.groupBy(col("u").as("c"))
+        .agg(min(col("v")).as("m"))
+      val ss = ls.select(col("u").as("c"), col("v").as("n"))
+        .join(minsS, Seq("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(minsS.select(col("c").as("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint: symmetric difference empty (bounded early-exit probes)
+      converged =
+        ss.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+          edges.join(ss, Seq("u", "v"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = ss
+    }
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+  }
+
+  /** [[dedupClusters]] computed by star contraction instead of label
+    * propagation — identical output by construction (both emit the
+    * component minimum), different round complexity. The gate runs
+    * both against the same reachability oracle. */
+  def dedupClustersStar(documents: DataFrame): DataFrame = {
+    val stars = ccStars(dedupNear(documents))
+    documents.select(col("doc_id"))
+      .join(stars.withColumnRenamed("cluster_id", "__m"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__m"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("cluster_id")).cast("int"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split is a pure function
     * of the NEAR-DUP CLUSTER id, not the document id — every member
     * of a cluster lands in the same split, so a near-duplicate of a

@@ -105,6 +105,72 @@ class LlmSpec extends GraftSuite {
     }
   }
 
+  test("star-contraction components ≡ label propagation on random " +
+      "graphs, and converge on a chain past the propagation guard") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val pairSeq = (1 to 35).map { _ =>
+      val a = rnd.nextInt(n).toLong
+      val b = rnd.nextInt(n).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val prop = LlmText.clustersFromPairs(
+      pairSeq.toDF("id_a", "id_b"), (0L until n).toDF("doc_id"))
+      .select(col("doc_id"), col("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = LlmText.ccStars(pairSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ccStars emits only pair-touched nodes (non-minima); propagation
+    // covers all docs — restrict and complete
+    val starsFull = (0L until n).map(d =>
+      d -> stars.getOrElse(d, d)).toMap
+    assert(starsFull == prop)
+
+    // a 140-node path: diameter 139 — the label-propagation operator's
+    // 100-round guard would abort here; star contraction is O(log n)
+    val chain = (0L until 139L).map(i => (i, i + 1))
+    val got = LlmText.ccStars(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 139L).foreach(i => assert(got(i) == 0L, s"node $i"))
+  }
+
+  test("reciprocal NN pairs match a single-threaded reference over " +
+      "the trained cells") {
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.001")
+    val got = LlmSim.rnnPairs(emb)
+      .as[(Long, Long, Double)].collect().toSet
+    // reference: per-cell top-1 by (round(cos,6) DESC, id ASC), mutual
+    val assigned = LlmSim.assignTrained(emb, exactFold = true,
+        cellDims = graft.operators.LlmSim.IvfDims)
+      .select(col("vec_id"), col("v"), col("norm"), col("cent_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2), r.getString(3)))
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map(x => x._1 * x._2).sum
+    val byCell = assigned.groupBy(_._4)
+    val nn1 = byCell.values.flatMap { members =>
+      members.map { m =>
+        val others = members.filter(_._1 != m._1)
+        if (others.isEmpty) m._1 -> None
+        else {
+          val best = others.map { o =>
+            val c = BigDecimal(cos(m._2, o._2) / (m._3 * o._3))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (o._1, c)
+          }.minBy(x => (-x._2, x._1))
+          m._1 -> Some(best)
+        }
+      }
+    }.toMap
+    val ref = nn1.collect {
+      case (a, Some((b, c)))
+        if a < b && nn1.get(b).flatten.exists(_._1 == a) => (a, b, c)
+    }.toSet
+    assert(got == ref)
+  }
+
   test("near dedup finds a shifted copy and reports its jaccard") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val shifted = (0 to 30).map(i => s"w$i").mkString(" ") // 1 extra word
