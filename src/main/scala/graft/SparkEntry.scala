@@ -79,6 +79,8 @@ object SparkEntry {
     "llm_skipgram",
     "llm_rnn",
     "cls_rolling_anomaly",
+    "cls_triangles",
+    "cls_interval_merge",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —
     // and the 3-site heterogeneous fleet (the production entry point)

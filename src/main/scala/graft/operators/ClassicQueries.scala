@@ -788,6 +788,91 @@ object ClassicQueries {
     FuzzyJoin.selfJoin2(Tables.customer(s, dir), "c_custkey", "c_name")
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Triangle count over the synthetic order graph (same edge
+    * construction as [[pageRank]]) by DEGREE-ORDERED orientation —
+    * the standard trick that makes triangle enumeration scale: orient
+    * every undirected edge from its (degree, id)-smaller endpoint to
+    * the larger, so each triangle is counted exactly once from its
+    * minimum vertex AND the wedge join's fan-out per vertex is
+    * bounded by the ORIENTED out-degree, which degree-ordering caps
+    * at O(√m) even on power-law graphs (a hub's edges all point INTO
+    * it, so the hub never enumerates its quadratic wedge set). Three
+    * scans + two equi-joins; no all-pairs stage. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val nc = Tables.customer(s, dir).count()
+    val raw = Tables.orders(s, dir)
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey").as("a"),
+        pmod(col("o_orderkey") * 131 + 7, lit(nc)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = raw.select(col("u").as("node"))
+      .unionByName(raw.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    def ranked(side: String, out: String) = deg
+      .select(col("node").as(side), col("deg").as(s"deg_$out"))
+    val withDeg = raw
+      .join(ranked("u", "u"), Seq("u")).join(ranked("v", "v"), Seq("v"))
+    // consumed three times (two wedge sides + the closing probe)
+    val oriented = CacheScope.pin(withDeg.select(
+      when(col("deg_u") < col("deg_v") ||
+          (col("deg_u") === col("deg_v") && col("u") < col("v")),
+        struct(col("u").as("s"), col("v").as("d")))
+        .otherwise(struct(col("v").as("s"), col("u").as("d")))
+        .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+      .join(deg.select(col("node").as("d"), col("deg").as("dd")),
+        Seq("d")))
+    // wedges from the common smallest vertex; (deg, id) order on the
+    // endpoints avoids the mirror wedge; close with the oriented edge
+    val w1 = oriented.select(col("s").as("a"), col("d").as("b"),
+      col("dd").as("deg_b"))
+    val w2 = oriented.select(col("s").as("a"), col("d").as("c"),
+      col("dd").as("deg_c"))
+    val wedges = w1.join(w2, Seq("a"))
+      .filter(col("deg_b") < col("deg_c") ||
+        (col("deg_b") === col("deg_c") && col("b") < col("c")))
+    val closing = oriented.select(col("s").as("b"), col("d").as("c"))
+    wedges.join(closing, Seq("b", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Per-user merge of overlapping activity intervals
+    * `[ts, ts + value sec]` — the gaps-and-islands coverage primitive
+    * (machine downtime unions, user activity spans): one shuffle on
+    * the entity key, one ordered frame scan to mark island heads
+    * (interval start past the running max end), one aggregate.
+    * Timestamps second-truncated BEFORE ordering (cross-engine ns/µs
+    * rule); the running-max comparison is on exact doubles both
+    * engines derive identically (one add per row). */
+  def intervalMerge(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+    val prevMax = max(col("en")).over(w.rowsBetween(
+      Window.unboundedPreceding, -1))
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts")))
+          .cast("double").as("st"), col("value"))
+      .withColumn("en", col("st") + col("value"))
+      .withColumn("head",
+        (prevMax.isNull || col("st") > prevMax).cast("long"))
+      .withColumn("island",
+        sum(col("head")).over(w.rowsBetween(
+          Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("n_in_island"),
+        min(col("st")).as("is_st"), max(col("en")).as("is_en"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_in_island")).as("n_intervals"),
+        round(sum(col("is_en") - col("is_st")), 3).as("covered_sec"))
+      .orderBy(col("user_id"))
+  }
+
   private val RollN = 20
   private val RollMinWin = 10
   private val RollZ = 3.0
@@ -1099,6 +1184,8 @@ object ClassicQueries {
     "cls_fuzzy_join" -> (fuzzyJoin _),
     "cls_fuzzy_join2" -> (fuzzyJoin2 _),
     "cls_rolling_anomaly" -> (rollingAnomaly _),
+    "cls_triangles" -> (triangles _),
+    "cls_interval_merge" -> (intervalMerge _),
     "cls_table_diff" -> (tableDiff _),
     "cls_table_profile" -> (tableProfile _),
     "cls_scd2" -> (scd2Orders _),
@@ -1474,6 +1561,61 @@ object ClassicQueries {
          FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
          WHERE levenshtein(a.c_name, b.c_name) <= 2
          ORDER BY id_a, id_b""",
+    "cls_triangles" ->
+      """WITH raw AS (SELECT DISTINCT
+           least(o_custkey, d) AS u, greatest(o_custkey, d) AS v
+         FROM (SELECT o_custkey,
+             (o_orderkey * 131 + 7) % (SELECT count(*) FROM customer)
+               AS d
+           FROM orders WHERE o_custkey IS NOT NULL)
+         WHERE o_custkey <> d),
+       deg AS (SELECT node, count(*) AS deg FROM (
+           SELECT u AS node FROM raw UNION ALL SELECT v FROM raw)
+         GROUP BY 1),
+       oriented AS (SELECT
+           CASE WHEN (du.deg, r.u) < (dv.deg, r.v) THEN r.u ELSE r.v
+             END AS s,
+           CASE WHEN (du.deg, r.u) < (dv.deg, r.v) THEN r.v ELSE r.u
+             END AS d
+         FROM raw r JOIN deg du ON du.node = r.u
+                    JOIN deg dv ON dv.node = r.v),
+       od AS (SELECT o.s, o.d, dd.deg AS dd
+         FROM oriented o JOIN deg dd ON dd.node = o.d),
+       wedges AS (SELECT w1.a, w1.b, w2.c FROM
+           (SELECT s AS a, d AS b, dd AS deg_b FROM od) w1
+         JOIN (SELECT s AS a, d AS c, dd AS deg_c FROM od) w2
+           USING (a)
+         WHERE (w1.deg_b, w1.b) < (w2.deg_c, w2.c))
+       SELECT count(*) AS n_triangles
+       FROM wedges SEMI JOIN oriented
+         ON wedges.b = oriented.s AND wedges.c = oriented.d""",
+    "cls_interval_merge" ->
+      """WITH e AS (SELECT event_id, user_id,
+           CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS st,
+           CAST(epoch(date_trunc('second', ts)) AS DOUBLE) + value
+             AS en
+         FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       m AS (SELECT *,
+           max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_max
+         FROM e),
+       h AS (SELECT *,
+           CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0
+             END AS head
+         FROM m),
+       isl AS (SELECT *,
+           sum(head) OVER (PARTITION BY user_id ORDER BY st, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS island
+         FROM h),
+       g AS (SELECT user_id, island, count(*) AS n_in_island,
+           min(st) AS is_st, max(en) AS is_en
+         FROM isl GROUP BY 1, 2)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+         CAST(sum(n_in_island) AS BIGINT) AS n_intervals,
+         round(sum(is_en - is_st), 3) AS covered_sec
+       FROM g GROUP BY 1 ORDER BY user_id""",
     "cls_rolling_anomaly" ->
       s"""WITH e AS (SELECT event_id, user_id,
            date_trunc('second', ts) AS ts, value

@@ -19,15 +19,23 @@ import org.apache.spark.sql.functions._
   * (AQE keeps cached-plan partitioning unless
   * `canChangeCachedPlanOutputPartitioning` is flipped), so Catalyst's
   * EnsureRequirements inserts NO Exchange on the EDGE side of any
-  * round's join: a round shuffles only the node-sized rank frame onto
-  * its join key plus the inherent `groupBy(dst)` transpose (itself
-  * map-side combined down to distinct-dst rows per partition).
-  * Checkpoints deliberately do NOT carry the pinning — under AQE a
-  * checkpointed plan's partitioning degrades to unknown, which is
-  * exactly why the r12 localCheckpoint-everything design re-shuffled
-  * the edge list every round. PageRankSpec asserts the plan shape:
-  * two Exchanges per round, neither on the edge key. The caches are
-  * released before returning.
+  * round's join. The rank side is ADAPTIVE by node count:
+  *
+  *  - `n <= broadcastNodesMax` (default 1M — tens of MB of rank
+  *    rows): the node-sized frames take explicit `broadcast()` hints,
+  *    so a round is broadcast-hash joins probing the cached edge scan
+  *    IN PLACE plus the one inherent `groupBy(dst)` transpose — one
+  *    shuffle per round, no sorts. (Pinned caches defeat AQE's
+  *    runtime SMJ→BHJ conversion — there is no shuffle stage to
+  *    size — so without the hint the toy-scale plan silently paid
+  *    sort-merge machinery per round: measured 4.5 → 10.4 s on the
+  *    sf0.1 bench when this was hint-free.)
+  *  - above the ceiling: no broadcast; the rank frame shuffles onto
+  *    its join key and co-partitions with the caches — two Exchanges
+  *    per round, neither on the edge key.
+  *
+  * PageRankSpec asserts BOTH plan shapes and their result equality.
+  * The caches are released before returning.
   *
   * Durability: the rank frame's lineage is cut per round.
   * `localCheckpoint` (default) stores the cut on executor-local
@@ -56,12 +64,17 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Node-count ceiling for the broadcast-shaped round (rank rows are
+    * ~16 bytes: 1M ≈ tens of MB on the driver and per executor). */
+  val BroadcastNodesMax = 1000000L
+
   /** Run `iters` rounds over `edges` (columns `src`, `dst`;
     * multi-edges count multiply, NULL endpoints dropped). Returns
     * `(node, rank)` for every node appearing as src or dst. */
   def run(edges: DataFrame, iters: Int = 10, damping: Double = 0.85,
       scale: Int = 9, reliable: Boolean = false,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      broadcastNodesMax: Long = BroadcastNodesMax): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1,
       s"pageRank: damping in (0,1), got $damping")
@@ -70,6 +83,7 @@ object PageRank {
 
     val p = pin(edges)
     try {
+      val bcast = p.n <= broadcastNodesMax
       var ranks = cut(p.nodes.select(col("node"),
         round(lit(1.0) / lit(p.n), scale).as("r")))
       (1 to iters).foreach { _ =>
@@ -79,7 +93,7 @@ object PageRank {
           else ranks.join(p.outdeg, ranks("node") === p.outdeg("src"),
               "left_anti")
             .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
-        val next = cut(iterate(p, ranks, damping, scale, dm))
+        val next = cut(iterate(p, ranks, damping, scale, dm, bcast))
         ranks.unpersist()
         ranks = next
       }
@@ -120,18 +134,22 @@ object PageRank {
     Pinned(e, nodes, outdeg, n, release)
   }
 
-  /** One un-cut rank iteration over pinned inputs — the frame whose
-    * physical plan PageRankSpec asserts carries a single shuffle (the
-    * groupBy(dst) transpose). */
+  /** One un-cut rank iteration over pinned inputs. `broadcastRanks`
+    * selects the plan shape (see object doc); PageRankSpec asserts
+    * both: broadcast → ONE shuffle (the groupBy(dst) transpose),
+    * co-partitioned → two, and never one on the edge key. */
   private[graft] def iterate(p: Pinned, ranks: DataFrame,
-      damping: Double, scale: Int, dm: Double): DataFrame = {
-    val contrib = ranks
-      .join(p.outdeg, ranks("node") === p.outdeg("src"))
+      damping: Double, scale: Int, dm: Double,
+      broadcastRanks: Boolean = false): DataFrame = {
+    val r = if (broadcastRanks) broadcast(ranks) else ranks
+    val weighted = r.join(p.outdeg, r("node") === p.outdeg("src"))
+    val contrib = (if (broadcastRanks) broadcast(weighted) else weighted)
       .join(p.e, Seq("src"))
       .groupBy(col("dst"))
       .agg(sum(col("r") / col("od")).as("c"))
+    val cj = if (broadcastRanks) broadcast(contrib) else contrib
     p.nodes
-      .join(contrib, p.nodes("node") === contrib("dst"), "left")
+      .join(cj, p.nodes("node") === cj("dst"), "left")
       .select(col("node"),
         round(lit((1.0 - damping) / p.n + damping * dm / p.n) +
           lit(damping) * coalesce(col("c"), lit(0.0)),

@@ -73,9 +73,39 @@ class PageRankSpec extends GraftSuite {
         shuffles.foreach(e =>
           assert(!e.outputPartitioning.toString.contains("src#"),
             s"edge list re-shuffled on src:\n$root"))
+
+        // broadcast shape (small node count): ONE shuffle — the
+        // transpose — and the edge cache probed in place
+        val bTop = PageRank.iterate(p, ranks, 0.85, 9, 0.0,
+            broadcastRanks = true)
+          .queryExecution.executedPlan
+        val bRoot = bTop match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => a.executedPlan
+          case o => o
+        }
+        val bShuffles = bRoot.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => e
+        }
+        assert(bShuffles.size == 1,
+          s"expected the lone transpose shuffle, got " +
+            s"${bShuffles.map(_.outputPartitioning)}:\n$bRoot")
+        assert(!bShuffles.head.outputPartitioning.toString
+          .contains("src#"), s"edge list re-shuffled on src:\n$bRoot")
       } finally p.release()
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("broadcast and co-partitioned round shapes are bit-identical") {
+    val edges = (1 to 300).map(i =>
+      ((i % 31).toLong, ((i * 11) % 31).toLong))
+    val small = run(edges, iters = 6) // n=31 <= ceiling: broadcast path
+    val big = PageRank.run(edges.toDF("src", "dst"), iters = 6,
+        broadcastNodesMax = 0L) // force the co-partitioned path
+      .as[(Long, Double)].collect().toMap
+    assert(small == big)
   }
 
   test("reliable checkpoint path is bit-identical to localCheckpoint") {
