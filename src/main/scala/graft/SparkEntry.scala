@@ -81,6 +81,7 @@ object SparkEntry {
     "cls_rolling_anomaly",
     "cls_triangles",
     "cls_interval_merge",
+    "llm_decontaminate",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one
     // site — the direct comparand for BASELINE.md's per-site anchor —
     // and the 3-site heterogeneous fleet (the production entry point)

@@ -890,11 +890,17 @@ object ClassicQueries {
     * ordering could disagree across engines; (second, event_id) cannot.
     * The z-score is rounded to 4 decimals before the threshold compare
     * so both engines flag the identical set. */
-  def rollingAnomaly(s: SparkSession, dir: String): DataFrame = {
+  def rollingAnomaly(s: SparkSession, dir: String): DataFrame =
+    rollingAnomalyOf(Tables.events(s, dir))
+      .orderBy(col("event_id"))
+
+  /** DataFrame half of [[rollingAnomaly]] (shared with the streaming
+    * twin's differential spec). */
+  def rollingAnomalyOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-RollN, -1)
-    Tables.events(s, dir)
+    events
       .filter(col("user_id").isNotNull && col("value").isNotNull)
       .select(col("event_id"), col("user_id"),
         date_trunc("second", col("ts")).as("ts"), col("value"))
@@ -907,8 +913,13 @@ object ClassicQueries {
       .filter(abs(col("z")) > RollZ)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         col("z"))
-      .orderBy(col("event_id"))
   }
+
+  /** The rolling-anomaly window/threshold constants, shared with
+    * [[graft.streaming.StreamingRollingAnomaly]]. */
+  val RollingN: Int = RollN
+  val RollingMinWin: Int = RollMinWin
+  val RollingZ: Double = RollZ
 
   /** Compare columns of [[tableDiff]] — shared with the oracle SQL so
     * the changed-cols attribution order matches by construction. */

@@ -122,6 +122,27 @@ object LlmPrep {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** The REMOVAL step [[contamination]] feeds: drop every train
+    * document flagged against any eval document, keep the rest —
+    * `(doc_id, n_tokens)` of the surviving train corpus. One
+    * left-anti equi-join on the flagged id set (contamination-output
+    * sized, broadcastable in practice); eval documents are not train
+    * rows and never appear. The complete decontamination workflow is
+    * therefore detect → anti-join, both shuffle-bounded. */
+  def decontaminate(documents: DataFrame, evalMod: Int = EvalMod,
+      n: Int = ContamN, dfCap: Int = ContamDfCap,
+      minShared: Int = ContamMinShared): DataFrame = {
+    val flagged = contamination(documents, evalMod, n, dfCap, minShared)
+      .select(col("train_id").as("doc_id")).distinct()
+    documents
+      .filter(pmod(col("doc_id"), lit(evalMod)) =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(call_function("graft_tokens", col("text")))
+          .cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-stratum sampling quota of [[sampleStratified]]. */
   val StratumCap = 100
 
@@ -922,6 +943,19 @@ object LlmPrepSql {
     FROM ev JOIN tr USING (gram)
     GROUP BY 1, 2
     HAVING count(*) >= $ContamMinShared"""
+
+  /** Twin of [[LlmPrep.decontaminate]] — the contamination twin's
+    * flagged train ids anti-joined off the train corpus. */
+  val decontaminateSql: String =
+    s"""WITH flagged AS (SELECT DISTINCT train_id AS doc_id
+      FROM ($contaminationSql)),
+    tk2 AS (SELECT doc_id,
+      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+        AS toks
+      FROM documents WHERE doc_id % $EvalMod <> 0)
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens
+    FROM tk2 t ANTI JOIN flagged f ON t.doc_id = f.doc_id
+    ORDER BY t.doc_id"""
 
   val sampleStratifiedSql: String =
     s"""SELECT doc_id, lang, rk FROM (

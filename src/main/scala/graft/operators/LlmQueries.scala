@@ -113,7 +113,8 @@ object LlmQueries {
     // same clustering oracle as llm_dedup_cluster: the star-contraction
     // and label-propagation paths must agree with SQL reachability
     "llm_dedup_cluster2" -> ((s, d) => LlmText.dedupClustersStar(docs(s, d))),
-    "llm_rnn" -> ((s, d) => LlmSim.rnnPairs(embs(s, d))))
+    "llm_rnn" -> ((s, d) => LlmSim.rnnPairs(embs(s, d))),
+    "llm_decontaminate" -> ((s, d) => LlmPrep.decontaminate(docs(s, d))))
 
   val oracles: Map[String, String] = Map(
     "llm_bpe_train" -> BpeTrainSql.trainSql(merges = 12, minCount = 2L),
@@ -175,5 +176,6 @@ object LlmQueries {
     "llm_skipgram" -> LlmPrepSql.skipgramsSql,
     "llm_split_safe" -> LlmTextSql.splitSafeSql,
     "llm_dedup_cluster2" -> LlmTextSql.dedupClustersSql,
-    "llm_rnn" -> LlmSimSql.rnnPairsSql)
+    "llm_rnn" -> LlmSimSql.rnnPairsSql,
+    "llm_decontaminate" -> LlmPrepSql.decontaminateSql)
 }
