@@ -29,8 +29,9 @@ import org.apache.spark.sql.functions._
   *  3. candidate pairs — equi-join the prefix frames on gram
   *     (id_a < id_b, length difference <= k — an edit changes length
   *     by at most 1), distinct.
-  *  4. verify — exact `levenshtein` (codegen'd built-in) on the
-  *     candidates only.
+  *  4. verify — exact THRESHOLD'D `levenshtein(a, b, k)` (codegen'd
+  *     built-in; the banded DP abandons at k+1, O(k·len) per
+  *     candidate instead of O(len²)) on the candidates only.
   *
   * Strings with <= k*q distinct grams (shorter than ~q*(k+1) chars, or
   * pathologically repetitive — "aaaa…") get NO overlap guarantee from
@@ -138,10 +139,12 @@ object FuzzyJoin {
           .otherwise(col("p_str")).as("str_b"))
       .distinct()
 
+    // threshold'd verify: the banded DP early-abandons at k+1
+    // (O(k·len) per candidate instead of O(len²)); -1 encodes "over"
     richCands.unionByName(poorCands)
       .withColumn("dist",
-        levenshtein(col("str_a"), col("str_b")).cast("long"))
-      .filter(col("dist") <= k)
+        levenshtein(col("str_a"), col("str_b"), k).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -238,8 +241,8 @@ object FuzzyJoin {
       .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
       .distinct()
       .withColumn("dist",
-        levenshtein(col("str_a"), col("str_b")).cast("long"))
-      .filter(col("dist") <= k)
+        levenshtein(col("str_a"), col("str_b"), k).cast("long"))
+      .filter(col("dist") >= 0) // threshold'd DP: -1 = over k
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -263,8 +266,8 @@ object FuzzyJoin {
       .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
       .distinct()
       .withColumn("dist",
-        levenshtein(col("str_a"), col("str_b")).cast("long"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("str_a"), col("str_b"), 1).cast("long"))
+      .filter(col("dist") >= 0) // threshold'd DP: -1 = over 1
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
