@@ -19,10 +19,25 @@ import org.apache.spark.storage.StorageLevel
   * Thread-local: plan construction (where persist() calls happen) is
   * single-threaded per pipeline run; the concurrent table WRITES only
   * consume already-pinned frames and never pin.
+  *
+  * Pins taken with NO scope open ("orphans") are bounded: the newest
+  * [[OrphanCap]] stay persisted, the oldest beyond that are evicted
+  * (unpersisted — always correctness-safe, Spark recomputes). A loop
+  * that calls a pinning operator without opening a scope therefore
+  * cycles a bounded cache instead of accumulating O(iterations) dead
+  * entries for the session lifetime; single-query callers are far
+  * under the cap and keep every warm frame.
   */
 object CacheScope {
 
   private val active = new ThreadLocal[ArrayBuffer[DataFrame]]()
+
+  /** Orphan-pin LRU bound; generous vs any single query's pin count
+    * (the widest pipeline pins < 12 frames per site). */
+  val OrphanCap = 48
+
+  private val orphans =
+    new java.util.ArrayDeque[DataFrame](OrphanCap + 1)
 
   /** Persist `df` (MEMORY_AND_DISK); register it with the open scope,
     * if any, for later release. An already-persisted frame is returned
@@ -36,6 +51,12 @@ object CacheScope {
     val c = df.persist(StorageLevel.MEMORY_AND_DISK)
     val buf = active.get()
     if (buf != null) buf += c
+    else orphans.synchronized {
+      orphans.addLast(c)
+      while (orphans.size > OrphanCap) {
+        orphans.pollFirst().unpersist(); ()
+      }
+    }
     c
   }
 

@@ -1637,12 +1637,12 @@ object ClassicQueries {
            count(value) OVER win AS n_win
          FROM e WINDOW win AS (PARTITION BY user_id
            ORDER BY ts, event_id
-           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+           ROWS BETWEEN $RollN PRECEDING AND 1 PRECEDING))
        SELECT event_id, user_id, ts, value,
          round((value - mu) / sd, 4) AS z
        FROM w
-       WHERE n_win >= 10 AND sd > 0
-         AND abs(round((value - mu) / sd, 4)) > 3.0
+       WHERE n_win >= $RollMinWin AND sd > 0
+         AND abs(round((value - mu) / sd, 4)) > $RollZ
        ORDER BY event_id""",
     "cls_table_diff" ->
       """WITH bef AS (SELECT o_orderkey, o_orderstatus, o_totalprice,

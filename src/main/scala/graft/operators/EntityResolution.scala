@@ -13,9 +13,15 @@ import org.apache.spark.sql.functions._
   * join shapes:
   *  1. [[FuzzyJoin.selfJoin]] — exact ed<=k pairs via the rarest-gram
   *     prefix filter (never all-pairs);
-  *  2. [[LlmText.clustersFromPairs]] — min-label propagation to the
-  *     connected component (O(diameter) bucket-join rounds; typo
-  *     clusters have tiny diameter because variants hang off a hub);
+  *  2. connected components over the pair graph — [[LlmText.ccStars]]
+  *     star contraction by default (O(log n) rounds on ANY topology,
+  *     each round two shuffles over the shrinking edge list);
+  *     [[LlmText.clustersFromPairs]] min-label propagation on request
+  *     (O(diameter) rounds — fine for shallow hub-and-variants typo
+  *     clusters, unbounded on chain-shaped components such as
+  *     pairwise-adjacent revision strings, which is why stars is the
+  *     default: the 10× radius-2 probe spent most of its time in
+  *     propagation across a chain-heavy fixture);
   *  3. survivorship — the min-id member is the entity's canonical
   *     row, attached with one equi-join against the (cluster-count
   *     sized, AQE-broadcastable) representative frame.
@@ -30,9 +36,17 @@ object EntityResolution {
     * Returns `(idCol, entity_id, canonical)` — `entity_id` is the
     * minimum id in the row's connected component, `canonical` that
     * row's string. NULL ids/strings are dropped (as in the underlying
-    * fuzzy join — no distance to NULL). */
+    * fuzzy join — no distance to NULL). `clustering` picks the
+    * connected-components engine: `"stars"` (default — round count
+    * logarithmic on any topology) or `"propagation"` (min-label;
+    * rounds = component diameter). Both emit the component minimum,
+    * so the output is identical by construction — the gate runs the
+    * default against the same reachability oracle that proved
+    * propagation. */
   def resolve(df: DataFrame, idCol: String, strCol: String, k: Int,
-      q: Int = 3): DataFrame = {
+      q: Int = 3, clustering: String = "stars"): DataFrame = {
+    require(clustering == "stars" || clustering == "propagation",
+      s"resolve: clustering must be stars|propagation, got $clustering")
     val base = df
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(strCol).as("__str"))
@@ -52,13 +66,24 @@ object EntityResolution {
       if (k == 1) FuzzyJoin.selfJoin1(values, "vid", "__str")
       else if (k == 2) FuzzyJoin.selfJoin2(values, "vid", "__str")
       else FuzzyJoin.selfJoin(values, "vid", "__str", k, q)
-    // cluster the VALUE graph; min-label over representative ids is
-    // the global min id of the component because each representative
-    // is already the min of its copy group
-    val clusters = LlmText.clustersFromPairs(
-      pairs.select(col("id_a"), col("id_b")),
-      values.select(col("vid").as("doc_id")))
-      .select(col("doc_id").as("vid"), col("cluster_id").as("entity_id"))
+    // cluster the VALUE graph; the component minimum over
+    // representative ids is the global min id of the component because
+    // each representative is already the min of its copy group
+    val clusters =
+      if (clustering == "stars") {
+        // ccStars covers only nodes appearing in pairs; singleton
+        // values are their own entity (same completion as
+        // dedupClustersStar)
+        val stars = LlmText.ccStars(pairs.select(col("id_a"), col("id_b")))
+          .select(col("doc_id").as("vid"), col("cluster_id").as("__m"))
+        values.select(col("vid")).join(stars, Seq("vid"), "left")
+          .select(col("vid"),
+            coalesce(col("__m"), col("vid")).as("entity_id"))
+      } else LlmText.clustersFromPairs(
+        pairs.select(col("id_a"), col("id_b")),
+        values.select(col("vid").as("doc_id")))
+        .select(col("doc_id").as("vid"),
+          col("cluster_id").as("entity_id"))
     val canon = base.select(col("doc_id").as("entity_id"),
       col("__str").as("canonical"))
     base.join(values, Seq("__str"))

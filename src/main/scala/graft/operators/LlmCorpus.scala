@@ -228,11 +228,11 @@ object LlmCorpus {
       trusted: Seq[String]): DataFrame =
     cnt.agg(sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"),
         count(lit(1)).as("v_size"))
-      .crossJoin(documents.agg(
+      .crossJoin(broadcast(documents.agg(
         sum(when(col("source").isin(trusted: _*), 1L).otherwise(0L))
           .as("d_pos"),
         sum(when(!col("source").isin(trusted: _*), 1L).otherwise(0L))
-          .as("d_neg")))
+          .as("d_neg"))))
 
   /** Score `documents` against a trained naive-Bayes quality model
     * (`cnt` = [[nbCounts]], `stats` = [[nbStats]]): per-token
@@ -504,19 +504,37 @@ object LlmCorpus {
   /** Approximate `q`-quantile of the token-count distribution encoded
     * in a `len_hist` column: the midpoint of the first bucket whose
     * running count reaches `q` of the total (NULL on an empty
-    * histogram). Statically unrolled over the 24 buckets — pure
-    * column arithmetic, codegen-friendly, no UDF. Error is bounded by
-    * the bucket width (≤2× relative). */
+    * histogram). Built from higher-order array functions (`aggregate`
+    * over the cells), which codegen as LOOPS — the earlier statically-
+    * unrolled form put O(buckets²) expressions into whoever consumed
+    * it, and two quantiles projected over the profile aggregate blew
+    * janino's 64KB method limit, dropping the whole profile scan to
+    * interpreted execution. No UDF. Error is bounded by the bucket
+    * width (≤2× relative). */
   def histQuantile(hist: Column, q: Double): Column = {
     require(q > 0 && q <= 1, s"quantile must be in (0, 1], got $q")
-    def at(i: Int): Column = element_at(hist, i + 1)
-    val total = (0 until LenHistBuckets).map(at).reduce(_ + _)
+    val total = aggregate(hist, lit(0L), (a, x) => a + x)
     val target = ceil(total * lit(q)).cast("long")
-    val cums = (0 until LenHistBuckets)
-      .scanLeft(lit(0L): Column)((acc, i) => acc + at(i)).tail
-    def mid(b: Int): Long = (3L * (1L << b) - 3L) / 2L
-    when(total > 0, coalesce((0 until LenHistBuckets).map(i =>
-      when(cums(i) >= target, lit(mid(i)))): _*))
+    // one pass with a (running-count, found-bucket) accumulator; the
+    // bucket index rides along since aggregate has no element index
+    val found = aggregate(
+      arrays_zip(hist.as("c"),
+        sequence(lit(0), lit(LenHistBuckets - 1)).as("i")),
+      struct(lit(0L).as("cum"), lit(-1).as("idx")),
+      (acc, cell) => {
+        val cum = acc.getField("cum") + cell.getField("c")
+        struct(cum.as("cum"),
+          when(acc.getField("idx") >= 0, acc.getField("idx"))
+            .when(cum >= target, cell.getField("i"))
+            .otherwise(lit(-1)).as("idx"))
+      })
+    // bucket midpoint (3·2^b − 3) / 2 with dynamic b: pow(2, b) is
+    // double-exact far past bucket 23; floor-div matches the integer
+    // arithmetic the buckets were defined with
+    val idx = found.getField("idx")
+    val mid = floor((lit(3L) * pow(lit(2.0), idx).cast("long") - 3L) / 2)
+      .cast("long")
+    when(total > 0 && idx >= 0, mid)
   }
 
   /** Mergeable per-source corpus profile — the incremental form of
@@ -545,8 +563,16 @@ object LlmCorpus {
     // StreamingProfile runs this per micro-batch)
     val d = CacheScope.pin(documents.select(col("source"), col("text"),
       toks(col("text")).as("toks")))
-    val bucket = lenBucket(size(col("toks")))
-    val docAgg = d.groupBy(col("source")).agg(
+    // the length bucket is PROJECTED once per row, not inlined into
+    // each histogram cell: 24 copies of lenBucket's 23-branch chain
+    // inside one hash-aggregate update method blow janino's 64KB
+    // method limit and silently drop the whole profile scan to
+    // interpreted execution — the projected attribute keeps every
+    // aggregate expression small and the scan whole-stage-codegen
+    // (ProfileSketchSpec pins the compile staying clean)
+    val withB = d.select(col("source"), col("text"), col("toks"),
+      lenBucket(size(col("toks"))).as("__lb"))
+    val docAgg = withB.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       sum(size(col("toks"))).cast("long").as("n_tokens"),
       hll_sketch_agg(xxhash64(col("text")), ProfileLgK).as("doc_sketch"),
@@ -555,7 +581,8 @@ object LlmCorpus {
       // packing length) without rescanning history, the quantity the
       // exact sums cannot recover
       array((0 until LenHistBuckets).map(i =>
-        sum(when(bucket === i, 1L).otherwise(0L))): _*).as("len_hist"))
+        sum(when(col("__lb") === i, 1L).otherwise(0L))): _*)
+        .as("len_hist"))
     val tokAgg = d.select(col("source"), explode(col("toks")).as("tok"))
       .groupBy(col("source"))
       .agg(hll_sketch_agg(col("tok"), ProfileLgK).as("vocab_sketch"))

@@ -24,26 +24,49 @@ import org.apache.spark.sql.SparkSession
 object Ledger {
 
   /** Delete all but the newest `keep` markers per namespace under
-    * `path/_applied`. Returns the number of markers deleted. */
-  def prune(spark: SparkSession, path: String, keep: Int = 100): Long = {
+    * `path/_applied`, then — when `keepNamespaces` is bounded — drop
+    * every marker of all but the `keepNamespaces` namespaces whose
+    * newest marker is most recent (by file modification time).
+    *
+    * The namespace sweep is what stops DEAD runs from accreting: an
+    * uncheckpointed run salts a fresh `run<uuid>` namespace, so
+    * per-namespace trimming alone still leaves up to `keep` markers
+    * per crashed run forever. A namespace only loses markers to the
+    * sweep once `keepNamespaces` newer runs have written after it —
+    * any live run's namespace carries the newest markers of all and
+    * always survives; size `keepNamespaces` above the number of
+    * writers that can be live concurrently (the default is generous).
+    * Returns the number of markers deleted. */
+  def prune(spark: SparkSession, path: String, keep: Int = 100,
+      keepNamespaces: Int = Int.MaxValue): Long = {
     require(keep >= 1, s"ledgerPrune: keep must be >= 1, got $keep")
+    require(keepNamespaces >= 1,
+      s"ledgerPrune: keepNamespaces must be >= 1, got $keepNamespaces")
     val dir = new org.apache.hadoop.fs.Path(path, "_applied")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0L
     val markers = fs.listStatus(dir).filter(_.isFile)
-      .map(_.getPath.getName)
-    val parsed = markers.flatMap { name =>
+    val parsed = markers.flatMap { st =>
+      val name = st.getPath.getName
       val cut = name.lastIndexOf('_')
       if (cut <= 0) None
       else scala.util.Try(name.substring(cut + 1).toLong).toOption
-        .map(epoch => (name.substring(0, cut), epoch, name))
+        .map(epoch =>
+          (name.substring(0, cut), epoch, name, st.getModificationTime))
     }
     var deleted = 0L
-    parsed.groupBy(_._1).foreach { case (_, group) =>
-      group.sortBy(-_._2).drop(keep).foreach { case (_, _, name) =>
-        if (fs.delete(new org.apache.hadoop.fs.Path(dir, name), false))
-          deleted += 1L
-      }
+    def drop(name: String): Unit =
+      if (fs.delete(new org.apache.hadoop.fs.Path(dir, name), false))
+        deleted += 1L
+    val byNs = parsed.groupBy(_._1)
+    byNs.foreach { case (_, group) =>
+      group.sortBy(-_._2).drop(keep).foreach(m => drop(m._3))
+    }
+    if (keepNamespaces < byNs.size) {
+      val stale = byNs.toSeq
+        .sortBy { case (ns, group) => (-group.map(_._4).max, ns) }
+        .drop(keepNamespaces)
+      stale.foreach { case (_, group) => group.foreach(m => drop(m._3)) }
     }
     deleted
   }

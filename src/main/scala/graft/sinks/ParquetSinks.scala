@@ -501,11 +501,16 @@ object ParquetSinks {
       if (fs.exists(dead)) fs.delete(dead, true)
     }
     // a fully-emptied table must stay READABLE: leave one zero-row
-    // file (data schema, partition value from the dir name) behind
+    // file (data schema, partition value from the dir name) behind —
+    // staged under tmp and swapped in like every other partition, so
+    // a crash mid-write never leaves a partial live dir behind
     if (!fs.listStatus(new Path(path)).exists(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"$BucketCol=")))
+        st.getPath.getName.startsWith(s"$BucketCol="))) {
+      val zeroTmp = new Path(tmp, s"$BucketCol=0")
       upserts.limit(0).write.mode(SaveMode.Overwrite)
-        .parquet(s"$path/$BucketCol=0")
+        .parquet(zeroTmp.toString)
+      swapDir(fs, zeroTmp, new Path(path, s"$BucketCol=0"))
+    }
     fs.delete(tmp, true)
   }
 

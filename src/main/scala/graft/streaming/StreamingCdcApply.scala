@@ -28,10 +28,18 @@ import graft.sinks.ParquetSinks
   * blindly, so a stale change arriving after a newer one would
   * regress the row — the contract every changelog transport
   * (epoch-ordered diffs, Kafka per-key partitions) already provides.
+  * `seqCol` SHOULD be strictly increasing per key; when a transport
+  * violates that and a batch carries two changes for a key at the
+  * SAME sequence value, the fold still picks a deterministic winner
+  * (tie broken by op then after-image columns, descending) rather
+  * than whichever row `row_number` happened to see first — replays
+  * and re-chops then converge on the same table.
   *
   * Idempotent under foreachBatch replay via the same `_applied/`
   * epoch-ledger discipline as [[StreamingScd2.start]] (and the same
-  * uncheckpointed-run salting). NULL-key changes are dropped up
+  * uncheckpointed-run salting — pass `namespace` to pin the ledger
+  * namespace instead, so [[graft.sinks.Ledger.prune]] can collect a
+  * dead run's markers by name). NULL-key changes are dropped up
   * front — [[graft.operators.SnapshotDiff.diff]] never emits them.
   */
 object StreamingCdcApply {
@@ -39,13 +47,14 @@ object StreamingCdcApply {
   def start(changes: DataFrame, path: String, keyCols: Seq[String],
       compareCols: Seq[String], seqCol: String, bucketCol: String,
       opCol: String = "op",
-      checkpoint: Option[String] = None): StreamingQuery = {
+      checkpoint: Option[String] = None,
+      namespace: Option[String] = None): StreamingQuery = {
     require(keyCols.nonEmpty, "streamingCdcApply: keyCols empty")
-    val ns = checkpoint match {
+    val ns = namespace.getOrElse(checkpoint match {
       case Some(_) => "epoch"
       case None => "run" + java.util.UUID.randomUUID().toString
         .replace("-", "").take(12)
-    }
+    })
     val w = changes.writeStream
     checkpoint.foreach(c => w.option("checkpointLocation", c))
     w.foreachBatch {
@@ -62,7 +71,8 @@ object StreamingCdcApply {
               .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
               .withColumn("__rn", row_number().over(
                 Window.partitionBy(keyCols.map(col): _*)
-                  .orderBy(col(seqCol).desc)))
+                  .orderBy(col(seqCol).desc +: col(opCol).desc +:
+                    compareCols.map(c => col(c).desc_nulls_last): _*)))
               .filter(col("__rn") === 1)
               .drop("__rn")
             ParquetSinks.applyChangesBucketed(spark, latest, path,

@@ -112,6 +112,41 @@ class ProfileSketchSpec extends GraftSuite {
       .head().isNullAt(0))
   }
 
+  test("profile estimate plan stays whole-stage-codegen — no janino fallback") {
+    // the earlier unrolled histQuantile put O(buckets²) expressions
+    // into the aggregate's output method and blew janino's 64KB
+    // limit — correct answers, but the WHOLE profile scan silently
+    // ran interpreted; this pins the compile staying clean
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probe = new AbstractAppender("graft-codegen-probe", null, null,
+        true, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        if (e.getLevel.isMoreSpecificThan(Level.ERROR))
+          errors.add(e.getMessage.getFormattedMessage)
+    }
+    probe.start()
+    val lg = LogManager.getLogger(
+      "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    lg.addAppender(probe)
+    try {
+      val est = LlmCorpus.profileEstimate(LlmCorpus.profileSketch(docs))
+      est.collect()
+      // sketch aggregates are ObjectHashAggregate (never codegen'd —
+      // TypedImperativeAggregate buffers); the scan-side tokenize +
+      // bucket project MUST be inside a WholeStageCodegen span,
+      // rendered as "*(n)" in the executed plan tree
+      val plan = est.queryExecution.executedPlan.toString
+      assert(plan.contains("*("), plan)
+    } finally { lg.removeAppender(probe); probe.stop() }
+    assert(errors.isEmpty,
+      s"codegen fell back to interpreted: ${errors.toArray.mkString("; ")}")
+  }
+
   test("re-merging the same batch doubles counts but not distincts") {
     val p = LlmCorpus.profileSketch(docs)
     val once = estimates(p)
