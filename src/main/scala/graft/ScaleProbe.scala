@@ -27,7 +27,8 @@ object ScaleProbe {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val knownSections =
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
-        "curation", "layout", "analytics", "dfcap", "resolve", "ganttprof")
+        "curation", "layout", "analytics", "pagerank", "dfcap", "resolve",
+        "ganttprof")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -640,11 +641,15 @@ object ScaleProbe {
       timeDocs("warm", docBase, silent = true)
       timeDocs("1x", docBase)
       timeDocs(s"${k}x", docK)
+    }
 
-      // PageRank at K× edges (VERDICT r12 #4): the per-round cost is
-      // the edge scan + the groupBy(dst) transpose — with the edge
-      // list cache-pinned on src, K× edges should cost ~K× per round,
-      // never K² (no re-shuffle of edges, rank frame stays node-sized)
+    // PageRank at K× edges (VERDICT r12 #4): the per-round cost is
+    // the edge scan + the groupBy(dst) transpose — with the edge
+    // list cache-pinned on src, K× edges should cost ~K× per round,
+    // never K² (no re-shuffle of edges, rank frame stays node-sized).
+    // Its own section so the 100× edge case can run without the rest
+    // of the analytics battery.
+    if (sections("analytics") || sections("pagerank")) {
       def timePr(tag: String, mult: Int, silent: Boolean = false)
           : Unit = {
         val dir = s"/tmp/graft_scale_pr_$tag"
@@ -759,6 +764,29 @@ object ScaleProbe {
       ent("warm", 1); ent("1x", 1); ent(s"${k}x", k)
       ent2("1x", 1); ent2(s"${k}x", k)
       entGram("1x", 1)
+
+      // round-14 dense-output guard: radius-2 on a SATURATING numeral
+      // space (1000 distinct 4-digit codes, tripled) is detected by
+      // the candidate-bound probe before the join starts — the
+      // no-silent-caps rule for the one regime no blocking scheme can
+      // outrun (the true pair set itself is dense)
+      {
+        val sat = spark.range(3000L).select(col("id"),
+          lpad(pmod(col("id"), lit(1000L)).cast("string"), 4, "0")
+            .as("s"))
+        val tripped =
+          try {
+            FuzzyJoin.selfJoin2(sat, "id", "s", denseGuard = "error")
+              .write.format("noop").mode("overwrite").save()
+            false
+          } catch { case e: IllegalStateException =>
+            e.getMessage.contains("dense-output regime")
+          }
+        require(tripped, "dense-output guard did not trip on the " +
+          "saturating radius-2 fixture")
+        println("resolve dense_guard   tripped as designed on the " +
+          "saturating radius-2 fixture")
+      }
 
       // Poor branch (strings below the gram-theorem threshold, round
       // 13): the length-bucket EQUI-join replacing the BNLJ-shaped

@@ -60,6 +60,25 @@ object CacheScope {
     c
   }
 
+  /** Register an ALREADY-persisted frame (a `localCheckpoint`, an
+    * externally cached input) for release exactly like a [[pin]]:
+    * with the open scope if any, in the orphan ring otherwise. [[pin]]
+    * deliberately skips persisted frames (it must not double-release
+    * a pin it didn't create); iterative operators that CUT lineage
+    * per round — the localCheckpoint returns a new, already-persisted
+    * frame — use this so their final frame is still collectable. */
+  def track(df: DataFrame): DataFrame = {
+    val buf = active.get()
+    if (buf != null) buf += df
+    else orphans.synchronized {
+      orphans.addLast(df)
+      while (orphans.size > OrphanCap) {
+        orphans.pollFirst().unpersist(); ()
+      }
+    }
+    df
+  }
+
   /** Run `body` with a scope open; returns its result plus a release
     * handle that unpersists every frame pinned during the call (double
     * release is harmless). Nested scopes stack: the inner scope's pins

@@ -218,19 +218,67 @@ object FuzzyJoin {
     * saturating numeral space (codes a couple of digit-edits apart)
     * the TRUE ≤2-edit pair set itself grows combinatorially with
     * density — no blocking scheme outruns its own output; expect
-    * cost proportional to the genuine pair graph there. */
-  def selfJoin2(df: DataFrame, idCol: String, strCol: String)
-      : DataFrame =
-    deletionSelfJoin(df, idCol, strCol, deletionKeys2, 2)
+    * cost proportional to the genuine pair graph there.
+    *
+    * That regime is DETECTED, not silently paid: before the candidate
+    * join, one vocabulary-sized aggregate over the deletion keys
+    * bounds the candidate count (Σ per-key C(n,2)); when it exceeds
+    * `denseRatio × rows` (and the `denseFloor` absolute floor, so
+    * small inputs never trip), `denseGuard` decides — `"warn"`
+    * (default) logs the measured blow-up with the regime guidance and
+    * proceeds, `"error"` throws instead of starting the wall-clock
+    * wall, `"off"` skips the probe entirely (no extra pass). The
+    * probe costs one extra scan+explode of the input — bounded,
+    * shuffle-safe (map-side-combined, vocabulary-sized), and the
+    * price of never hitting a surprise quadratic output. */
+  def selfJoin2(df: DataFrame, idCol: String, strCol: String,
+      denseGuard: String = "warn", denseRatio: Double = 32.0,
+      denseFloor: Long = 1000000L): DataFrame =
+    deletionSelfJoin(df, idCol, strCol, deletionKeys2, 2,
+      denseGuard, denseRatio, denseFloor)
+
+  /** Candidate-pair upper bound of a deletion-key blocking: Σ over
+    * keys of C(fan-in, 2) — what the equi-join materializes before
+    * the length-band filter and verify. One aggregate, map-side
+    * combined, output two longs. */
+  private def candidateBound(keys: DataFrame): (Long, Long) = {
+    val r = keys.groupBy(col("dkey")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+          .cast("long").as("cand"),
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("keyrows"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   private def deletionSelfJoin(df: DataFrame, idCol: String,
-      strCol: String, keysOf: Column => Column, k: Int): DataFrame = {
+      strCol: String, keysOf: Column => Column, k: Int,
+      denseGuard: String = "off", denseRatio: Double = 32.0,
+      denseFloor: Long = 1000000L): DataFrame = {
+    require(Set("warn", "error", "off")(denseGuard),
+      s"fuzzyJoin: denseGuard must be warn|error|off, got $denseGuard")
     val base = df
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("str"),
         length(col(strCol)).as("len"))
     val keys = base.select(col("id"), col("str"), col("len"),
       explode(keysOf(col("str"))).as("dkey"))
+    if (denseGuard != "off") {
+      val rows = base.count()
+      val (cand, _) = candidateBound(keys)
+      if (cand > denseFloor && cand > denseRatio * rows) {
+        val msg = s"fuzzyJoin: dense-output regime detected at k=$k — " +
+          s"the deletion-key blocking admits ~$cand candidate pairs " +
+          s"for $rows rows (> $denseRatio×). The TRUE <=$k-edit pair " +
+          "set on a saturating key space grows combinatorially with " +
+          "density; no blocking outruns its own output. Options: " +
+          "resolve to cluster representatives instead of " +
+          "materializing pairs (EntityResolution.resolve), raise " +
+          "distinctness of the key (longer/namespaced codes), or " +
+          "accept the cost with denseGuard=off."
+        if (denseGuard == "error") throw new IllegalStateException(msg)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
     val a = keys.select(col("id").as("id_a"), col("str").as("str_a"),
       col("len").as("len_a"), col("dkey"))
     val b = keys.select(col("id").as("id_b"), col("str").as("str_b"),

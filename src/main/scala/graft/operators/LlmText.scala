@@ -246,18 +246,29 @@ object LlmText {
     * component's min id. Rounds needed = the component DIAMETER —
     * near-dup clusters are short chains in practice, so this converges
     * in a handful of rounds at any corpus size (pathological
-    * high-diameter graphs would want the large-star/small-star
-    * alternation instead; the per-round plan here is the same shape).
+    * high-diameter graphs want [[ccStars]] instead — and
+    * [[EntityResolution.resolve]] defaults there).
     * The driver-side loop holds only a changed-row COUNT per round —
-    * the iterative-graph idiom (Pregel-style), not a collect. */
+    * the iterative-graph idiom (Pregel-style), not a collect.
+    *
+    * Lineage is CUT every round (`localCheckpoint`, the same
+    * discipline as [[ccStars]] and [[PageRank]]): the round plan
+    * references `labels` twice (directly and through the neighbor
+    * aggregate), so an uncut loop DOUBLES the logical plan per round —
+    * caching truncates execution but not analysis, and by round ~12
+    * Catalyst is walking million-node trees (measured: a 12-link
+    * chain fixture at 100% CPU for tens of minutes, tens of GB of
+    * plan objects). With the cut, every round analyzes a constant-
+    * size plan over a LogicalRDD. */
   private[graft] def clustersFromPairs(pairs: DataFrame,
       docs: DataFrame): DataFrame = {
     val edges = CacheScope.pin(
       pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
         .unionByName(
           pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr"))))
-    var labels = CacheScope.pin(
-      docs.select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var labels = CacheScope.track(
+      docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint(true))
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -269,13 +280,14 @@ object LlmText {
         .join(labels.select(col("doc_id").as("nbr"),
           col("cluster_id").as("nbr_label")), Seq("nbr"))
         .groupBy(col("doc_id")).agg(min(col("nbr_label")).as("nbr_min"))
-      val next = CacheScope.pin(labels
+      val next = CacheScope.track(labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"),
             coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) <
-            col("cluster_id")).cast("long").as("__chg")))
+            col("cluster_id")).cast("long").as("__chg"))
+        .localCheckpoint(true))
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L)))
         .head().getLong(0)
       labels.unpersist()

@@ -108,17 +108,31 @@ object PageRank {
 
   /** Cache the round-invariant frames on their join keys ONCE: edges
     * by src (the explicit repartition — a raw scan has no
-    * partitioning), outdeg and nodes by construction (groupBy/distinct
-    * shuffle on the key). The cache — not a checkpoint — is what makes
-    * the partitioning visible to every later round's planner. */
+    * partitioning), outdeg by construction (groupBy on the already-
+    * partitioned edges), nodes by an explicit repartition-then-
+    * distinct. The cache — not a checkpoint — is what makes the
+    * partitioning visible to every later round's planner.
+    *
+    * Cache WIDTH adapts to the input: cached plans keep their
+    * partition count for the whole run (AQE cannot re-coalesce inside
+    * an InMemoryRelation), so pinning a toy graph at the configured
+    * shuffle width makes EVERY round schedule that many tasks per
+    * cache scan — pure scheduling overhead that doubled the sf0.1
+    * bench entry. The width is the edge scan's own partition count
+    * capped by `spark.sql.shuffle.partitions`: a 100 TB edge list
+    * pins at full shuffle width, a toy graph at a handful of tasks
+    * per round. */
   private[graft] def pin(edges: DataFrame): Pinned = {
+    val filtered = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src"), col("dst"))
+    val width = math.max(1, math.min(filtered.rdd.getNumPartitions,
+      edges.sparkSession.sessionState.conf.numShufflePartitions))
     val (frames, release) = CacheScope.collect {
-      val e = CacheScope.pin(edges
-        .filter(col("src").isNotNull && col("dst").isNotNull)
-        .select(col("src"), col("dst"))
-        .repartition(col("src")))
+      val e = CacheScope.pin(filtered.repartition(width, col("src")))
       val nodes = CacheScope.pin(e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
+        .repartition(width, col("node"))
         .distinct())
       val outdeg = CacheScope.pin(e.groupBy(col("src"))
         .agg(count(lit(1)).cast("double").as("od")))

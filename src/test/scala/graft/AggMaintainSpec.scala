@@ -90,9 +90,9 @@ class AggMaintainSpec extends GraftSuite {
     val path = tmp()
     val withNull = Seq((Some("a"), 1.0), (None, 2.0))
       .toDF("k", "v")
-    val e = intercept[Exception] {
+    val e = intercept[Exception] { quietly {
       AggMaintain.maintain(spark, withNull, path, "k", "v", "b1")
-    }
+    } }
     val chain = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" ")

@@ -38,6 +38,37 @@ class EntityResolutionSpec extends GraftSuite {
     assert(out == Map(1L -> (1L, "alpha"), 2L -> (2L, "zzzzzz")))
   }
 
+  test("stars (default) ≡ propagation, including on a chain-shaped " +
+      "component past what shallow-cluster assumptions cover") {
+    // a revision chain (each string one edit from the next — the
+    // diameter-linear topology propagation pays O(n) rounds for; kept
+    // short here because the PROPAGATION side of the differential
+    // really does pay a round per link, each round growing the plan —
+    // LlmTextSpec covers the long-chain case for stars alone) plus
+    // duplicate copies and unrelated singletons
+    val chain = (0 until 12).map(i => "base" + "x" * i)
+    val df = (chain.zipWithIndex.map { case (s, i) => (100L + i, s) } ++
+      Seq((500L, chain(5)), (501L, chain(9)),
+        (900L, "unrelated-one"), (901L, "another-thing")))
+      .toDF("id", "name")
+    def snap(clustering: String) =
+      EntityResolution.resolve(df, "id", "name", k = 1,
+          clustering = clustering)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+    val stars = snap("stars")
+    assert(stars == snap("propagation"))
+    // the whole chain (and the copies) is ONE entity rooted at min id
+    val chainIds = (100L until 112L) ++ Seq(500L, 501L)
+    assert(stars.filter(t => chainIds.contains(t._1))
+      .forall(t => t._2 == 100L && t._3 == chain.head))
+    intercept[IllegalArgumentException] {
+      EntityResolution.resolve(df, "id", "name", k = 1,
+        clustering = "bogus")
+    }
+  }
+
   test("every row appears exactly once and entity_id is a member id") {
     val df = (1L to 60L)
       .map(i => (i, s"key-${i % 12}" + (if (i % 5 == 0) "x" else "")))

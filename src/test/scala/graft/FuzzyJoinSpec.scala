@@ -161,6 +161,31 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(out.as[(Long, Long, Long)].collect().toSet == brute(df, 2))
   }
 
+  test("dense-output regime at k=2 trips the guard; sparse doesn't") {
+    // saturating key space: 2-char strings over {a,b,c} — every pair
+    // is within 2 edits, so the TRUE output is quadratic and the
+    // candidate bound blows past any ratio
+    val dense = strings((for {
+      a <- 'a' to 'c'; b <- 'a' to 'c' } yield s"$a$b").toSeq)
+    val e = intercept[IllegalStateException] {
+      FuzzyJoin.selfJoin2(dense, "id", "s",
+        denseGuard = "error", denseRatio = 2.0, denseFloor = 1L)
+    }
+    assert(e.getMessage.contains("dense-output regime"))
+    // warn (the default) computes the same answer as guard-off
+    val warned = FuzzyJoin.selfJoin2(dense, "id", "s",
+        denseRatio = 2.0, denseFloor = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(warned == brute(dense, 2))
+    // sparse key space sails through an error-mode guard untouched
+    val sparse = strings(Seq("alpha-one", "alpha-two", "beta-xyz",
+      "gamma-longer", "delta-other"))
+    val ok = FuzzyJoin.selfJoin2(sparse, "id", "s",
+        denseGuard = "error", denseRatio = 2.0, denseFloor = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ok == brute(sparse, 2))
+  }
+
   test("deletion-neighborhood drops NULLs like the gram path") {
     val df = Seq((Some(1L), Some("abcdef")), (Some(2L), Some("abcdeg")),
       (Some(3L), Option.empty[String]), (Option.empty[Long], Some("abcdef")))

@@ -38,4 +38,24 @@ class LedgerSpec extends GraftSuite {
     val path = Files.createTempDirectory("ledger2").toString
     assert(Ledger.prune(spark, path) == 0L)
   }
+
+  test("namespace sweep drops dead runs entirely, keeps the newest " +
+      "namespaces and suffix-less markers") {
+    val path = Files.createTempDirectory("ledger3").toString
+    mk(path, Seq("runaaa_0", "runaaa_1", "runbbb_0", "epoch_0",
+      "epoch_1", "MANIFEST"))
+    val dir = new org.apache.hadoop.fs.Path(path, "_applied")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def touch(name: String, t: Long): Unit =
+      fs.setTimes(new org.apache.hadoop.fs.Path(dir, name), t, -1)
+    // runaaa is the DEAD run (oldest markers); epoch is the live one
+    Seq("runaaa_0" -> 1000L, "runaaa_1" -> 1500L, "runbbb_0" -> 2000L,
+      "epoch_0" -> 3000L, "epoch_1" -> 3500L).foreach((touch _).tupled)
+    val deleted = Ledger.prune(spark, path, keep = 10, keepNamespaces = 2)
+    assert(deleted == 2)
+    assert(ls(path) ==
+      Set("runbbb_0", "epoch_0", "epoch_1", "MANIFEST"))
+    // unbounded keepNamespaces (the default) sweeps nothing
+    assert(Ledger.prune(spark, path, keep = 10) == 0L)
+  }
 }

@@ -335,9 +335,9 @@ class LlmCorpusSpec extends GraftSuite {
     "sum to 1") {
     val docs = Seq((1L, "a b", "A"), (2L, "c d", "B"))
       .toDF("doc_id", "text", "source")
-    val e = intercept[Exception] {
+    val e = intercept[Exception] { quietly {
       LlmCorpus.domainMix(docs, Map("A" -> 0.3, "B" -> 0.2)).collect()
-    }
+    } }
     val chain = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" ")
@@ -369,9 +369,9 @@ class LlmCorpusSpec extends GraftSuite {
   test("domainMix fails loudly on an absent named source and a " +
     "malformed target") {
     val docs = Seq((1L, "a", "A")).toDF("doc_id", "text", "source")
-    val e = intercept[Exception] {
+    val e = intercept[Exception] { quietly {
       LlmCorpus.domainMix(docs, Map("A" -> 0.2, "ZZZ" -> 0.1)).collect()
-    }
+    } }
     val chain = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" ")

@@ -51,10 +51,10 @@ class ResampleSpec extends GraftSuite {
     val out = Resample.timeBins(df, Seq("k"), "ts", "value", 10L)
     assert(out.count() == 1)
     val wide = ev(("a", 0L, 1.0), ("a", 1000000L, 1.0))
-    val e = intercept[Exception] {
+    val e = intercept[Exception] { quietly {
       Resample.timeBins(wide, Seq("k"), "ts", "value", 1L,
         maxBinsPerKey = Some(1000L)).collect()
-    }
+    } }
     val chain = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" ")

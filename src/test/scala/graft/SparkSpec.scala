@@ -68,4 +68,21 @@ abstract class GraftSuite extends AnyFunSuite {
   def byKey(df: DataFrame, key: String, value: String): Map[String, Any] =
     df.select(col(key), col(value)).collect()
       .map(r => r.get(0).toString -> r.get(1)).toMap
+
+  /** Run `body` with executor/task-failure loggers muted — for
+    * fails-loudly assertions that INTENTIONALLY crash a task. Without
+    * this every such test leaves `ERROR Executor` / `ERROR
+    * TaskSetManager` lines in the suite log, burying any REAL
+    * executor error a grep would need to find. Levels are restored
+    * (pinned to their prior effective level) afterwards. */
+  def quietly[T](body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val names = Seq("org.apache.spark.executor.Executor",
+      "org.apache.spark.scheduler.TaskSetManager")
+    val prev = names.map(n => n -> LogManager.getLogger(n).getLevel)
+    names.foreach(n => Configurator.setLevel(n, Level.OFF))
+    try body
+    finally prev.foreach { case (n, l) => Configurator.setLevel(n, l) }
+  }
 }

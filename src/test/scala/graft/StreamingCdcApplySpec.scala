@@ -152,6 +152,30 @@ class StreamingCdcApplySpec extends GraftSuite {
       Map(2L -> (("b2", 20L)), 3L -> (("c2", 30L))))
   }
 
+  test("equal-seq changes for one key pick a deterministic winner") {
+    implicit val sqlCtx = spark.sqlContext
+    // two after-images at the SAME sequence value — a transport
+    // violating strict monotonicity; the fold must still converge on
+    // the same winner every run (op desc, then after-image desc:
+    // U beats I, and within an op the larger image wins)
+    def run(rows: Seq[CdcChg]): Snap = {
+      val path = tmp("cdc_tie")
+      graft.sinks.ParquetSinks.upsertByKeyBucketed(spark,
+        Seq((1L, "a", 1L)).toDF("k", "v", "w"), path, Seq("k"), "k")
+      val input = MemoryStream[CdcChg]
+      val q = StreamingCdcApply.start(input.toDS().toDF(), path,
+        Seq("k"), Seq("v", "w"), "seq", "k")
+      try { input.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+      readTable(path)
+    }
+    val tied = Seq(CdcChg(1L, "U", "x", 5L, 7L),
+      CdcChg(1L, "U", "y", 9L, 7L), CdcChg(1L, "I", "z", 99L, 7L))
+    val want = Map(1L -> (("y", 9L)))
+    assert(run(tied) == want)
+    assert(run(tied.reverse) == want, "winner must not depend on order")
+  }
+
   test("checkpoint restart: replayed epoch absorbed by the ledger") {
     implicit val sqlCtx = spark.sqlContext
     val snaps = chain(4)

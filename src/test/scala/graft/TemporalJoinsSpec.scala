@@ -513,10 +513,10 @@ class TemporalJoinsSpec extends GraftSuite {
     val pts = pointsDf(("a", 10L, 1L))
     // [0, 36000): 601 buckets at width 60
     val iv = ivDf(("a", 0L, 36000L, 1L))
-    val e = intercept[Exception] {
+    val e = intercept[Exception] { quietly {
       TemporalJoins.intervalJoinPoints(pts, iv, Seq("k"), "pt", "ws", "we",
         60L, maxBucketsPerInterval = Some(100L)).count()
-    }
+    } }
     assert(e.getMessage.contains("maxBucketsPerInterval"), e.getMessage)
     val ok = TemporalJoins.intervalJoinPoints(pts, iv, Seq("k"), "pt",
       "ws", "we", 60L, maxBucketsPerInterval = Some(1000L))
@@ -524,10 +524,10 @@ class TemporalJoinsSpec extends GraftSuite {
     val iv2 = Seq(("a", 0L, 36000L, 1L)).toDF("k", "s_raw", "e_raw", "rid")
       .select(col("k"), timestamp_seconds(col("s_raw")).as("rs"),
         timestamp_seconds(col("e_raw")).as("re"), col("rid"))
-    val e2 = intercept[Exception] {
+    val e2 = intercept[Exception] { quietly {
       TemporalJoins.intervalJoinIntervals(iv, iv2, Seq("k"), "ws", "we",
         "rs", "re", 60L, maxBucketsPerInterval = Some(100L)).count()
-    }
+    } }
     assert(e2.getMessage.contains("maxBucketsPerInterval"), e2.getMessage)
   }
 
