@@ -873,6 +873,119 @@ object ClassicQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Core order and fixed peel-round cap of [[kcore]], shared with
+    * the unrolled DuckDB twin. */
+  val KCoreK = 3
+  val KCoreRounds = 16
+
+  /** k-core decomposition (Seidman 1983; the Batagelj–Zaveršnik peel
+    * re-expressed as bounded synchronous rounds): the maximal
+    * subgraph in which every surviving node keeps degree >= k, found
+    * by repeatedly deleting under-degree nodes. Same hashed
+    * orders→customers edge synthesis as [[triangles]].
+    *
+    * Each round is one equi-join of the static (pinned) undirected
+    * edge list against the shrinking survivor set plus a map-side-
+    * combined degree count — no all-pairs stage, the survivor frame
+    * is node-sized, and lineage is CUT per round (localCheckpoint,
+    * [[LlmText.clustersFromPairs]]'s discipline — the survivor set
+    * appears twice per round, so an uncut loop doubles the plan).
+    * Synchronous peeling removes ALL under-k nodes per round, so the
+    * round count is the peel DEPTH — small on dense graphs, bounded
+    * at [[KCoreRounds]] so the DuckDB twin (the same rounds unrolled
+    * as MATERIALIZED CTEs, the BpeTrainSql idiom) stays finite.
+    * Rounds past the fixpoint are no-ops, so both engines agree
+    * whether the fixture converges early (the spec asserts it does)
+    * or runs to the cap. Output: surviving nodes + in-core degree. */
+  def kcore(s: SparkSession, dir: String): DataFrame = {
+    val nc = Tables.customer(s, dir).count()
+    val raw = Tables.orders(s, dir)
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey").as("a"),
+        pmod(col("o_orderkey") * 131 + 7, lit(nc)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    kcoreOf(raw, KCoreK, KCoreRounds)
+  }
+
+  /** DataFrame half of [[kcore]] (edges `u`/`v`, canonical or not) —
+    * shared with the spec's hand-computed fixtures. Returns the
+    * k-core after at most `maxRounds` synchronous peels. */
+  private[graft] def kcoreOf(edges: DataFrame, k: Int,
+      maxRounds: Int): DataFrame = {
+    val und = CacheScope.pin(
+      edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y"))))
+    def coreDeg(surv: DataFrame): DataFrame = und
+      .join(surv.select(col("node").as("x")), Seq("x"))
+      .join(surv.select(col("node").as("y")), Seq("y"))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    var surv = CacheScope.track(
+      und.select(col("x").as("node")).distinct().localCheckpoint(true))
+    var n = surv.count()
+    var rounds = 0
+    var done = n == 0L
+    while (rounds < maxRounds && !done) {
+      rounds += 1
+      val next = CacheScope.track(
+        coreDeg(surv).filter(col("deg") >= k)
+          .select(col("x").as("node"))
+          .localCheckpoint(true))
+      val m = next.count()
+      done = m == n // removal-only: equal count = equal set = fixpoint
+      surv.unpersist()
+      surv = next
+      n = m
+    }
+    coreDeg(surv)
+      .select(col("x").as("node"), col("deg").cast("long").as("core_deg"))
+      .orderBy(col("node"))
+  }
+
+  /** Pair-count floor of [[itemCooccur]]. */
+  val CooccurMin = 5
+
+  /** Item–item co-occurrence (the collaborative-filtering /
+    * market-basket primitive — "users who touched X also touched Y"):
+    * for every pair of `props.k` items sharing a user, the number of
+    * DISTINCT users holding both, plus the Jaccard over the two
+    * items' user sets. The per-user self-join fans out quadratically
+    * in BASKET size, never corpus size — the classic formulation; the
+    * 100 TB guard is capping the basket before the join (drop
+    * hyperactive users, who carry no similarity signal), the same
+    * df-cap rationale as the n-gram index. `co >= CooccurMin` floors
+    * the output to pairs with support. */
+  def itemCooccur(s: SparkSession, dir: String): DataFrame = {
+    val ui = CacheScope.pin(Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("props").isNotNull)
+      .select(col("user_id"),
+        expr("from_json(props, 'k BIGINT')").getField("k").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct())
+    val perItem = ui.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_users"))
+    // (user, item) is distinct, so count(*) per pair IS the distinct
+    // user count
+    val pairs = ui.select(col("user_id"), col("item").as("item_a"))
+      .join(ui.select(col("user_id"), col("item").as("item_b")),
+        Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= CooccurMin)
+    pairs
+      .join(perItem.select(col("item").as("item_a"),
+        col("n_users").as("na")), Seq("item_a"))
+      .join(perItem.select(col("item").as("item_b"),
+        col("n_users").as("nb")), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co"),
+        round(col("co") / (col("na") + col("nb") - col("co")), 4)
+          .as("jaccard"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
   private val RollN = 20
   private val RollMinWin = 10
   private val RollZ = 3.0
@@ -1196,6 +1309,8 @@ object ClassicQueries {
     "cls_fuzzy_join2" -> (fuzzyJoin2 _),
     "cls_rolling_anomaly" -> (rollingAnomaly _),
     "cls_triangles" -> (triangles _),
+    "cls_kcore" -> (kcore _),
+    "cls_item_cooccur" -> (itemCooccur _),
     "cls_interval_merge" -> (intervalMerge _),
     "cls_table_diff" -> (tableDiff _),
     "cls_table_profile" -> (tableProfile _),
@@ -1242,6 +1357,37 @@ object ClassicQueries {
     (0 until 8).flatMap(i => Seq(
       s"(((ub >> $i) & 1) << ${2 * i})",
       s"(((vb >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+
+  /** The [[kcore]] peel unrolled to [[KCoreRounds]] MATERIALIZED CTEs
+    * (the BpeTrainSql idiom — plain CTEs would inline the edge scan
+    * once per round per reference). Rounds past the fixpoint re-derive
+    * the same survivor set, so the final round equals Spark's
+    * early-exited loop. */
+  private val kcoreSql: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT x AS node FROM und
+         JOIN s${r - 1} sa ON und.x = sa.node
+         JOIN s${r - 1} sb ON und.y = sb.node
+         GROUP BY x HAVING count(*) >= $KCoreK)"""
+    }.mkString(",\n       ")
+    s"""WITH raw AS MATERIALIZED (SELECT DISTINCT
+         least(o_custkey, d) AS u, greatest(o_custkey, d) AS v
+       FROM (SELECT o_custkey,
+           (o_orderkey * 131 + 7) % (SELECT count(*) FROM customer)
+             AS d
+         FROM orders WHERE o_custkey IS NOT NULL)
+       WHERE o_custkey <> d),
+       und AS MATERIALIZED (
+         SELECT u AS x, v AS y FROM raw
+         UNION ALL SELECT v, u FROM raw),
+       s0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM und),
+       $rounds
+       SELECT x AS node, CAST(count(*) AS BIGINT) AS core_deg
+       FROM und
+       JOIN s$KCoreRounds fa ON und.x = fa.node
+       JOIN s$KCoreRounds fb ON und.y = fb.node
+       GROUP BY x ORDER BY node"""
+  }
 
   /** One UNION ALL arm per profiled column — generated from the same
     * [[ProfileCols]] list the Spark query uses. */
@@ -1600,6 +1746,25 @@ object ClassicQueries {
        SELECT count(*) AS n_triangles
        FROM wedges SEMI JOIN oriented
          ON wedges.b = oriented.s AND wedges.c = oriented.d""",
+    "cls_kcore" -> kcoreSql,
+    "cls_item_cooccur" ->
+      s"""WITH ui AS MATERIALIZED (SELECT DISTINCT user_id,
+           CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         FROM events
+         WHERE user_id IS NOT NULL AND props IS NOT NULL
+           AND json_extract(props, '$$.k') IS NOT NULL),
+       per AS MATERIALIZED (
+         SELECT item, count(*) AS n_users FROM ui GROUP BY 1),
+       p AS (SELECT a.item AS item_a, b.item AS item_b,
+           count(*) AS co
+         FROM ui a JOIN ui b
+           ON a.user_id = b.user_id AND a.item < b.item
+         GROUP BY 1, 2 HAVING count(*) >= $CooccurMin)
+       SELECT item_a, item_b, CAST(co AS BIGINT) AS co,
+         round(co / (na.n_users + nb.n_users - co), 4) AS jaccard
+       FROM p JOIN per na ON na.item = p.item_a
+              JOIN per nb ON nb.item = p.item_b
+       ORDER BY item_a, item_b""",
     "cls_interval_merge" ->
       """WITH e AS (SELECT event_id, user_id,
            CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS st,
