@@ -80,6 +80,8 @@ object SparkEntry {
     "llm_rnn",
     "cls_rolling_anomaly",
     "cls_triangles",
+    "cls_kcore",
+    "cls_item_cooccur",
     "cls_interval_merge",
     "llm_decontaminate",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one

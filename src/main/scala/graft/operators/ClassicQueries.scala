@@ -944,6 +944,68 @@ object ClassicQueries {
       .orderBy(col("node"))
   }
 
+  /** Hop cap of [[bfs]], shared with the unrolled DuckDB twin. */
+  val BfsDepth = 4
+
+  /** Fixed-depth BFS / k-hop reachability from a deterministic seed
+    * set (`node % 100 = 0`) over the [[triangles]] edge synthesis —
+    * the canonical iterative-graph frontier primitive (feature
+    * neighborhoods, blast-radius queries, influence hops). Each round
+    * expands the FRONTIER only (one equi-join of the pinned
+    * undirected edge list against the frontier, distinct, anti-join
+    * against everything visited), so per-round cost is frontier-edge
+    * bounded, never |V|²; the visited and frontier frames cut lineage
+    * per round. Early exit on an exhausted frontier matches the
+    * DuckDB twin's fixed [[BfsDepth]]-round unroll because
+    * post-exhaustion rounds add nothing. Output: (node, dist) for
+    * every node within [[BfsDepth]] hops of a seed, minimal hop
+    * distance by construction (a node is claimed by the FIRST round
+    * that reaches it). */
+  def bfs(s: SparkSession, dir: String): DataFrame = {
+    val nc = Tables.customer(s, dir).count()
+    val raw = Tables.orders(s, dir)
+      .filter(col("o_custkey").isNotNull)
+      .select(col("o_custkey").as("a"),
+        pmod(col("o_orderkey") * 131 + 7, lit(nc)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    bfsOf(raw, BfsDepth)
+  }
+
+  /** DataFrame half of [[bfs]] (edges `u`/`v`), seeds `node % 100 = 0`
+    * among the graph's nodes. */
+  private[graft] def bfsOf(edges: DataFrame, depth: Int): DataFrame = {
+    val und = CacheScope.pin(
+      edges.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(edges.select(col("v").as("x"), col("u").as("y"))))
+    var visited = CacheScope.track(
+      und.select(col("x").as("node")).distinct()
+        .filter(pmod(col("node"), lit(100L)) === 0)
+        .withColumn("dist", lit(0L))
+        .localCheckpoint(true))
+    var frontier = visited.select(col("node"))
+    var d = 0
+    var exhausted = frontier.isEmpty
+    while (d < depth && !exhausted) {
+      d += 1
+      val next = CacheScope.track(
+        und.join(frontier.select(col("node").as("x")), Seq("x"))
+          .select(col("y").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("dist", lit(d.toLong))
+          .localCheckpoint(true))
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = CacheScope.track(
+          visited.unionByName(next).localCheckpoint(true))
+        frontier = next.select(col("node"))
+      }
+    }
+    visited.orderBy(col("node"))
+  }
+
   /** Pair-count floor of [[itemCooccur]]. */
   val CooccurMin = 5
 
@@ -1310,6 +1372,7 @@ object ClassicQueries {
     "cls_rolling_anomaly" -> (rollingAnomaly _),
     "cls_triangles" -> (triangles _),
     "cls_kcore" -> (kcore _),
+    "cls_bfs" -> (bfs _),
     "cls_item_cooccur" -> (itemCooccur _),
     "cls_interval_merge" -> (intervalMerge _),
     "cls_table_diff" -> (tableDiff _),
@@ -1387,6 +1450,39 @@ object ClassicQueries {
        JOIN s$KCoreRounds fa ON und.x = fa.node
        JOIN s$KCoreRounds fb ON und.y = fb.node
        GROUP BY x ORDER BY node"""
+  }
+
+  /** The [[bfs]] frontier expansion unrolled to [[BfsDepth]] rounds
+    * (same idiom as [[kcoreSql]]); an exhausted frontier makes the
+    * remaining rounds no-ops, matching Spark's early exit. */
+  private val bfsSql: String = {
+    val rounds = (1 to BfsDepth).map { d =>
+      s"""f$d AS MATERIALIZED (
+         SELECT DISTINCT und.y AS node FROM und
+         JOIN f${d - 1} ON und.x = f${d - 1}.node
+         ANTI JOIN v${d - 1} ON und.y = v${d - 1}.node),
+       v$d AS MATERIALIZED (
+         SELECT node, dist FROM v${d - 1}
+         UNION ALL SELECT node, $d AS dist FROM f$d)"""
+    }.mkString(",\n       ")
+    s"""WITH raw AS MATERIALIZED (SELECT DISTINCT
+         least(o_custkey, d) AS u, greatest(o_custkey, d) AS v
+       FROM (SELECT o_custkey,
+           (o_orderkey * 131 + 7) % (SELECT count(*) FROM customer)
+             AS d
+         FROM orders WHERE o_custkey IS NOT NULL)
+       WHERE o_custkey <> d),
+       und AS MATERIALIZED (
+         SELECT u AS x, v AS y FROM raw
+         UNION ALL SELECT v, u FROM raw),
+       v0 AS MATERIALIZED (
+         SELECT node, 0 AS dist FROM
+           (SELECT DISTINCT x AS node FROM und)
+         WHERE node % 100 = 0),
+       f0 AS MATERIALIZED (SELECT node FROM v0),
+       $rounds
+       SELECT node, CAST(dist AS BIGINT) AS dist FROM v$BfsDepth
+       ORDER BY node"""
   }
 
   /** One UNION ALL arm per profiled column — generated from the same
@@ -1747,6 +1843,7 @@ object ClassicQueries {
        FROM wedges SEMI JOIN oriented
          ON wedges.b = oriented.s AND wedges.c = oriented.d""",
     "cls_kcore" -> kcoreSql,
+    "cls_bfs" -> bfsSql,
     "cls_item_cooccur" ->
       s"""WITH ui AS MATERIALIZED (SELECT DISTINCT user_id,
            CAST(json_extract(props, '$$.k') AS BIGINT) AS item

@@ -44,6 +44,21 @@ class KcoreCooccurSpec extends GraftSuite {
     assert(got(4L) == 6L && got(1L) == 3L && got(7L) == 3L)
   }
 
+  test("bfs: minimal hop distances from the %100 seeds, depth-capped, " +
+      "unreachable components absent") {
+    // chain off seed 0 (nodes 5,6 beyond the 4-hop cap), a seeded
+    // island (200-201), and an unseeded island (50-51)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (200L, 201L), (50L, 51L),
+      // a shortcut making node 3 reachable in 1 hop via 0-3
+      (0L, 3L))
+    val got = ClassicQueries.bfsOf(edges.toDF("u", "v"),
+        ClassicQueries.BfsDepth)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L,
+      4L -> 2L, 5L -> 3L, 6L -> 4L, 200L -> 0L, 201L -> 1L))
+  }
+
   test("itemCooccur ≡ brute force on the fixture, jaccard included") {
     val dir = "/root/testdata/sf0.001"
     val got = ClassicQueries.itemCooccur(spark, dir)
