@@ -81,6 +81,7 @@ object SparkEntry {
     "cls_rolling_anomaly",
     "cls_triangles",
     "cls_kcore",
+    "cls_bfs",
     "cls_item_cooccur",
     "cls_interval_merge",
     "llm_decontaminate",
