@@ -28,7 +28,7 @@ object ScaleProbe {
     val knownSections =
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
         "curation", "layout", "analytics", "pagerank", "dfcap", "resolve",
-        "ganttprof")
+        "ganttprof", "cooccur")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -641,6 +641,39 @@ object ScaleProbe {
       timeDocs("warm", docBase, silent = true)
       timeDocs("1x", docBase)
       timeDocs(s"${k}x", docK)
+    }
+
+    // CooccurIngest O(batch) claim (round 14): folding an IDENTICAL
+    // batch into a 1× vs K× registry must be ~flat — the basket read
+    // is bucket-pruned to the batch's users and the pair/item folds
+    // rewrite touched buckets only, so state size never enters the
+    // per-batch cost (the er_fold contract, for the co-occurrence
+    // family).
+    if (sections("cooccur")) {
+      import graft.operators.CooccurIngest
+      val ui = base
+        .filter(col("user_id").isNotNull && col("props").isNotNull)
+        .select(col("user_id"),
+          expr("from_json(props, 'k BIGINT')").getField("k").as("item"))
+        .filter(col("item").isNotNull)
+      def uiShift(i: Int): DataFrame = ui.select(
+        (col("user_id") + lit(i * 1000000L)).as("user_id"), col("item"))
+      def fold(tag: String, mult: Int): Unit = {
+        val path = s"/tmp/graft_scale_cooc_$tag"
+        val hp = new org.apache.hadoop.fs.Path(path)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(hp, true)
+        (1 to mult).foreach(i => CooccurIngest.ingest(spark,
+          uiShift(i), path, "user_id", "item", s"pre_$i"))
+        val t0 = System.nanoTime()
+        CooccurIngest.ingest(spark, uiShift(0), path, "user_id",
+          "item", "probe")
+        println(f"cooccur ${tag}%-8s fold         " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      fold("warm", 1)
+      fold("1x", 1)
+      fold(s"${k}x", k)
     }
 
     // PageRank at K× edges (VERDICT r12 #4): the per-round cost is
