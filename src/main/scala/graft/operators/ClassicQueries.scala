@@ -1019,13 +1019,18 @@ object ClassicQueries {
     * hyperactive users, who carry no similarity signal), the same
     * df-cap rationale as the n-gram index. `co >= CooccurMin` floors
     * the output to pairs with support. */
-  def itemCooccur(s: SparkSession, dir: String): DataFrame = {
-    val ui = CacheScope.pin(Tables.events(s, dir)
+  /** Distinct (user, item) interactions from the events props JSON —
+    * the shared base of [[itemCooccur]] and [[itemsets3]]. */
+  private def uiOf(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .filter(col("user_id").isNotNull && col("props").isNotNull)
       .select(col("user_id"),
         expr("from_json(props, 'k BIGINT')").getField("k").as("item"))
       .filter(col("item").isNotNull)
-      .distinct())
+      .distinct()
+
+  def itemCooccur(s: SparkSession, dir: String): DataFrame = {
+    val ui = CacheScope.pin(uiOf(s, dir))
     val perItem = ui.groupBy(col("item"))
       .agg(count(lit(1)).as("n_users"))
     // (user, item) is distinct, so count(*) per pair IS the distinct
@@ -1046,6 +1051,48 @@ object ClassicQueries {
         round(col("co") / (col("na") + col("nb") - col("co")), 4)
           .as("jaccard"))
       .orderBy(col("item_a"), col("item_b"))
+  }
+
+  /** Frequent 3-itemsets (Apriori level 2→3, Agrawal & Srikant 1994):
+    * item triples held by at least [[CooccurMin]] distinct users.
+    * The scale move is the ANTIMONOTONICITY prune: a triple can only
+    * be frequent if all three of its pairs are, so per-user triple
+    * enumeration starts from frequent-PAIR instances and candidate
+    * triples are semi-joined against the frequent-pair set before the
+    * support count — per-user fan-out is bounded by the user's
+    * frequent-pair instances, not basket³. The DuckDB twin is the
+    * direct (unpruned) enumeration: the prune is lossless by the
+    * Apriori property, so both produce the identical set — the oracle
+    * double-checks the prune itself. */
+  def itemsets3(s: SparkSession, dir: String): DataFrame = {
+    val ui = CacheScope.pin(uiOf(s, dir))
+    val freqPairs = CacheScope.pin(
+      ui.select(col("user_id"), col("item").as("item_a"))
+        .join(ui.select(col("user_id"), col("item").as("item_b")),
+          Seq("user_id"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= CooccurMin)
+        .select(col("item_a"), col("item_b")))
+    // per-user instances of frequent (a, b) pairs — the pruned base
+    val ab = ui.select(col("user_id"), col("item").as("item_a"))
+      .join(ui.select(col("user_id"), col("item").as("item_b")),
+        Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .join(freqPairs, Seq("item_a", "item_b"), "left_semi")
+    ab.join(ui.select(col("user_id"), col("item").as("item_c")),
+        Seq("user_id"))
+      .filter(col("item_b") < col("item_c"))
+      // remaining two Apriori prunes: (a,c) and (b,c) must be frequent
+      .join(freqPairs.select(col("item_a"), col("item_b").as("item_c")),
+        Seq("item_a", "item_c"), "left_semi")
+      .join(freqPairs.select(col("item_a").as("item_b"),
+        col("item_b").as("item_c")), Seq("item_b", "item_c"), "left_semi")
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= CooccurMin)
+      .orderBy(col("item_a"), col("item_b"), col("item_c"))
   }
 
   private val RollN = 20
@@ -1374,6 +1421,7 @@ object ClassicQueries {
     "cls_kcore" -> (kcore _),
     "cls_bfs" -> (bfs _),
     "cls_item_cooccur" -> (itemCooccur _),
+    "cls_itemsets3" -> (itemsets3 _),
     "cls_interval_merge" -> (intervalMerge _),
     "cls_table_diff" -> (tableDiff _),
     "cls_table_profile" -> (tableProfile _),
@@ -1862,6 +1910,22 @@ object ClassicQueries {
        FROM p JOIN per na ON na.item = p.item_a
               JOIN per nb ON nb.item = p.item_b
        ORDER BY item_a, item_b""",
+    // direct (unpruned) triple enumeration: identical to the Spark
+    // side's Apriori-pruned plan by the antimonotonicity property —
+    // the oracle double-checks the prune is lossless
+    "cls_itemsets3" ->
+      s"""WITH ui AS MATERIALIZED (SELECT DISTINCT user_id,
+           CAST(json_extract(props, '$$.k') AS BIGINT) AS item
+         FROM events
+         WHERE user_id IS NOT NULL AND props IS NOT NULL
+           AND json_extract(props, '$$.k') IS NOT NULL)
+       SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+         CAST(count(*) AS BIGINT) AS support
+       FROM ui a
+       JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+       JOIN ui c ON b.user_id = c.user_id AND b.item < c.item
+       GROUP BY 1, 2, 3 HAVING count(*) >= $CooccurMin
+       ORDER BY 1, 2, 3""",
     "cls_interval_merge" ->
       """WITH e AS (SELECT event_id, user_id,
            CAST(epoch(date_trunc('second', ts)) AS DOUBLE) AS st,

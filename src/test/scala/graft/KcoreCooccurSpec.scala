@@ -59,6 +59,36 @@ class KcoreCooccurSpec extends GraftSuite {
       4L -> 2L, 5L -> 3L, 6L -> 4L, 200L -> 0L, 201L -> 1L))
   }
 
+  test("itemsets3 ≡ brute force (the Apriori prune is lossless)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = ClassicQueries.itemsets3(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    val ui = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("props").isNotNull)
+      .select(col("user_id"),
+        expr("from_json(props, 'k BIGINT')").getField("k").as("item"))
+      .filter(col("item").isNotNull)
+      .distinct()
+      .as[(Long, Long)].collect()
+    val byUser = ui.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toVector).toMap
+    val cnt = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    byUser.values.foreach { items =>
+      for {
+        i <- items.indices; j <- (i + 1) until items.size
+        l <- (j + 1) until items.size
+      } {
+        val k = (items(i), items(j), items(l))
+        cnt(k) = cnt.getOrElse(k, 0L) + 1L
+      }
+    }
+    val want = cnt.filter(_._2 >= ClassicQueries.CooccurMin).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "fixture sanity: some frequent triples")
+  }
+
   test("itemCooccur ≡ brute force on the fixture, jaccard included") {
     val dir = "/root/testdata/sf0.001"
     val got = ClassicQueries.itemCooccur(spark, dir)
