@@ -28,7 +28,7 @@ object ScaleProbe {
     val knownSections =
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
         "curation", "layout", "analytics", "pagerank", "dfcap", "resolve",
-        "ganttprof", "cooccur")
+        "ganttprof", "cooccur", "basketcap", "simscale")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -674,6 +674,36 @@ object ScaleProbe {
       fold("warm", 1)
       fold("1x", 1)
       fold(s"${k}x", k)
+    }
+
+    // MaxBasket guard (round 16): one synthetic hyperactive user
+    // (20k distinct items — C(20k,2) ≈ 2·10⁸ pairs on ONE shuffle
+    // key) mixed into the organic baskets. Capped, the run must cost
+    // what the bot-free run costs; uncapped shows the quadratic
+    // fan-out the cap removes. Bounded bot size so the uncapped
+    // leg terminates — the point is the RATIO, not a hang.
+    if (sections("basketcap")) {
+      import graft.operators.ClassicQueries
+      val ui = base
+        .filter(col("user_id").isNotNull && col("props").isNotNull)
+        .select(col("user_id"),
+          expr("from_json(props, 'k BIGINT')").getField("k").as("item"))
+        .filter(col("item").isNotNull)
+        .distinct()
+      val bot = spark.range(1, 20001)
+        .select(lit(999999999L).as("user_id"), col("id").as("item"))
+      def timeCap(tag: String, in: DataFrame, maxBasket: Int): Unit = {
+        val t0 = System.nanoTime()
+        ClassicQueries.itemCooccurOf(in, maxBasket)
+          .write.format("noop").mode("overwrite").save()
+        println(f"basketcap ${tag}%-12s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      timeCap("warm", ui, ClassicQueries.MaxBasket)
+      timeCap("nobot", ui, ClassicQueries.MaxBasket)
+      timeCap("bot_capped", ui.unionByName(bot),
+        ClassicQueries.MaxBasket)
+      timeCap("bot_uncapped", ui.unionByName(bot), Int.MaxValue)
     }
 
     // PageRank at K× edges (VERDICT r12 #4): the per-round cost is

@@ -1009,16 +1009,54 @@ object ClassicQueries {
   /** Pair-count floor of [[itemCooccur]]. */
   val CooccurMin = 5
 
+  /** Hyperactive-basket cap of [[itemCooccur]] / [[itemsets3]] /
+    * [[CooccurIngest]]: users with more distinct items than this are
+    * dropped BEFORE the per-user pair join. Generous vs any organic
+    * basket (the bench corpus maxes at 67); what it excludes is the
+    * bot/crawler key whose basket squares on a single shuffle
+    * partition — 10⁶ items would fan out 10¹² pairs on one key. */
+  val MaxBasket = 1000
+
+  /** Drop users whose distinct-item count exceeds `maxBasket` — the
+    * 100 TB guard of the per-user pair self-join (quadratic in BASKET
+    * size, so one hyperactive key dominates the whole shuffle), the
+    * same df-cap rationale as the n-gram index. Hyperactive baskets
+    * carry no similarity signal (a user holding everything relates
+    * nothing). NOT silent: the dropped-user count is measured (one
+    * map-side-combined aggregate over the already-distinct `ui`) and
+    * logged; when nothing is over the cap the input is returned
+    * unchanged, so capped ≡ uncapped below the cap by construction. */
+  private def capBaskets(ui: DataFrame, maxBasket: Int,
+      op: String): DataFrame = {
+    require(maxBasket >= 1, s"$op: maxBasket must be >= 1, got $maxBasket")
+    val over = ui.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBasket)
+      .select(col("user_id"))
+    val nOver = over.count()
+    if (nOver == 0L) ui
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$op: dropped $nOver hyperactive user(s) with > $maxBasket " +
+          "distinct items before the pair join (no similarity signal; " +
+          "unbounded quadratic fan-out on one shuffle key otherwise)")
+      // `over` is the hyperactive tail — tiny by construction, so the
+      // anti-join broadcasts
+      ui.join(broadcast(over), Seq("user_id"), "left_anti")
+    }
+  }
+
   /** Item–item co-occurrence (the collaborative-filtering /
     * market-basket primitive — "users who touched X also touched Y"):
     * for every pair of `props.k` items sharing a user, the number of
     * DISTINCT users holding both, plus the Jaccard over the two
     * items' user sets. The per-user self-join fans out quadratically
     * in BASKET size, never corpus size — the classic formulation; the
-    * 100 TB guard is capping the basket before the join (drop
-    * hyperactive users, who carry no similarity signal), the same
-    * df-cap rationale as the n-gram index. `co >= CooccurMin` floors
-    * the output to pairs with support. */
+    * 100 TB guard is [[capBaskets]] (drop hyperactive users before
+    * the join). Jaccard denominators are counted over the SAME capped
+    * population, so the output is exactly the uncapped answer on the
+    * corpus minus the dropped users. `co >= CooccurMin` floors the
+    * output to pairs with support. */
   /** Distinct (user, item) interactions from the events props JSON —
     * the shared base of [[itemCooccur]] and [[itemsets3]]. */
   private def uiOf(s: SparkSession, dir: String): DataFrame =
@@ -1029,8 +1067,16 @@ object ClassicQueries {
       .filter(col("item").isNotNull)
       .distinct()
 
-  def itemCooccur(s: SparkSession, dir: String): DataFrame = {
-    val ui = CacheScope.pin(uiOf(s, dir))
+  def itemCooccur(s: SparkSession, dir: String,
+      maxBasket: Int = MaxBasket): DataFrame =
+    itemCooccurOf(CacheScope.pin(uiOf(s, dir)), maxBasket)
+
+  /** DataFrame half of [[itemCooccur]] (`ui` = distinct
+    * `(user_id, item)`, pre-pinned) — shared with the cap spec's
+    * synthetic hyperactive-user fixtures. */
+  private[graft] def itemCooccurOf(uiRaw: DataFrame,
+      maxBasket: Int = MaxBasket): DataFrame = {
+    val ui = capBaskets(uiRaw, maxBasket, "itemCooccur")
     val perItem = ui.groupBy(col("item"))
       .agg(count(lit(1)).as("n_users"))
     // (user, item) is distinct, so count(*) per pair IS the distinct
@@ -1063,9 +1109,18 @@ object ClassicQueries {
     * frequent-pair instances, not basket³. The DuckDB twin is the
     * direct (unpruned) enumeration: the prune is lossless by the
     * Apriori property, so both produce the identical set — the oracle
-    * double-checks the prune itself. */
-  def itemsets3(s: SparkSession, dir: String): DataFrame = {
-    val ui = CacheScope.pin(uiOf(s, dir))
+    * double-checks the prune itself. Hyperactive baskets are dropped
+    * by [[capBaskets]] before any pair/triple enumeration — the
+    * triple fan-out is cubic in basket size, so the cap matters here
+    * even more than in [[itemCooccur]]. */
+  def itemsets3(s: SparkSession, dir: String,
+      maxBasket: Int = MaxBasket): DataFrame =
+    itemsets3Of(CacheScope.pin(uiOf(s, dir)), maxBasket)
+
+  /** DataFrame half of [[itemsets3]] — shared with the cap spec. */
+  private[graft] def itemsets3Of(uiRaw: DataFrame,
+      maxBasket: Int = MaxBasket): DataFrame = {
+    val ui = capBaskets(uiRaw, maxBasket, "itemsets3")
     val freqPairs = CacheScope.pin(
       ui.select(col("user_id"), col("item").as("item_a"))
         .join(ui.select(col("user_id"), col("item").as("item_b")),
@@ -1420,8 +1475,10 @@ object ClassicQueries {
     "cls_triangles" -> (triangles _),
     "cls_kcore" -> (kcore _),
     "cls_bfs" -> (bfs _),
-    "cls_item_cooccur" -> (itemCooccur _),
-    "cls_itemsets3" -> (itemsets3 _),
+    "cls_item_cooccur" ->
+      ((s: SparkSession, d: String) => itemCooccur(s, d)),
+    "cls_itemsets3" ->
+      ((s: SparkSession, d: String) => itemsets3(s, d)),
     "cls_interval_merge" -> (intervalMerge _),
     "cls_table_diff" -> (tableDiff _),
     "cls_table_profile" -> (tableProfile _),

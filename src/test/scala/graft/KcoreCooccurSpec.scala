@@ -121,4 +121,50 @@ class KcoreCooccurSpec extends GraftSuite {
       assert(gc == c && math.abs(gj - j) < 1e-9, s"$k: $got vs $want")
     }
   }
+
+  // --- MaxBasket hyperactive-user cap -------------------------------
+
+  /** 12 normal users each holding items {1..6} minus one, plus (when
+    * asked) one bot user holding items 1..50 — enough normal overlap
+    * that every pair of {1..6} clears CooccurMin with or without the
+    * bot. */
+  private def uiFixture(withBot: Boolean) = {
+    val normal = for {
+      u <- 1L to 12L
+      i <- 1L to 6L if i != (u % 6) + 1
+    } yield (u, i)
+    val bot = if (withBot) (1L to 50L).map(i => (99L, i)) else Seq.empty
+    (normal ++ bot).toDF("user_id", "item")
+  }
+
+  test("basket cap: capped ≡ uncapped when every basket is under " +
+      "the cap") {
+    val ui = uiFixture(withBot = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(ClassicQueries.itemCooccurOf(ui, maxBasket = 10)) ==
+      rows(ClassicQueries.itemCooccurOf(ui, maxBasket = 1000000)))
+    assert(rows(ClassicQueries.itemsets3Of(ui, maxBasket = 10)) ==
+      rows(ClassicQueries.itemsets3Of(ui, maxBasket = 1000000)))
+    assert(ClassicQueries.itemCooccurOf(ui, maxBasket = 10)
+      .count() > 0, "fixture sanity: some pairs clear the floor")
+  }
+
+  test("basket cap: a hyperactive user is dropped ENTIRELY — capped " +
+      "run ≡ uncapped run on the corpus minus that user, jaccard " +
+      "denominators included") {
+    val withBot = uiFixture(withBot = true)
+    val noBot = uiFixture(withBot = false)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    // cap 10: normal baskets (5 items) pass, the 50-item bot is dropped
+    assert(rows(ClassicQueries.itemCooccurOf(withBot, maxBasket = 10)) ==
+      rows(ClassicQueries.itemCooccurOf(noBot, maxBasket = 1000000)))
+    assert(rows(ClassicQueries.itemsets3Of(withBot, maxBasket = 10)) ==
+      rows(ClassicQueries.itemsets3Of(noBot, maxBasket = 1000000)))
+    // sanity: uncapped, the bot inflates pair counts (its pairs differ)
+    assert(rows(ClassicQueries.itemCooccurOf(withBot,
+        maxBasket = 1000000)) !=
+      rows(ClassicQueries.itemCooccurOf(noBot, maxBasket = 1000000)))
+  }
 }
