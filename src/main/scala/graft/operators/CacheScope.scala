@@ -22,11 +22,24 @@ import org.apache.spark.storage.StorageLevel
   *
   * Pins taken with NO scope open ("orphans") are bounded: the newest
   * [[OrphanCap]] stay persisted, the oldest beyond that are evicted
-  * (unpersisted — always correctness-safe, Spark recomputes). A loop
-  * that calls a pinning operator without opening a scope therefore
-  * cycles a bounded cache instead of accumulating O(iterations) dead
-  * entries for the session lifetime; single-query callers are far
-  * under the cap and keep every warm frame.
+  * (unpersisted — correctness-safe for [[pin]]s, whose lineage is
+  * intact: Spark recomputes). A loop that calls a pinning operator
+  * without opening a scope therefore cycles a bounded cache instead
+  * of accumulating O(iterations) dead entries for the session
+  * lifetime; single-query callers are far under the cap and keep
+  * every warm frame.
+  *
+  * [[track]]ed frames are `localCheckpoint`s — lineage CUT, NOT
+  * recomputable: unpersisting one that still backs a consumer's plan
+  * fails that consumer with missing-checkpoint-block errors. Orphan
+  * tracks therefore live in their OWN bounded ring whose overflow
+  * drops the oldest REFERENCE without unpersisting: a frame the
+  * caller still holds stays valid indefinitely, and a frame nobody
+  * references anymore is reclaimed by Spark's ContextCleaner when the
+  * RDD is garbage-collected. Iterative operators additionally
+  * unpersist their superseded per-round checkpoints eagerly (they
+  * alone know when a round's frame is dead), so the ring normally
+  * holds only final results awaiting consumption.
   */
 object CacheScope {
 
@@ -37,6 +50,11 @@ object CacheScope {
   val OrphanCap = 48
 
   private val orphans =
+    new java.util.ArrayDeque[DataFrame](OrphanCap + 1)
+
+  /** Orphan [[track]]s — non-recomputable checkpoints, so overflow
+    * drops the reference instead of unpersisting (see class doc). */
+  private val trackedOrphans =
     new java.util.ArrayDeque[DataFrame](OrphanCap + 1)
 
   /** Persist `df` (MEMORY_AND_DISK); register it with the open scope,
@@ -66,17 +84,54 @@ object CacheScope {
     * deliberately skips persisted frames (it must not double-release
     * a pin it didn't create); iterative operators that CUT lineage
     * per round — the localCheckpoint returns a new, already-persisted
-    * frame — use this so their final frame is still collectable. */
+    * frame — use this so their final frame is still collectable.
+    *
+    * A tracked frame's blocks are its ONLY copy (lineage is cut), so
+    * the orphan path never unpersists on overflow: the oldest
+    * reference is dropped and block reclamation is left to Spark's
+    * ContextCleaner (which unpersists an RDD once it is garbage-
+    * collected — i.e. once neither the caller nor any plan holds it).
+    * Frames a caller still references thus stay consumable no matter
+    * how many later pins/tracks occur. */
   def track(df: DataFrame): DataFrame = {
     val buf = active.get()
     if (buf != null) buf += df
-    else orphans.synchronized {
-      orphans.addLast(df)
-      while (orphans.size > OrphanCap) {
-        orphans.pollFirst().unpersist(); ()
+    else trackedOrphans.synchronized {
+      trackedOrphans.addLast(df)
+      while (trackedOrphans.size > OrphanCap) {
+        trackedOrphans.pollFirst(); ()
       }
     }
     df
+  }
+
+  /** Free the blocks behind a frame REGARDLESS of how it is persisted.
+    * `Dataset.unpersist` only clears CacheManager entries ([[pin]]s);
+    * on a `localCheckpoint`-backed frame it is a measured NO-OP in
+    * Spark 4.1 — the blocks belong to the internal RDD inside the
+    * plan's `LogicalRDD` leaf, which stays in `getPersistentRDDs`
+    * until the RDD object is garbage-collected and the ContextCleaner
+    * sweeps it. Iterative operators call this on SUPERSEDED per-round
+    * checkpoints (they alone know a round's frame is dead) so block
+    * lifetime is one round, not a GC cycle; [[collect]]'s release
+    * handle uses it so a fleet scope frees tracked checkpoints
+    * deterministically too. Never called by ring overflow — overflow
+    * cannot know liveness, so it only drops references.
+    *
+    * ROOT-only on purpose: only a frame whose plan IS the checkpoint
+    * (the direct `localCheckpoint` result) frees its internal RDD. A
+    * `LogicalRDD` reached deeper in a derived plan may belong to a
+    * caller (a shared merge map, a fleet-owned canonical log) — no
+    * ownership can be proven there, so those blocks are left to their
+    * owner / the ContextCleaner. Operators therefore release the
+    * checkpoint frame itself, not plans derived from it. */
+  def release(df: DataFrame): Unit = {
+    df.unpersist()
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
   }
 
   /** Run `body` with a scope open; returns its result plus a release
@@ -96,10 +151,10 @@ object CacheScope {
       try body
       catch {
         case e: Throwable =>
-          buf.foreach(df => { df.unpersist(); () })
+          buf.foreach(df => release(df))
           throw e
       }
       finally active.set(outer)
-    (result, () => buf.foreach(df => { df.unpersist(); () }))
+    (result, () => buf.foreach(df => release(df)))
   }
 }

@@ -935,7 +935,7 @@ object ClassicQueries {
           .localCheckpoint(true))
       val m = next.count()
       done = m == n // removal-only: equal count = equal set = fixpoint
-      surv.unpersist()
+      CacheScope.release(surv) // superseded round checkpoint: blocks die now
       surv = next
       n = m
     }
@@ -986,6 +986,7 @@ object ClassicQueries {
         .withColumn("dist", lit(0L))
         .localCheckpoint(true))
     var frontier = visited.select(col("node"))
+    var prevNext: DataFrame = null
     var d = 0
     var exhausted = frontier.isEmpty
     while (d < depth && !exhausted) {
@@ -998,11 +999,22 @@ object ClassicQueries {
           .localCheckpoint(true))
       exhausted = next.isEmpty
       if (!exhausted) {
-        visited = CacheScope.track(
+        val nv = CacheScope.track(
           visited.unionByName(next).localCheckpoint(true))
+        // nv materialized: last round's frames are dead — free their
+        // blocks now instead of waiting out a GC cycle
+        CacheScope.release(visited)
+        if (prevNext != null) CacheScope.release(prevNext)
+        prevNext = next
+        visited = nv
         frontier = next.select(col("node"))
+      } else {
+        CacheScope.release(next) // empty probe frame
       }
     }
+    // the final round's frontier source backs nothing in the returned
+    // plan (visited is its own checkpoint)
+    if (prevNext != null) CacheScope.release(prevNext)
     visited.orderBy(col("node"))
   }
 

@@ -266,9 +266,12 @@ object LlmText {
       pairs.select(col("id_a").as("doc_id"), col("id_b").as("nbr"))
         .unionByName(
           pairs.select(col("id_b").as("doc_id"), col("id_a").as("nbr"))))
-    var labels = CacheScope.track(
+    // labelsRoot is the ROOT checkpoint frame (what release() can
+    // free); labels is the consumer view (drops the change counter)
+    var labelsRoot = CacheScope.track(
       docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
         .localCheckpoint(true))
+    var labels = labelsRoot
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -290,7 +293,8 @@ object LlmText {
         .localCheckpoint(true))
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L)))
         .head().getLong(0)
-      labels.unpersist()
+      CacheScope.release(labelsRoot) // superseded round: free blocks now
+      labelsRoot = next
       labels = next.drop("__chg")
     }
     labels
@@ -370,7 +374,7 @@ object LlmText {
       converged =
         ss.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
           edges.join(ss, Seq("u", "v"), "left_anti").isEmpty
-      edges.unpersist()
+      CacheScope.release(edges) // superseded round: free blocks now
       edges = ss
     }
     edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))

@@ -94,7 +94,7 @@ object PageRank {
               "left_anti")
             .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
         val next = cut(iterate(p, ranks, damping, scale, dm, bcast))
-        ranks.unpersist()
+        CacheScope.release(ranks) // superseded round: free blocks now
         ranks = next
       }
       ranks.select(col("node"), col("r").as("rank"))
