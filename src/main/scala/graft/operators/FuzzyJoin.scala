@@ -69,11 +69,27 @@ object FuzzyJoin {
     * (ScaleProbe `resolve`: 2.6 s → 372 s at 10×; q=5 restores ~linear
     * — measured there). Rule of thumb: pick q so
     * `alphabet^q >> expected row count`. Rich-entropy strings (names,
-    * urls, titles) are fine at the q=3 default. */
+    * urls, titles) are fine at the q=3 default.
+    *
+    * The dense regime is DETECTED at runtime, not just documented
+    * (same warn/error/off contract as [[selfJoin2]]): one gram-keyed
+    * aggregate over the prefix frame the join needs anyway bounds the
+    * candidate-pair count the prefix equi-join will materialize
+    * (Σ per-gram C(fan-in, 2)); when it exceeds `denseRatio × rows`
+    * AND the `denseFloor` absolute floor (so small inputs never
+    * trip), `"warn"` (default) logs the measured blow-up with the
+    * regime guidance and proceeds, `"error"` throws instead of
+    * starting the quadratic wall, `"off"` skips the probe entirely.
+    * When the probe runs, the prefix frame is pinned so it computes
+    * once for probe + both join sides. */
   def selfJoin(df: DataFrame, idCol: String, strCol: String, k: Int,
-      q: Int = 3): DataFrame = {
+      q: Int = 3, denseGuard: String = "warn",
+      denseRatio: Double = 32.0, denseFloor: Long = 1000000L)
+      : DataFrame = {
     require(k >= 1, s"fuzzyJoin: k must be >= 1, got $k")
     require(q >= 2, s"fuzzyJoin: q must be >= 2, got $q")
+    require(Set("warn", "error", "off")(denseGuard),
+      s"fuzzyJoin: denseGuard must be warn|error|off, got $denseGuard")
     val prefixLen = k * q + 1
 
     val base = df
@@ -97,12 +113,35 @@ object FuzzyJoin {
       explode(col("grams")).as("gram"))
     val gramDf = exploded.groupBy(col("gram"))
       .agg(count(lit(1)).as("df"))
-    val prefix = exploded.join(gramDf, Seq("gram"))
+    val prefix0 = exploded.join(gramDf, Seq("gram"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("df"), col("gram"))))
       .filter(col("__rn") <= prefixLen)
       .select(col("id"), col("str"), col("len"), col("gram"))
+    val prefix =
+      if (denseGuard == "off") prefix0
+      else {
+        val p = CacheScope.pin(prefix0)
+        val rows = base.count()
+        val (cand, _) = candidateBound(p, "gram")
+        if (cand > denseFloor && cand > denseRatio * rows) {
+          val msg = "fuzzyJoin: dense-output regime detected at " +
+            s"k=$k q=$q — the prefix-gram blocking admits ~$cand " +
+            s"candidate pairs for $rows rows (> $denseRatio×): the " +
+            "gram vocabulary has saturated on this key space and " +
+            "per-gram df scales with rows, so the candidate join " +
+            "goes quadratic. Options: raise q so alphabet^q >> rows, " +
+            "use selfJoin1/selfJoin2 (deletion-neighborhood blocking " +
+            "cannot saturate), resolve to cluster representatives " +
+            "(EntityResolution.resolve), or accept the cost with " +
+            "denseGuard=off."
+          if (denseGuard == "error")
+            throw new IllegalStateException(msg)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+        }
+        p
+      }
 
     // Candidate pairs of rich strings: prefix-gram collision + length
     // band. distinct before the verify so a pair sharing several
@@ -237,12 +276,15 @@ object FuzzyJoin {
     deletionSelfJoin(df, idCol, strCol, deletionKeys2, 2,
       denseGuard, denseRatio, denseFloor)
 
-  /** Candidate-pair upper bound of a deletion-key blocking: Σ over
-    * keys of C(fan-in, 2) — what the equi-join materializes before
-    * the length-band filter and verify. One aggregate, map-side
-    * combined, output two longs. */
-  private def candidateBound(keys: DataFrame): (Long, Long) = {
-    val r = keys.groupBy(col("dkey")).agg(count(lit(1)).as("n"))
+  /** Candidate-pair upper bound of a blocking-key frame: Σ over keys
+    * of C(fan-in, 2) — what the equi-join materializes before the
+    * length-band filter and verify. One aggregate, map-side combined,
+    * output two longs. Shared by the deletion-key guards
+    * ([[selfJoin1]]/[[selfJoin2]]) and the q-gram prefix guard
+    * ([[selfJoin]]). */
+  private def candidateBound(keys: DataFrame,
+      keyCol: String = "dkey"): (Long, Long) = {
+    val r = keys.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
           .cast("long").as("cand"),
         coalesce(sum(col("n")), lit(0L)).cast("long").as("keyrows"))

@@ -186,6 +186,45 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(ok == brute(sparse, 2))
   }
 
+  test("q-gram dense regime trips the selfJoin guard; sparse and " +
+      "under-floor inputs sail through error mode; warn ≡ off") {
+    // the documented q-gram failure mode: long strings over a binary
+    // alphabet — 8 possible 3-grams total, so strings are RICH (> k*q
+    // distinct grams, they route through the prefix filter) yet every
+    // gram's df scales with rows and the candidate join squares
+    val rnd = new scala.util.Random(7)
+    val dense = strings((0 until 200).map(_ =>
+      (0 until 14).map(_ => if (rnd.nextBoolean()) '1' else '0')
+        .mkString))
+    val e = intercept[IllegalStateException] {
+      FuzzyJoin.selfJoin(dense, "id", "s", k = 2, q = 3,
+        denseGuard = "error", denseRatio = 4.0, denseFloor = 100L)
+    }
+    assert(e.getMessage.contains("dense-output regime"))
+    assert(e.getMessage.contains("raise q"))
+    // warn (the default) still computes the exact answer
+    val warned = FuzzyJoin.selfJoin(dense, "id", "s", k = 2, q = 3,
+        denseRatio = 4.0, denseFloor = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(warned == brute(dense, 2))
+    val off = FuzzyJoin.selfJoin(dense, "id", "s", k = 2, q = 3,
+        denseGuard = "off")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(warned == off, "warn ≡ off results")
+    // rich-entropy strings pass an error-mode guard untripped
+    val sparse = strings((0 until 150).map(i =>
+      s"user-${i}-${(i * 2654435761L).toHexString}"))
+    val ok = FuzzyJoin.selfJoin(sparse, "id", "s", k = 2, q = 3,
+        denseGuard = "error", denseRatio = 4.0, denseFloor = 100L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ok == brute(sparse, 2))
+    // the absolute floor keeps small inputs from tripping even at a
+    // punitive ratio
+    val tiny = strings(Seq("001", "002", "003"))
+    FuzzyJoin.selfJoin(tiny, "id", "s", k = 1, q = 3,
+      denseGuard = "error", denseRatio = 0.001).count()
+  }
+
   test("deletion-neighborhood drops NULLs like the gram path") {
     val df = Seq((Some(1L), Some("abcdef")), (Some(2L), Some("abcdeg")),
       (Some(3L), Option.empty[String]), (Option.empty[Long], Some("abcdef")))
