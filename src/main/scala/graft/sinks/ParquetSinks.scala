@@ -280,6 +280,18 @@ object ParquetSinks {
       sys.error(s"sink: could not move bucket marker $tmp into place")
   }
 
+  /** True when `path` holds a table CREATED by the bucketed sinks —
+    * the [[BucketMarker]] sidecar exists. Distinguishes real table
+    * data from a directory that merely carries `_applied` ledger
+    * markers (an incremental operator's step ledger is written even
+    * for batches whose delta for that table was empty, so bare
+    * `fs.exists(path)` over-reports). */
+  def bucketedTableExists(spark: SparkSession, path: String): Boolean = {
+    val fs = fsOf(spark, path)
+    val p = new Path(path)
+    fs.exists(p) && fs.exists(new Path(p, BucketMarker))
+  }
+
   private def readBucketMarker(fs: FileSystem, dir: Path): Option[Int] = {
     val p = new Path(dir, BucketMarker)
     if (!fs.exists(p)) None

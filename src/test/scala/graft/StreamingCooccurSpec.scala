@@ -99,4 +99,103 @@ class StreamingCooccurSpec extends GraftSuite {
     } finally q2.stop()
     assert(got(path) == want)
   }
+
+  /** Batch twin for a (user, item) row set at a given cap. */
+  private def batchWant(rows: Seq[UiRow], maxBasket: Int)
+      : Set[(Long, Long, Long, Double)] =
+    ClassicQueries.itemCooccurOf(
+        rows.map(r => (r.user_id, r.item)).toDF("user_id", "item")
+          .distinct(),
+        maxBasket)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+  test("crash between an apply and its marker replays exactly-once " +
+      "— the staged-delta + last_batch design closes the additive " +
+      "double-count window") {
+    val path = tmp("cooc_crash")
+    val rows = uiRows
+    val b1 = rows.take(400)
+    val b2 = rows.slice(400, 800)
+    def fold(b: Seq[UiRow], id: String): Unit =
+      CooccurIngest.ingest(spark,
+        b.toDF("user_id", "item"), path, "user_id", "item", id)
+    // crash after the co swap, before its marker: the classic
+    // double-count window — replay must NOT re-add the increments
+    CooccurIngest.crashAfter = Some("/co")
+    intercept[IllegalStateException] { fold(b1, "b1") }
+    fold(b1, "b1")
+    assert(got(path) == batchWant(b1, Int.MaxValue))
+    // same for the items table, folding a second batch
+    CooccurIngest.crashAfter = Some("/items")
+    intercept[IllegalStateException] { fold(b2, "b2") }
+    fold(b2, "b2")
+    assert(got(path) == batchWant(b1 ++ b2, Int.MaxValue))
+    // and after the basket apply (the whole-batch sentinel): replay
+    // must skip everything already marked and still converge
+    val b3 = rows.slice(800, 1200)
+    CooccurIngest.crashAfter = Some("/basket")
+    intercept[IllegalStateException] { fold(b3, "b3") }
+    fold(b3, "b3")
+    assert(got(path) == batchWant(b1 ++ b2 ++ b3, Int.MaxValue))
+  }
+
+  test("maxBasket parity at every chop: a user crossing the cap " +
+      "mid-stream is reversed and tombstoned — streamed view ≡ " +
+      "batch itemCooccur with the same cap over the same prefix") {
+    val path = tmp("cooc_cap")
+    val rows = uiRows
+    // bot user: 8 items land in chop 1 (under the cap of 10), 8 more
+    // in chop 3 (crosses: prior contribution must be reversed), more
+    // in chop 5 (tombstone must filter them)
+    val bot = (1L to 24L).map(i => UiRow(99999999L, i))
+    val organic = chop(rows, 13)
+    val capped = 10
+    val chops = Seq(
+      organic.head ++ bot.take(8),
+      organic(1),
+      organic(2) ++ bot.slice(8, 16),
+      organic(3),
+      organic(4) ++ bot.drop(16)) ++ organic.drop(5)
+    var prefix = Seq.empty[UiRow]
+    chops.zipWithIndex.foreach { case (b, i) =>
+      prefix = prefix ++ b
+      CooccurIngest.ingest(spark, b.toDF("user_id", "item"), path,
+        "user_id", "item", s"cap_$i", maxBasket = capped)
+      assert(got(path) == batchWant(prefix, capped),
+        s"divergence after chop $i")
+    }
+    // end state: identical to the batch cap over everything, which
+    // drops the bot entirely
+    assert(got(path) == batchWant(rows ++ bot, capped))
+    assert(got(path) == batchWant(rows, capped),
+      "a capped user must leave zero trace")
+  }
+
+  test("topK serving view ≡ the same expansion over batch " +
+      "itemCooccur, across chops and a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("cooc_topk")
+    val rows = uiRows
+    val batches = chop(rows, 59)
+    def wantTopK: Seq[(Long, Long, Long, Long, Double)] =
+      CooccurIngest.topKOf(ClassicQueries.itemCooccurOf(
+          rows.map(r => (r.user_id, r.item)).toDF("user_id", "item")
+            .distinct()), 3)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val input = MemoryStream[UiRow]
+    val q = StreamingCooccur.start(input.toDS().toDF(), path,
+      "user_id", "item")
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val gotTopK = CooccurIngest.topK(spark, path, 3)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(gotTopK == wantTopK)
+    assert(gotTopK.nonEmpty, "fixture sanity: some ranked neighbors")
+    // per-item rank contract: ranks are 1..n, jaccard non-increasing
+    gotTopK.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2) == (1L to rs.size.toLong))
+      assert(rs.map(_._5) == rs.map(_._5).sorted.reverse)
+    }
+  }
 }
