@@ -52,7 +52,18 @@ object StreamingDecontaminate {
           val marker = new org.apache.hadoop.fs.Path(s"$path/_applied", id)
           val fs = marker
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(marker)) {
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+            // flags arriving before the corpus table exists: a delete
+            // against nothing is a no-op by the operator's own
+            // anti-join semantics — skip WITHOUT writing anything
+            // (creating the marker would materialize a data-less
+            // table dir). On a restart-replay with the corpus present
+            // the deletes apply; deletes are idempotent either way.
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"StreamingDecontaminate: corpus $path does not exist " +
+                s"yet — batch $id is a no-op (flagged ids have " +
+                "nothing to delete)")
+          } else if (!fs.exists(marker)) {
             // after-image columns: everything stored beyond the key
             // and the bucket partition column, NULL-typed from the
             // stored schema (a D op never reads them)

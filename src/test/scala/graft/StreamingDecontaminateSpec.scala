@@ -100,4 +100,31 @@ class StreamingDecontaminateSpec extends GraftSuite {
     val want = (1L to 120L).filterNot(_ % 3 == 0).toSet + 6L
     assert(readIds(path) == want)
   }
+
+  test("flags arriving BEFORE the corpus exists are a safe no-op: " +
+      "the query survives, nothing is written, and the corpus-later " +
+      "flow proceeds normally") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("decon_noecorpus")
+    val input = MemoryStream[Flag]
+    val q = StreamingDecontaminate.start(input.toDS().toDF(), path,
+      "doc_id")
+    try {
+      // corpus does not exist yet: this batch used to kill the query
+      // on the unguarded schema read
+      input.addData(Flag(3L, 7L, 5L), Flag(6L, 7L, 5L))
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive a flags-before-corpus batch")
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(path)),
+        "a no-op batch must not materialize a data-less table dir")
+      // corpus lands; later flags delete normally
+      graft.sinks.ParquetSinks.upsertByKeyBucketed(spark, corpus, path,
+        Seq("doc_id"), "doc_id")
+      input.addData(Flag(9L, 7L, 5L), Flag(12L, 7L, 5L))
+      q.processAllAvailable()
+      assert(readIds(path) == (1L to 120L).toSet -- Set(9L, 12L))
+    } finally q.stop()
+  }
 }
