@@ -706,6 +706,81 @@ object ScaleProbe {
       timeCap("bot_uncapped", ui.unionByName(bot), Int.MaxValue)
     }
 
+    // Dedup/ANN scale ladder (VERDICT r14 #5 / r15 #4): the LSH and
+    // IVF families' scale evidence previously topped out at 10×. A
+    // 1×/10×/K× ladder over the scale-path operators with the
+    // codebook GROWN per rung (IvfDims + log2(rung) — the same
+    // k ∝ corpus rule semDedup documents): constant expected
+    // cell/bucket size means rung K should cost ~K× the 1× time
+    // (scan-bound linear), never K². Content per copy is
+    // decorrelated so true-pair counts grow ~linearly and the probe
+    // measures the PLAN, not an artificial K² duplicate blowup:
+    // disjoint token prefixes for text (a bigger corpus is new
+    // content, not repeated bytes); for embeddings a per-(copy,dim)
+    // deterministic ±0.35 perturbation — perturbation norm ≈ 2.8×
+    // the vector norm (dims are ~N(0, 0.125²)·64) puts the copy's
+    // cosine to its original ≈ 0.33, below the 0.4 dup threshold,
+    // and the hash-signed flips keep the quantizer cells uniform
+    // (a constant shift would drift every dim positive by copy 30
+    // and collapse the codebook onto one cell).
+    if (sections("simscale")) {
+      val rungs = Seq(1, 10, k).distinct.sorted.filter(_ <= k)
+      def docsAt(kk: Int): DataFrame =
+        if (kk == 1) docBase
+        else (0 until kk).map(i => docBase
+            .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"c${i}_" + "$1")))
+          .reduce(_ unionByName _)
+      def embAt(kk: Int): DataFrame =
+        if (kk == 1) embBase
+        else (0 until kk).map { i =>
+          if (i == 0) embBase
+          else embBase
+            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+            .withColumn("embedding",
+              transform(col("embedding"), (x, j) =>
+                x + when(pmod(hash(lit(i), j), lit(2)) === 0, lit(0.35f))
+                  .otherwise(lit(-0.35f))))
+        }.reduce(_ unionByName _)
+      def runSim(tag: String, kk: Int, silent: Boolean = false): Unit = {
+        val grown = LlmSim.IvfDims +
+          math.ceil(math.log(kk.toDouble) / math.log(2)).toInt
+        val dDir = s"/tmp/graft_scale_sim_doc_$tag"
+        val eDir = s"/tmp/graft_scale_sim_emb_$tag"
+        docsAt(kk).write.mode("overwrite").parquet(dDir)
+        embAt(kk).write.mode("overwrite").parquet(eDir)
+        val d = spark.read.parquet(dDir)
+        val e = spark.read.parquet(eDir)
+        def time(name: String)(df: => DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          if (!silent)
+            println(f"sim_$tag%-7s $name%-12s " +
+              f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        val ((), release) = CacheScope.collect {
+          time("dedup_near")(LlmText.dedupNear(d))
+          time("dedup_ngram")(LlmText.dedupNgram(d))
+          time("simhash")(LlmText.simhash(d))
+          time("dedup_embed")(LlmSim.dedupEmbed(e, cellDims = grown))
+          time("semdd")(
+            LlmSim.semDedup(e, exactFold = false, cellDims = grown))
+          time("ivf2")(LlmSim.knnIvfTrained(e, exactFold = false,
+            cellDims = grown))
+          // PQ: codebook is constant-size (M×16) at ANY corpus — the
+          // ladder should show pure linear scan behavior
+          time("pq_search")(Pq.search(e, exactFold = false))
+        }
+        release()
+        if (!silent)
+          println(s"sim_$tag docs=${d.count()} vecs=${e.count()} " +
+            s"cellDims=$grown")
+      }
+      runSim("warm", 1, silent = true)
+      rungs.foreach(kk => runSim(s"${kk}x", kk))
+    }
+
     // PageRank at K× edges (VERDICT r12 #4): the per-round cost is
     // the edge scan + the groupBy(dst) transpose — with the edge
     // list cache-pinned on src, K× edges should cost ~K× per round,

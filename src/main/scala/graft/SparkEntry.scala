@@ -65,6 +65,7 @@ object SparkEntry {
     "llm_tfidf_pairs",
     "llm_knn",
     "llm_knn_ivf2",
+    "llm_pq_search",
     "llm_semdedup",
     "llm_textstats",
     "llm_contamination",

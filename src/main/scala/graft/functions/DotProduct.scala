@@ -214,6 +214,32 @@ object GraftFunctions {
         MisraGriesAgg(exprs.head,
           literalInt("graft_mg_agg(key, capacity)", exprs, 1)))
 
+  /** `graft_pq_assign(s, sv, cvs, bbs)` / `graft_pq_lut(s, sv, cvs,
+    * bbs)` — fused PQ codebook scans ([[PqAssign]]/[[PqLut]]); the
+    * codebook arguments must be (typed) literals. */
+  private def quaternary(sig: String,
+      mk: (Expression, Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      require(exprs.size == 4,
+        s"$sig takes exactly four arguments, got ${exprs.size}")
+      mk(exprs(0), exprs(1), exprs(2), exprs(3))
+    }
+
+  val pqAssign: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getCanonicalName,
+        "graft_pq_assign"),
+      quaternary("graft_pq_assign(s, sv, cvs, bbs)", PqAssign.apply))
+
+  val pqLut: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getCanonicalName,
+        "graft_pq_lut"),
+      quaternary("graft_pq_lut(s, sv, cvs, bbs)", PqLut.apply))
+
   /** `graft_nfc(text)` — Unicode NFC normalization
     * ([[NfcNormalize]]). */
   val nfcNormalize: (FunctionIdentifier, ExpressionInfo,
@@ -250,5 +276,7 @@ object GraftFunctions {
     ext.injectFunction(mightContain)
     ext.injectFunction(misraGries)
     ext.injectFunction(nfcNormalize)
+    ext.injectFunction(pqAssign)
+    ext.injectFunction(pqLut)
   }
 }

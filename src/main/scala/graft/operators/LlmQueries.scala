@@ -59,6 +59,9 @@ object LlmQueries {
     "llm_hard_negatives" -> ((s, d) => LlmSim.hardNegatives(embs(s, d))),
     "llm_knn_ivf" -> ((s, d) => LlmSim.knnIvf(embs(s, d))),
     "llm_knn_ivf2" -> ((s, d) => LlmSim.knnIvfTrained(embs(s, d))),
+    "llm_ann_recall" -> ((s, d) => LlmSim.annRecall(embs(s, d))),
+    "llm_pq_encode" -> ((s, d) => Pq.encode(embs(s, d))),
+    "llm_pq_search" -> ((s, d) => Pq.search(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     "llm_contamination_embed" ->
       ((s, d) => LlmSim.contaminationEmbed(embs(s, d))),
@@ -137,6 +140,9 @@ object LlmQueries {
     "llm_hard_negatives" -> LlmSimSql.hardNegativesSql,
     "llm_knn_ivf" -> LlmSimSql.knnIvfSql,
     "llm_knn_ivf2" -> LlmSimSql.knnIvfTrainedSql,
+    "llm_ann_recall" -> LlmSimSql.annRecallSql,
+    "llm_pq_encode" -> PqSql.encodeSql,
+    "llm_pq_search" -> PqSql.searchSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     "llm_contamination_embed" -> LlmSimSql.contaminationEmbedSql,
     "llm_semdedup" -> LlmSimSql.semDedupSql,

@@ -113,8 +113,16 @@ object LlmSim {
     * pairwise cosine ≈ 0.51); a production corpus would use ~0.99. */
   val EmbedDupThreshold = 0.4
 
-  def dedupEmbed(embeddings: DataFrame): DataFrame = {
-    val e = withVec(embeddings).withColumn("cell", cell(col("v")))
+  /** `cellDims` is the codebook-size knob (2^cellDims cells): at a
+    * FIXED codebook the within-cell self-join is quadratic in corpus
+    * size, so callers must grow it with the corpus — IvfDims +
+    * log2(scale) keeps expected cell size (and thus cost per row)
+    * constant, the same k ∝ corpus rule [[semDedup]] documents. The
+    * default matches the llm_dedup_embed oracle fixture. */
+  def dedupEmbed(embeddings: DataFrame,
+      cellDims: Int = IvfDims): DataFrame = {
+    val e = withVec(embeddings)
+      .withColumn("cell", cell(col("v"), cellDims))
     val a = e.select(col("cell"), col("vec_id").as("id_a"),
       col("v").as("va"), col("norm").as("na"))
     val b = e.select(col("cell"), col("vec_id").as("id_b"),
@@ -160,9 +168,12 @@ object LlmSim {
       .select(col("eval_id"), col("train_id"), col("cosine"))
   }
 
-  /** IVF(nprobe=1) top-k: candidates share the query's quantizer cell. */
-  def knnIvf(embeddings: DataFrame): DataFrame = {
-    val e = withVec(embeddings).withColumn("cell", cell(col("v")))
+  /** IVF(nprobe=1) top-k: candidates share the query's quantizer cell.
+    * `cellDims` as in [[dedupEmbed]] — grow with the corpus. */
+  def knnIvf(embeddings: DataFrame,
+      cellDims: Int = IvfDims): DataFrame = {
+    val e = withVec(embeddings)
+      .withColumn("cell", cell(col("v"), cellDims))
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("norm").as("qnorm"), col("cell"))
@@ -194,8 +205,9 @@ object LlmSim {
     * Assignment/top-k rank on round(·,6) with id tie-breaks either way.
     * Keep in sync with [[LlmSimSql.knnIvfTrainedSql]]. */
   def knnIvfTrained(embeddings: DataFrame,
-      exactFold: Boolean = true, nprobe: Int = Nprobe): DataFrame = {
-    val sims = trainedSims(embeddings, exactFold)
+      exactFold: Boolean = true, nprobe: Int = Nprobe,
+      cellDims: Int = IvfDims): DataFrame = {
+    val sims = trainedSims(embeddings, exactFold, cellDims)
     val corpus = sims.filter(col("nr") === 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
     val probes = sims
@@ -207,6 +219,28 @@ object LlmSim {
       .withColumn("cos",
         dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
     ranked(pairs, IvfTopK)
+  }
+
+  /** ANN quality audit — per-query recall@k of the production IVF
+    * path ([[knnIvfTrained]]) against the exact [[knnBrute]] ranking:
+    * (qid, n_hits, recall). The "measure, don't guess" primitive for
+    * the approximate family — at 100 TB you run the exact side only
+    * over this bounded query sample (it is already a broadcast of
+    * queries × one corpus scan), and the recall number decides the
+    * nprobe/cellDims ladder, instead of trusting the index blindly.
+    * Both sides truncate to the same k so the ratio is a true
+    * recall@k. Keep in sync with [[LlmSimSql.annRecallSql]]. */
+  def annRecall(embeddings: DataFrame, k: Int = IvfTopK): DataFrame = {
+    val exact = knnBrute(embeddings).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"))
+    val approx = knnIvfTrained(embeddings).filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"))
+    exact
+      .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"),
+        "left")
+      .groupBy(col("qid")).agg(count(col("hit")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
   }
 
   /** One Lloyd step from the deterministic sign-cell seeds: the
@@ -596,6 +630,40 @@ object LlmSimSql {
         ORDER BY round(cos, 6) DESC, vec_id) AS BIGINT) AS rank
       FROM pairs)
     SELECT qid, vec_id, cosine, rank FROM rk WHERE rank <= $IvfTopK"""
+
+  /** Twin of [[LlmSim.annRecall]]: the trained-IVF chain and the
+    * brute chain truncated to the same k, matched per (qid, vec_id). */
+  val annRecallSql: String =
+    s"""WITH $trainedCtes,
+    corpus AS (SELECT cent_id, vec_id, v, norm FROM sims WHERE nr = 1),
+    probes AS (SELECT cent_id, vec_id AS qid, v AS qv, norm AS qnorm
+      FROM sims WHERE vec_id % $QueryMod = 0 AND nr <= ${LlmSim.Nprobe}),
+    apairs AS (SELECT qid, corpus.vec_id,
+      ${dot("qv", "v")} / (qnorm * norm) AS cos
+      FROM probes JOIN corpus USING (cent_id)
+      WHERE corpus.vec_id <> qid),
+    ark AS (SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid
+        ORDER BY round(cos, 6) DESC, vec_id) AS rank
+      FROM apairs),
+    approx AS (SELECT qid, vec_id FROM ark WHERE rank <= $IvfTopK),
+    q AS (SELECT vec_id AS qid, v AS qv, norm AS qnorm FROM e
+          WHERE vec_id % $QueryMod = 0),
+    bpairs AS (SELECT qid, e.vec_id,
+      ${dot("qv", "v")} / (qnorm * norm) AS cos
+      FROM q, e WHERE e.vec_id <> qid),
+    brk AS (SELECT qid, vec_id,
+      row_number() OVER (PARTITION BY qid
+        ORDER BY round(cos, 6) DESC, vec_id) AS rank
+      FROM bpairs),
+    xact AS (SELECT qid, vec_id FROM brk WHERE rank <= $IvfTopK),
+    hits AS (SELECT x.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hits
+      FROM xact x LEFT JOIN approx a
+        ON x.qid = a.qid AND x.vec_id = a.vec_id
+      GROUP BY x.qid)
+    SELECT qid, n_hits,
+      round(n_hits / CAST($IvfTopK AS DOUBLE), 6) AS recall
+    FROM hits"""
 
   /** Twin of [[LlmSim.semDedup]]: same trained assignment, same
     * round(·,6) pair cosine, same (cent_sim, vec_id) witness order. */
