@@ -216,9 +216,18 @@ object Pq {
     * nowhere near overflow at Σ over [[M]] terms), so the distance
     * sum is an associative LONG sum — bit-identical in ANY
     * accumulation order on both engines, and map-side combinable.
-    * `exactFold` therefore only governs codebook training. */
+    * `exactFold` therefore only governs codebook training.
+    *
+    * `queryMod` selects the query sample (vec_id ≡ 0 mod it; default
+    * is the house [[LlmSim.QueryMod]], pinned by the gate). The ADC
+    * join is Q × N — linear in the corpus only while the query set
+    * is BOUNDED, which a production eval/search workload is. A
+    * caller whose query convention grows with the corpus (the
+    * fixture's %-based split does) must scale `queryMod` to keep Q
+    * fixed, as the simscale probe does. */
   def search(embeddings: DataFrame, exactFold: Boolean = true,
-      k: Int = PqTopK): DataFrame = {
+      k: Int = PqTopK,
+      queryMod: Int = LlmSim.QueryMod): DataFrame = {
     val (cvsL, bbsL) = localCodebook(codebook(embeddings, exactFold))
     val sub = CacheScope.pin(subvecs(embeddings))
     val codes = assignLocal(sub, cvsL, bbsL)
@@ -228,7 +237,7 @@ object Pq {
     // display rounding): posexplode's 0-based position IS the code
     // by construction
     val lut = sub
-      .filter(col("vec_id") % LlmSim.QueryMod === 0)
+      .filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("qid"), col("s"),
         posexplode(call_function("graft_pq_lut",
           col("s"), col("sv"), cvsL, bbsL)).as(Seq("pos", "pd")))
@@ -244,6 +253,74 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("qid"), col("vec_id"), col("dist"), col("rank"))
   }
+
+  /** ADC top-k SERVED FROM THE STORED INDEX: queries (their exact
+    * vectors) against the codes table
+    * ([[graft.streaming.StreamingPqEncode]]'s `path/codes`) and the
+    * frozen codebook at `path` — the production query path, where
+    * the corpus exists ONLY as bytes. Same ranking contract as
+    * [[search]]; the corpus side never touches a float vector, so
+    * the scan is the 8-byte-per-vector table regardless of corpus
+    * size. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, path: String,
+      k: Int = PqTopK): DataFrame = {
+    val (cvsL, bbsL) = frozenCodebook(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("s"), col("code"))
+    val lut = subvecs(queries)
+      .select(col("vec_id").as("qid"), col("s"),
+        posexplode(call_function("graft_pq_lut",
+          col("s"), col("sv"), cvsL, bbsL)).as(Seq("pos", "pd")))
+      .select(col("qid"), col("s"), col("pos").cast("long").as("code"),
+        col("pd"))
+    val dists = codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("pd")) / lit(1e9), 6).as("dist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    dists.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rank"))
+  }
+
+  /** Freeze a codebook trained on `bootstrap` to `path/codebook`,
+    * plus the bootstrap corpus's mean reconstruction error to
+    * `path/baseline` — the drift reference [[graft.streaming
+    * .StreamingPqEncode]] compares every later batch against. A PQ
+    * codebook MUST be frozen in production: retraining silently
+    * invalidates every code already stored, so the only sound
+    * evolution is freeze → monitor drift → retrain + re-encode as an
+    * explicit migration. */
+  def freeze(spark: org.apache.spark.sql.SparkSession,
+      bootstrap: DataFrame, path: String,
+      exactFold: Boolean = true): Unit = {
+    codebook(bootstrap, exactFold)
+      .select(col("s"), col("code"), col("cv"), col("cell"))
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    val (cvsL, bbsL) = frozenCodebook(spark, path)
+    assignLocal(subvecs(bootstrap), cvsL, bbsL)
+      .agg(avg(col("l2sq")).as("avg_l2sq"),
+        count(lit(1)).as("n_subvecs"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/baseline")
+  }
+
+  /** The frozen codebook at `path` as literal columns (reads the
+    * ≤ M·2^[[SubCellDims]]-row parquet — negligible at any corpus). */
+  def frozenCodebook(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Column, Column) =
+    localCodebook(spark.read.parquet(s"$path/codebook"))
+
+  /** Encode a batch against a FROZEN codebook — the steady-state
+    * production path (vs [[encode]], which trains from its own
+    * input): map-only, no shuffle, O(batch). */
+  def encodeFrozen(vecs: DataFrame, cvsL: Column,
+      bbsL: Column): DataFrame =
+    assignLocal(subvecs(vecs), cvsL, bbsL)
+      .select(col("vec_id"), col("s"), col("code"), col("l2sq"))
+
 }
 
 /** DuckDB twins of [[Pq]] — same seed cells, same vec_id-ordered
