@@ -752,27 +752,36 @@ object ScaleProbe {
         embAt(kk).write.mode("overwrite").parquet(eDir)
         val d = spark.read.parquet(dDir)
         val e = spark.read.parquet(eDir)
+        // per-ENTRY cache scope: an operator's pins are released
+        // before the next entry times, so entries measure their own
+        // plan rather than the previous entry's memory pressure (the
+        // first 100× run had semdd's pinned frames inflating ivf2)
         def time(name: String)(df: => DataFrame): Unit = {
           val t0 = System.nanoTime()
-          df.write.format("noop").mode("overwrite").save()
+          val ((), release) = CacheScope.collect {
+            df.write.format("noop").mode("overwrite").save()
+          }
+          release()
           if (!silent)
             println(f"sim_$tag%-7s $name%-12s " +
               f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
         }
-        val ((), release) = CacheScope.collect {
-          time("dedup_near")(LlmText.dedupNear(d))
-          time("dedup_ngram")(LlmText.dedupNgram(d))
-          time("simhash")(LlmText.simhash(d))
-          time("dedup_embed")(LlmSim.dedupEmbed(e, cellDims = grown))
-          time("semdd")(
-            LlmSim.semDedup(e, exactFold = false, cellDims = grown))
-          time("ivf2")(LlmSim.knnIvfTrained(e, exactFold = false,
-            cellDims = grown))
-          // PQ: codebook is constant-size (M×16) at ANY corpus — the
-          // ladder should show pure linear scan behavior
-          time("pq_search")(Pq.search(e, exactFold = false))
-        }
-        release()
+        time("dedup_near")(LlmText.dedupNear(d))
+        time("dedup_ngram")(LlmText.dedupNgram(d))
+        time("simhash")(LlmText.simhash(d))
+        time("dedup_embed")(LlmSim.dedupEmbed(e, cellDims = grown))
+        time("semdd")(
+          LlmSim.semDedup(e, exactFold = false, cellDims = grown))
+        time("ivf2")(LlmSim.knnIvfTrained(e, exactFold = false,
+          cellDims = grown))
+        // PQ: codebook is constant-size (M×256) at ANY corpus — the
+        // ladder should show pure linear scan behavior. queryMod is
+        // SCALED so the query set stays fixed (~100) as the corpus
+        // grows: production ADC serves a bounded query workload, and
+        // leaving the fixture's %-convention alone would measure a
+        // Q∝N artifact (Q×N join), not the operator
+        time("pq_search")(Pq.search(e, exactFold = false,
+          queryMod = LlmSim.QueryMod * kk))
         if (!silent)
           println(s"sim_$tag docs=${d.count()} vecs=${e.count()} " +
             s"cellDims=$grown")

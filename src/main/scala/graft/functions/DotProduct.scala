@@ -240,6 +240,22 @@ object GraftFunctions {
         "graft_pq_lut"),
       quaternary("graft_pq_lut(s, sv, cvs, bbs)", PqLut.apply))
 
+  /** `graft_ivf_topn(v, norm, ids, cvs, norms, n)` — fused trained-
+    * quantizer top-n scan ([[IvfTopN]]); codebook arguments must be
+    * literals, `n` a foldable integer literal. */
+  val ivfTopN: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_ivf_topn"),
+      new ExpressionInfo(classOf[IvfTopN].getCanonicalName,
+        "graft_ivf_topn"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 6,
+          "graft_ivf_topn(v, norm, ids, cvs, norms, n) takes exactly " +
+            s"six arguments, got ${exprs.size}")
+        IvfTopN(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4),
+          literalInt("graft_ivf_topn(..., n)", exprs, 5))
+      })
+
   /** `graft_nfc(text)` — Unicode NFC normalization
     * ([[NfcNormalize]]). */
   val nfcNormalize: (FunctionIdentifier, ExpressionInfo,
@@ -278,5 +294,6 @@ object GraftFunctions {
     ext.injectFunction(nfcNormalize)
     ext.injectFunction(pqAssign)
     ext.injectFunction(pqLut)
+    ext.injectFunction(ivfTopN)
   }
 }

@@ -207,7 +207,7 @@ object LlmSim {
   def knnIvfTrained(embeddings: DataFrame,
       exactFold: Boolean = true, nprobe: Int = Nprobe,
       cellDims: Int = IvfDims): DataFrame = {
-    val sims = trainedSims(embeddings, exactFold, cellDims)
+    val sims = trainedSims(embeddings, exactFold, cellDims, n = nprobe)
     val corpus = sims.filter(col("nr") === 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
     val probes = sims
@@ -267,60 +267,86 @@ object LlmSim {
       .select(col("cell").as("cent_id"), col("cv"), col("cnorm"))
   }
 
-  /** Shared trainer+assigner behind [[knnIvfTrained]]: every vector
-    * scored against the ≤16-row broadcast codebook. Returns the pinned
-    * (vec_id, v, norm, cent_id, sim_r, nr) frame where nr ranks a
-    * vector's centroids by round(cosine, 6) desc (nr = 1 is its
-    * cluster assignment). The full ranking costs a (corpus × k) window
-    * shuffle — right for knn's nprobe>1, wasteful when only nr=1 is
-    * needed (see [[assignTrained]]). */
+  /** Collected codebook literals for the fused kernel scan:
+    * cent_id-sorted (ids, cvs, cnorms). BOUNDED at 2^cellDims rows by
+    * construction — the same sanctioned driver-collect class as
+    * [[Pq.localCodebook]] (the FAISS every-worker-holds-the-codebook
+    * shape). */
+  private def localBook(cents: DataFrame): (Column, Column, Column) = {
+    val rows = cents.select(col("cent_id"), col("cv"), col("cnorm"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getAs[scala.collection.Seq[Double]]("cv").toSeq,
+        r.getDouble(2)))
+      .sortBy(_._1)
+    (typedLit(rows.map(_._1).toSeq), typedLit(rows.map(_._2).toSeq),
+      typedLit(rows.map(_._3).toSeq))
+  }
+
+  /** (vec_id, v, norm, cent_id, sim_r, nr ≤ n): each vector's top-n
+    * centroids via the fused native [[graft.functions.IvfTopN]]
+    * kernel — one codegen'd call per corpus row against the literal
+    * codebook, O(corpus) output rows. Ordering is IDENTICAL to a
+    * row_number window over (sim_r DESC, cent_id ASC), which the
+    * kernel-vs-window differential in LlmSpec pins. This replaced a
+    * corpus × cells crossJoin+window (quadratic rows AND pinned
+    * bytes once cellDims obeys the k ∝ corpus rule — the simscale
+    * probe measured knnIvfTrained at 129 s on 10× and
+    * non-terminating at 100×) and an interpreted per-row HOF fold
+    * (256 lambda closures + BigDecimal rounds per vector). */
+  private def topNFrame(embeddings: DataFrame, exactFold: Boolean,
+      cellDims: Int, n: Int): DataFrame = {
+    val e = withVec(embeddings)
+      .withColumn("cell", cell(col("v"), cellDims))
+    val (ids, cvs, norms) = localBook(codebook(e, exactFold))
+    e.select(col("vec_id"), col("v"), col("norm"),
+        posexplode(call_function("graft_ivf_topn",
+          col("v"), col("norm"), ids, cvs, norms, lit(n)))
+          .as(Seq("nr0", "tc")))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tc.cent_id").as("cent_id"), col("tc.sim_r").as("sim_r"),
+        (col("nr0") + 1).as("nr"))
+  }
+
+  /** Shared trainer+assigner behind [[knnIvfTrained]]: the pinned
+    * top-`n` frame of [[topNFrame]] — consumed by BOTH the corpus
+    * (nr=1) and probe (nr ≤ nprobe) branches, so it persists as the
+    * materialized inverted index of a production deployment.
+    * Re-invocations build an identical plan, which the CacheManager
+    * dedups against the existing blocks. */
   private[graft] def trainedSims(embeddings: DataFrame,
+      exactFold: Boolean, cellDims: Int = IvfDims,
+      n: Int = Nprobe): DataFrame =
+    CacheScope.pin(topNFrame(embeddings, exactFold, cellDims, n))
+
+  /** Window-ranking REFERENCE of [[trainedSims]] (corpus × cells rows
+    * through a shuffle) — retained ONLY for the differential spec
+    * that pins the fused kernel to the ranking it replaced; not on
+    * any production path. */
+  private[graft] def trainedSimsWindow(embeddings: DataFrame,
       exactFold: Boolean, cellDims: Int = IvfDims): DataFrame = {
     val e = withVec(embeddings)
       .withColumn("cell", cell(col("v"), cellDims))
     val cents = codebook(e, exactFold)
     val simw = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim_r").desc, col("cent_id"))
-    // consumed by BOTH the corpus (nr=1) and probe (nr<=Nprobe)
-    // branches; persist so the corpus is scanned and assigned once —
-    // the materialized inverted index of a production deployment.
-    // Re-invocations build an identical plan, which the CacheManager
-    // dedups against the existing blocks.
-    CacheScope.pin(e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("sim_r",
         round(dot(col("v"), col("cv")) / (col("norm") * col("cnorm")), 6))
-      .withColumn("nr", row_number().over(simw)))
+      .withColumn("nr", row_number().over(simw))
   }
 
-  /** Cluster assignment ONLY — the argmax of [[trainedSims]] computed
-    * entirely map-side: the codebook collapses to a single broadcast
-    * row holding the cent_id-sorted centroid array, and each vector
-    * folds over it picking the best round(cosine, 6) (ties → first =
-    * smallest cent_id, identical to the window's (sim_r desc, cent_id)
-    * order). No (corpus × k) row blowup, no array-carrying shuffle —
-    * the assignment stage stays O(corpus) rows regardless of k, which
-    * is what lets [[semDedup]]'s codebook grow with the corpus. */
+  /** Cluster assignment ONLY — [[topNFrame]] at n=1 (map-side fused
+    * scan, no pin: callers pin if they reuse it). Ties → smallest
+    * cent_id, identical to the window's (sim_r desc, cent_id)
+    * order. The assignment stage stays O(corpus) rows regardless of
+    * the cell count, which is what lets [[semDedup]]'s codebook grow
+    * with the corpus. */
   private[graft] def assignTrained(embeddings: DataFrame,
-      exactFold: Boolean, cellDims: Int): DataFrame = {
-    val e = withVec(embeddings)
-      .withColumn("cell", cell(col("v"), cellDims))
-    val book = codebook(e, exactFold)
-      .agg(array_sort(collect_list(
-        struct(col("cent_id"), col("cv"), col("cnorm")))).as("bk"))
-    e.crossJoin(broadcast(book))
-      .withColumn("best", aggregate(
-        col("bk"),
-        struct(lit("").as("cent_id"), lit(-2.0).as("sim_r")),
-        (acc, c) => {
-          val s = round(dot(col("v"), c("cv")) /
-            (col("norm") * c("cnorm")), 6)
-          when(s > acc("sim_r"),
-            struct(c("cent_id").as("cent_id"), s.as("sim_r")))
-            .otherwise(acc)
-        }))
+      exactFold: Boolean, cellDims: Int): DataFrame =
+    topNFrame(embeddings, exactFold, cellDims, n = 1)
       .select(col("vec_id"), col("v"), col("norm"),
-        col("best.cent_id").as("cent_id"), col("best.sim_r").as("sim_r"))
-  }
+        col("cent_id"), col("sim_r"))
 
   /** Same synthetic-corpus calibration rationale as
     * [[EmbedDupThreshold]]; production corpora use ~0.99+. */

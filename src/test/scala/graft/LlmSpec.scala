@@ -438,22 +438,30 @@ class LlmSpec extends GraftSuite {
     assert(out.filterNot(_._4).map(_._1).toSet == expectedDropped)
   }
 
-  test("map-side argmax assignment equals the window ranking, grown dims") {
+  test("fused kernel top-n equals the window ranking, grown dims") {
     // the gate exercises cellDims=4 only; the ScaleProbe scale claim
-    // rests on grown codebooks, so pin fold ≡ window at a larger k too
+    // rests on grown codebooks, so pin kernel ≡ window at a larger k
+    // too — full top-Nprobe ranking AND the nr=1 assignment slice
     val emb = graft.sources.Tables
       .embeddings(spark, "/root/testdata/sf0.01")
     for (dims <- Seq(LlmSim.IvfDims, 6)) {
-      val viaWindow = LlmSim
-        .trainedSims(emb, exactFold = false, cellDims = dims)
-        .filter(col("nr") === 1)
-        .select("vec_id", "cent_id", "sim_r").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-      val viaFold = LlmSim
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cent_id", "sim_r", "nr").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+            r.getInt(3))).toSet
+      val viaWindow = rows(LlmSim
+        .trainedSimsWindow(emb, exactFold = false, cellDims = dims)
+        .filter(col("nr") <= LlmSim.Nprobe))
+      val viaKernel = rows(LlmSim
+        .trainedSims(emb, exactFold = false, cellDims = dims))
+      assert(viaKernel == viaWindow, s"cellDims=$dims")
+      val assignKernel = LlmSim
         .assignTrained(emb, exactFold = false, cellDims = dims)
         .select("vec_id", "cent_id", "sim_r").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-      assert(viaFold == viaWindow, s"cellDims=$dims")
+      val assignWindow = viaWindow.filter(_._4 == 1)
+        .map(t => (t._1, t._2, t._3))
+      assert(assignKernel == assignWindow, s"cellDims=$dims nr=1")
     }
   }
 
