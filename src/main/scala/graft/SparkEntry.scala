@@ -66,6 +66,7 @@ object SparkEntry {
     "llm_knn",
     "llm_knn_ivf2",
     "llm_pq_search",
+    "llm_ivfpq_search",
     "llm_semdedup",
     "llm_textstats",
     "llm_contamination",

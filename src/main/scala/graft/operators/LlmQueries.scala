@@ -62,6 +62,7 @@ object LlmQueries {
     "llm_ann_recall" -> ((s, d) => LlmSim.annRecall(embs(s, d))),
     "llm_pq_encode" -> ((s, d) => Pq.encode(embs(s, d))),
     "llm_pq_search" -> ((s, d) => Pq.search(embs(s, d))),
+    "llm_ivfpq_search" -> ((s, d) => Pq.searchIvf(embs(s, d))),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     "llm_contamination_embed" ->
       ((s, d) => LlmSim.contaminationEmbed(embs(s, d))),
@@ -143,6 +144,7 @@ object LlmQueries {
     "llm_ann_recall" -> LlmSimSql.annRecallSql,
     "llm_pq_encode" -> PqSql.encodeSql,
     "llm_pq_search" -> PqSql.searchSql,
+    "llm_ivfpq_search" -> PqSql.searchIvfSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     "llm_contamination_embed" -> LlmSimSql.contaminationEmbedSql,
     "llm_semdedup" -> LlmSimSql.semDedupSql,

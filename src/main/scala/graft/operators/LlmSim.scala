@@ -619,8 +619,11 @@ object LlmSimSql {
 
   /** Shared trainer+assigner CTE chain — twin of
     * [[LlmSim.trainedSims]]: same seed cells, same vec_id-ordered
-    * centroid fold, same round(·,6)+cent_id assignment ranking. */
-  private val trainedCtes =
+    * centroid fold, same round(·,6)+cent_id assignment ranking.
+    * `private[operators]` so [[PqSql.searchIvfSql]] can compose the
+    * coarse-quantizer half of IVF-PQ from the SAME chain the IVF
+    * oracles use. */
+  private[operators] val trainedCtes =
     s"""$eCte,
     ec AS (SELECT *, $cellExpr AS cell FROM e),
     dims AS (SELECT cell, vec_id, t.i AS pos, v[t.i] AS x

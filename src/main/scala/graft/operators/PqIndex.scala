@@ -285,6 +285,57 @@ object Pq {
       .select(col("qid"), col("vec_id"), col("dist"), col("rank"))
   }
 
+  /** IVF-PQ: coarse-cell PRUNING composed with compressed ADC
+    * SCORING — the serving shape of every billion-scale vector index
+    * (FAISS IndexIVFPQ): [[LlmSim.knnIvfTrained]]'s trained coarse
+    * quantizer restricts each query to its top-`nprobe` cells'
+    * members, and within them distances come from the PQ byte codes
+    * through the query's LUT — so at 100 TB the per-query work is
+    * (corpus/cells)·nprobe CODE rows, never a float-vector scan.
+    * (This is the non-residual variant: codes quantize the full
+    * normalized vector, trading a little accuracy for sharing ONE
+    * codebook between the full-ADC [[search]] and this pruned path —
+    * a candidate's dist here EQUALS its [[search]] dist, which the
+    * spec pins.)
+    *
+    * Output: (qid, vec_id, dist, rank ≤ k), rank over the probed
+    * candidates only — recall vs [[search]] is the nprobe knob, and
+    * [[LlmSim.annRecall]]'s pattern measures it. */
+  def searchIvf(embeddings: DataFrame, exactFold: Boolean = true,
+      k: Int = PqTopK, nprobe: Int = LlmSim.Nprobe,
+      cellDims: Int = LlmSim.IvfDims,
+      queryMod: Int = LlmSim.QueryMod): DataFrame = {
+    val sims = LlmSim.trainedSims(embeddings, exactFold, cellDims,
+      n = nprobe)
+    val corpusCells = sims.filter(col("nr") === 1)
+      .select(col("vec_id"), col("cent_id"))
+    val probeCells = sims
+      .filter(col("vec_id") % queryMod === 0 && col("nr") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cent_id"))
+    val (cvsL, bbsL) = localCodebook(codebook(embeddings, exactFold))
+    val sub = CacheScope.pin(subvecs(embeddings))
+    val codes = assignLocal(sub, cvsL, bbsL)
+      .select(col("vec_id"), col("s"), col("code"))
+      .join(corpusCells, Seq("vec_id"))
+    val lut = sub
+      .filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("s"),
+        posexplode(call_function("graft_pq_lut",
+          col("s"), col("sv"), cvsL, bbsL)).as(Seq("pos", "pd")))
+      .select(col("qid"), col("s"), col("pos").cast("long").as("code"),
+        col("pd"))
+      .join(probeCells, Seq("qid"))
+    val dists = codes.join(broadcast(lut), Seq("cent_id", "s", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("pd")) / lit(1e9), 6).as("dist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    dists.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rank"))
+  }
+
   /** Freeze a codebook trained on `bootstrap` to `path/codebook`,
     * plus the bootstrap corpus's mean reconstruction error to
     * `path/baseline` — the drift reference [[graft.streaming
@@ -345,44 +396,49 @@ object PqSql {
     s"CASE WHEN sv[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   /** Shared CTE chain: subvectors → seed cells → exact-fold codebook →
-    * nearest-code assignment (twin of [[Pq.encode]]'s plan). */
-  private val codesCtes =
-    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
+    * nearest-code assignment (twin of [[Pq.encode]]'s plan). CTE
+    * names take prefix `p` so [[searchIvfSql]] can compose this chain
+    * next to [[LlmSimSql.trainedCtes]] (which owns the bare `e`,
+    * `dims`, `sums` names) without collisions; the standalone twins
+    * use the empty prefix, leaving their SQL unchanged. */
+  private def codesCtes(p: String): String =
+    s"""${p}e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0,
        sqrt(${dot("CAST(embedding AS DOUBLE[])",
       "CAST(embedding AS DOUBLE[])")}) AS nrm
        FROM embeddings),
-    e AS (SELECT vec_id,
+    ${p}e AS (SELECT vec_id,
       CASE WHEN nrm > 0 THEN list_transform(v0, x -> x / nrm)
            ELSE v0 END AS v
-      FROM e0),
-    sub AS (SELECT vec_id, t.s AS s,
+      FROM ${p}e0),
+    ${p}sub AS (SELECT vec_id, t.s AS s,
       v[(t.s * $SubDim + 1):(t.s * $SubDim + $SubDim)] AS sv
-      FROM e CROSS JOIN generate_series(0, ${M - 1}) AS t(s)),
-    subc AS (SELECT *, $subCellExpr AS cell FROM sub),
-    dims AS (SELECT s, cell, vec_id, t.i AS pos, sv[t.i] AS x
-      FROM subc CROSS JOIN generate_series(1, $SubDim) AS t(i)),
-    sums AS (SELECT s, cell, pos,
+      FROM ${p}e CROSS JOIN generate_series(0, ${M - 1}) AS t(s)),
+    ${p}subc AS (SELECT *, $subCellExpr AS cell FROM ${p}sub),
+    ${p}dims AS (SELECT s, cell, vec_id, t.i AS pos, sv[t.i] AS x
+      FROM ${p}subc CROSS JOIN generate_series(1, $SubDim) AS t(i)),
+    ${p}sums AS (SELECT s, cell, pos,
       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         list(x ORDER BY vec_id)), (acc, y) -> acc + y) AS sm,
       count(*) AS n
-      FROM dims GROUP BY s, cell, pos),
-    cb0 AS (SELECT s, cell, list(sm / n ORDER BY pos) AS cv
-      FROM sums GROUP BY s, cell),
-    cb AS (SELECT s, cell, cv,
+      FROM ${p}dims GROUP BY s, cell, pos),
+    ${p}cb0 AS (SELECT s, cell, list(sm / n ORDER BY pos) AS cv
+      FROM ${p}sums GROUP BY s, cell),
+    ${p}cb AS (SELECT s, cell, cv,
       CAST(row_number() OVER (PARTITION BY s ORDER BY cell) - 1
         AS BIGINT) AS code
-      FROM cb0),
-    asg0 AS (SELECT subc.vec_id, subc.s, cb.code,
-      round(${l2sq("subc.sv", "cb.cv")}, 6) AS l2sq
-      FROM subc JOIN cb ON subc.s = cb.s),
-    asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      FROM ${p}cb0),
+    ${p}asg0 AS (SELECT ${p}subc.vec_id, ${p}subc.s, ${p}cb.code,
+      round(${l2sq(s"${p}subc.sv", s"${p}cb.cv")}, 6) AS l2sq
+      FROM ${p}subc JOIN ${p}cb ON ${p}subc.s = ${p}cb.s),
+    ${p}asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
         ORDER BY l2sq ASC, code ASC) AS rn
-      FROM asg0),
-    codes AS (SELECT vec_id, s, code, l2sq FROM asg WHERE rn = 1)"""
+      FROM ${p}asg0),
+    ${p}codes AS (SELECT vec_id, s, code, l2sq FROM ${p}asg
+      WHERE rn = 1)"""
 
   /** Twin of [[Pq.encode]]. */
   val encodeSql: String =
-    s"""WITH $codesCtes
+    s"""WITH ${codesCtes("")}
     SELECT vec_id, s, code, l2sq FROM codes"""
 
   /** Twin of [[Pq.search]] — the integer-scaled partials make the
@@ -390,7 +446,7 @@ object PqSql {
     * bit-for-bit (DuckDB's BIGINT sum widens to HUGEINT; the /1e9
     * division casts back to DOUBLE on both engines). */
   val searchSql: String =
-    s"""WITH $codesCtes,
+    s"""WITH ${codesCtes("")},
     lut AS (SELECT subc.vec_id AS qid, subc.s, cb.code,
       CAST(round((${l2sq("subc.sv", "cb.cv")}) * 1e9, 0) AS BIGINT)
         AS pd
@@ -399,6 +455,41 @@ object PqSql {
     terms AS (SELECT lut.qid, codes.vec_id, codes.s, lut.pd
       FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
       WHERE codes.vec_id <> lut.qid),
+    dists AS (SELECT qid, vec_id,
+      round(sum(pd) / 1e9, 6) AS dist
+      FROM terms GROUP BY qid, vec_id),
+    rk AS (SELECT qid, vec_id, dist,
+      CAST(row_number() OVER (PARTITION BY qid
+        ORDER BY dist ASC, vec_id ASC) AS BIGINT) AS rank
+      FROM dists)
+    SELECT qid, vec_id, dist, rank FROM rk WHERE rank <= $PqTopK"""
+
+  /** Twin of [[Pq.searchIvf]]: [[LlmSimSql.trainedCtes]] supplies the
+    * coarse assignment/probe cells (bare CTE names), the pq-prefixed
+    * [[codesCtes]] the byte codes and LUT; candidates join on
+    * (cent_id, s, code). */
+  val searchIvfSql: String =
+    s"""WITH ${LlmSimSql.trainedCtes},
+    ${codesCtes("pq")},
+    corpus_cell AS (SELECT vec_id, cent_id FROM sims WHERE nr = 1),
+    probe_cell AS (SELECT vec_id AS qid, cent_id FROM sims
+      WHERE vec_id % ${LlmSim.QueryMod} = 0
+        AND nr <= ${LlmSim.Nprobe}),
+    lut0 AS (SELECT pqsubc.vec_id AS qid, pqsubc.s, pqcb.code,
+      CAST(round((${l2sq("pqsubc.sv", "pqcb.cv")}) * 1e9, 0) AS BIGINT)
+        AS pd
+      FROM pqsubc JOIN pqcb ON pqsubc.s = pqcb.s
+      WHERE pqsubc.vec_id % ${LlmSim.QueryMod} = 0),
+    lut AS (SELECT lut0.qid, probe_cell.cent_id, lut0.s, lut0.code,
+      lut0.pd
+      FROM lut0 JOIN probe_cell USING (qid)),
+    cand AS (SELECT pqcodes.vec_id, corpus_cell.cent_id, pqcodes.s,
+      pqcodes.code
+      FROM pqcodes JOIN corpus_cell USING (vec_id)),
+    terms AS (SELECT lut.qid, cand.vec_id, cand.s, lut.pd
+      FROM cand JOIN lut ON cand.cent_id = lut.cent_id
+        AND cand.s = lut.s AND cand.code = lut.code
+      WHERE cand.vec_id <> lut.qid),
     dists AS (SELECT qid, vec_id,
       round(sum(pd) / 1e9, 6) AS dist
       FROM terms GROUP BY qid, vec_id),

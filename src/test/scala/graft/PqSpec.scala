@@ -133,6 +133,44 @@ class PqSpec extends GraftSuite {
     }
   }
 
+  test("searchIvf: candidates come only from probed cells, distances " +
+      "equal the full ADC search, ranks well-formed") {
+    val out = Pq.searchIvf(embs).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val dists = sorted.map(_.getAs[Double]("dist"))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    }
+    // pruning: every returned pair shares one of the query's probed
+    // cells with the candidate's assigned cell
+    val sims = LlmSim.trainedSims(embs, exactFold = true)
+    val corpusCell = sims.filter(col("nr") === 1)
+      .select("vec_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val probed = sims.filter(col("nr") <= LlmSim.Nprobe)
+      .select("vec_id", "cent_id").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      val cand = r.getAs[Long]("vec_id")
+      assert(probed(qid).contains(corpusCell(cand)),
+        s"pair ($qid, $cand) crosses an unprobed cell")
+    }
+    // compressed-distance parity: a candidate's IVF-PQ dist equals
+    // its full-ADC dist (same codes, same LUT)
+    val full = Pq.search(embs, k = Int.MaxValue)
+      .select(col("qid"), col("vec_id"), col("dist").as("dist_full"))
+    val joined = Pq.searchIvf(embs)
+      .join(full, Seq("qid", "vec_id")).collect()
+    assert(joined.length == out.length)
+    joined.foreach(r => assert(
+      r.getAs[Double]("dist") == r.getAs[Double]("dist_full")))
+  }
+
   test("annRecall: one row per query, n_hits consistent with a " +
       "direct intersection, recall in [0,1]") {
     val out = LlmSim.annRecall(embs).collect()
