@@ -171,6 +171,42 @@ class PqSpec extends GraftSuite {
       r.getAs[Double]("dist") == r.getAs[Double]("dist_full")))
   }
 
+  test("kernel edges: null inputs propagate, unsorted codebook ids " +
+      "are rejected, n beyond the cell count truncates") {
+    import org.apache.spark.sql.functions.{typedLit, lit => flit}
+    val ids = typedLit(Seq("a", "b"))
+    val cvs = typedLit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val nrm = typedLit(Seq(1.0, 1.0))
+    val base = Seq((1L, Seq(1.0, 0.0), 1.0))
+      .toDF("vec_id", "v", "norm")
+    // n > cells: both centroids returned, ranked
+    val both = base.select(call_function("graft_ivf_topn",
+        col("v"), col("norm"), ids, cvs, nrm, flit(5)).as("t"))
+      .selectExpr("inline(t)").collect()
+    assert(both.map(r =>
+      (r.getAs[String]("cent_id"), r.getAs[Double]("sim_r"))).toSeq ==
+      Seq(("a", 1.0), ("b", 0.0)))
+    // null vector → null result
+    val nullV = base.select(call_function("graft_ivf_topn",
+      typedLit[Seq[Double]](null), col("norm"), ids, cvs, nrm,
+      flit(1)).as("t")).collect()
+    assert(nullV.head.isNullAt(0))
+    // unsorted codebook ids must be rejected loudly, not mis-ranked
+    val bad = intercept[Exception] {
+      base.select(call_function("graft_ivf_topn", col("v"),
+        col("norm"), typedLit(Seq("b", "a")), cvs, nrm, flit(1)))
+        .collect()
+    }
+    assert(bad.getMessage != null)
+    // PQ assign: null subvector → null struct
+    val (cvsL, bbsL) = Pq.localCodebook(Pq.codebook(twoClusterFixture))
+    val nullSv = Seq((0L, null.asInstanceOf[Seq[Double]]))
+      .toDF("s", "sv")
+      .select(call_function("graft_pq_assign",
+        col("s"), col("sv"), cvsL, bbsL).as("m")).collect()
+    assert(nullSv.head.isNullAt(0))
+  }
+
   test("annRecall: one row per query, n_hits consistent with a " +
       "direct intersection, recall in [0,1]") {
     val out = LlmSim.annRecall(embs).collect()
