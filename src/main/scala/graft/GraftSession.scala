@@ -22,6 +22,20 @@ object GraftSession {
       .withExtensions(graft.functions.GraftFunctions.install)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // NOTE on AQE initialPartitionNum (tried in round 17, measured,
+      // REVERTED — keep it out): raising the initial exchange width
+      // above spark.sql.shuffle.partitions makes every join
+      // requirement ask for the raised width, which no explicitly
+      // pre-partitioned PINNED frame matches (PageRank pins edges at
+      // min(scan width, shuffle partitions) by design) — so the
+      // engine re-exchanges cached edges/nodes EVERY iteration,
+      // exactly the per-round shuffle the pin contract exists to
+      // prevent (PageRankSpec's plan-shape test caught it). It also
+      // bought nothing measurable for the one stage it was aimed at
+      // (dedupNgram candidates: 176 → 161 s at the 100× probe rung,
+      // inside host noise). Deployment-scale partition sizing belongs
+      // in spark.sql.shuffle.partitions itself, which every pinned
+      // repartition in this codebase follows by construction.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.fs.file.impl",

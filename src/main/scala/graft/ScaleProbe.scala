@@ -28,7 +28,8 @@ object ScaleProbe {
     val knownSections =
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
         "curation", "layout", "analytics", "pagerank", "dfcap", "resolve",
-        "ganttprof", "cooccur", "basketcap", "simscale")
+        "ganttprof", "cooccur", "basketcap", "simscale", "recall",
+        "ngramstage", "embpqstage")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -723,26 +724,56 @@ object ScaleProbe {
     // and the hash-signed flips keep the quantizer cells uniform
     // (a constant shift would drift every dim positive by copy 30
     // and collapse the codebook onto one cell).
+    // grown-corpus builders shared by simscale and ngramstage (content
+    // decorrelated per copy — see the simscale comment above)
+    def docsAt(kk: Int): DataFrame =
+      if (kk == 1) docBase
+      else (0 until kk).map(i => docBase
+          .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
+          .withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"c${i}_" + "$1")))
+        .reduce(_ unionByName _)
+
+    def embAt(kk: Int): DataFrame =
+      if (kk == 1) embBase
+      else (0 until kk).map { i =>
+        if (i == 0) embBase
+        else embBase
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+          .withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              x + when(pmod(hash(lit(i), j), lit(2)) === 0, lit(0.35f))
+                .otherwise(lit(-0.35f))))
+      }.reduce(_ unionByName _)
+
+    // Per-VECTOR decorrelated growth (vec_id joins the perturbation
+    // hash): [[embAt]]'s perturbation depends only on (copy, dim), so
+    // every vector of a copy shares ONE offset whose norm (≈ 2.8)
+    // dwarfs the base vector — each copy is a tight cluster with
+    // within-copy pairwise cosine ≈ 0.8, i.e. the grown corpus is
+    // DUP-SATURATED (measured at 100×: 98.4% of the 197M within-cell
+    // candidate pairs are genuine ≥-threshold near-dups). That regime
+    // is the right stress for index/search entries (cells stay
+    // uniform) but the WRONG one for pair-level dedup economics: a
+    // real mostly-unique corpus is dup-RARE, where a candidate
+    // prefilter earns its keep. This variant perturbs per vector —
+    // within-copy pairs become noise-like and near-dups stay rare —
+    // mirroring the doc ladder's new-content-per-copy principle. */
+    def embAtUnique(kk: Int): DataFrame =
+      if (kk == 1) embBase
+      else (0 until kk).map { i =>
+        if (i == 0) embBase
+        else embBase
+          .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
+          .withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              x + when(
+                pmod(hash(lit(i), j, col("vec_id")), lit(2)) === 0,
+                lit(0.35f)).otherwise(lit(-0.35f))))
+      }.reduce(_ unionByName _)
+
     if (sections("simscale")) {
       val rungs = Seq(1, 10, k).distinct.sorted.filter(_ <= k)
-      def docsAt(kk: Int): DataFrame =
-        if (kk == 1) docBase
-        else (0 until kk).map(i => docBase
-            .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L))
-            .withColumn("text",
-              regexp_replace(col("text"), "(\\S+)", s"c${i}_" + "$1")))
-          .reduce(_ unionByName _)
-      def embAt(kk: Int): DataFrame =
-        if (kk == 1) embBase
-        else (0 until kk).map { i =>
-          if (i == 0) embBase
-          else embBase
-            .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L))
-            .withColumn("embedding",
-              transform(col("embedding"), (x, j) =>
-                x + when(pmod(hash(lit(i), j), lit(2)) === 0, lit(0.35f))
-                  .otherwise(lit(-0.35f))))
-        }.reduce(_ unionByName _)
       def runSim(tag: String, kk: Int, silent: Boolean = false): Unit = {
         val grown = LlmSim.IvfDims +
           math.ceil(math.log(kk.toDouble) / math.log(2)).toInt
@@ -770,6 +801,10 @@ object ScaleProbe {
         time("dedup_ngram")(LlmText.dedupNgram(d))
         time("simhash")(LlmText.simhash(d))
         time("dedup_embed")(LlmSim.dedupEmbed(e, cellDims = grown))
+        // NOTE: this frame's grown copies are DUP-SATURATED (see
+        // embAtUnique's comment) — fine for index/search entries, the
+        // wrong regime for prefilter economics; dedupEmbedPq is
+        // measured against both regimes in the embpqstage section.
         time("semdd")(
           LlmSim.semDedup(e, exactFold = false, cellDims = grown))
         time("ivf2")(LlmSim.knnIvfTrained(e, exactFold = false,
@@ -788,6 +823,176 @@ object ScaleProbe {
       }
       runSim("warm", 1, silent = true)
       rungs.foreach(kk => runSim(s"${kk}x", kk))
+    }
+
+    // ANN recall/cost frontier (VERDICT r16 #8): annRecall across
+    // nprobe × cellDims on the sf fixture — the tuning table a 100-TB
+    // operator consults instead of guessing an nprobe. The exact side
+    // is bounded (queries only), so the sweep's cost is dominated by
+    // the IVF side it is grading. exactFold = false (the production
+    // trainer); recall is the mean over queries at k = IvfTopK.
+    if (sections("recall")) {
+      for (dims <- Seq(4, 6, 8); np <- Seq(1, 2, 4, 8)) {
+        val t0 = System.nanoTime()
+        val ((n, mean), release) = CacheScope.collect {
+          val r = LlmSim.annRecall(embBase, k = LlmSim.IvfTopK,
+            nprobe = np, cellDims = dims, exactFold = false)
+            .agg(count(lit(1)).as("n"), avg(col("recall")).as("m"))
+            .head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        release()
+        println(f"recall dims=$dims%-2d np=$np%-2d queries=$n%6d " +
+          f"recall@${LlmSim.IvfTopK}=$mean%.4f " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+
+    // Stage attribution for dedupEmbedPq (margin mode) at K× — same
+    // restated-stages idiom as ngramstage: codebook train+collect,
+    // packing, pair volume, prefilter keep rate, survivor fetch.
+    if (sections("embpqstage")) {
+      val grown = LlmSim.IvfDims +
+        math.ceil(math.log(k.toDouble) / math.log(2)).toInt
+      def t[A](name: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"embpqstage $name%-12s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      // Both growth regimes, cold, for the baseline-vs-prefilter
+      // economics: `sat` = dup-saturated (embAt — ~98% of candidates
+      // are true dups, so EVERY method must fetch floats for nearly
+      // every pair and a prefilter can only lose); `uniq` = dup-rare
+      // (embAtUnique — the realistic regime, where the prefilter's
+      // keep-rate is the whole game).
+      for ((tag, frame) <- Seq("sat" -> embAt(k),
+          "uniq" -> embAtUnique(k))) {
+        val dir = s"/tmp/graft_scale_embpq_$tag"
+        frame.write.mode("overwrite").parquet(dir)
+        val emT = spark.read.parquet(dir)
+        val ((), rel) = CacheScope.collect {
+          t(s"base_cold_$tag")(LlmSim.dedupEmbed(emT, cellDims = grown)
+            .write.format("noop").mode("overwrite").save())
+          // DELIBERATE CAP, not a silent one: pqm on the saturated
+          // frame is the measured known-pathology (98.4% keep → the
+          // prefilter only adds work; 785 s at 100×, ~100 GB of
+          // pair-frame spill that filled this host's disk) — the
+          // number is on record in COVERAGE; re-measuring it every
+          // probe run buys nothing.
+          if (tag != "sat")
+            t(s"pqm_cold_$tag")(LlmSim.dedupEmbedPq(emT, grown,
+                exactBound = false)
+              .write.format("noop").mode("overwrite").save())
+        }
+        rel()
+      }
+      val em = spark.read.parquet("/tmp/graft_scale_embpq_uniq")
+      val ((), release) = CacheScope.collect {
+        val (cvsL, bbsL) = t("codebook")(
+          Pq.localCodebook(Pq.codebook(em, exactFold = false)))
+        val e = CacheScope.pin(LlmSim.cellRows(em, grown))
+        t("cells_pin")(e.write.format("noop").mode("overwrite").save())
+        val vn = when(col("norm") > 0,
+          transform(col("v"), x => x / col("norm"))).otherwise(col("v"))
+        val codes = CacheScope.pin(Pq
+          .withPacked(e.withColumn("vn", vn), col("vn"), cvsL, bbsL)
+          .select(col("vec_id"), col("cell"), col("packed"), col("err")))
+        t("pack_pin")(
+          codes.write.format("noop").mode("overwrite").save())
+        val aSide = codes.select(col("cell"), col("vec_id").as("id_a"),
+          col("packed").as("pa"), col("err").as("ea"))
+        val bSide = codes.select(col("cell"), col("vec_id").as("id_b"),
+          col("packed").as("pb"), col("err").as("eb"))
+        val pairs = aSide.join(bSide, Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+        t("pairs")(println(s"embpqstage n_pairs=${pairs.count()}"))
+        val sdcSq = call_function("graft_sdc", col("pa"), col("pb"),
+          cvsL, bbsL)
+        val cand = pairs.filter(
+          lit(1.0) - (sdcSq + col("ea") * col("ea") +
+            col("eb") * col("eb")) / 2 >=
+            lit(LlmSim.EmbedDupThreshold - 0.2))
+          .select(col("id_a"), col("id_b"))
+        t("prefilter")(println(s"embpqstage n_kept=${cand.count()}"))
+        t("fetch_verify")(cand
+          .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+            col("norm").as("na")), Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+            col("norm").as("nb")), Seq("id_b"))
+          .withColumn("cosine",
+            round(call_function("graft_dot", col("va"), col("vb")) /
+              (col("na") * col("nb")), 6))
+          .filter(col("cosine") >= LlmSim.EmbedDupThreshold)
+          .write.format("noop").mode("overwrite").save())
+        t("full")(LlmSim.dedupEmbedPq(em, grown, exactBound = false)
+          .write.format("noop").mode("overwrite").save())
+      }
+      release()
+    }
+
+    // Stage attribution for dedupNgram at K× — the ladder times the
+    // operator end-to-end; this splits pin-build / candidates /
+    // verify so a superlinear rung is DIAGNOSED, not guessed
+    // (each stage timed over pinned inputs, so it measures itself).
+    if (sections("ngramstage")) {
+      val dir = "/tmp/graft_scale_ngramstage"
+      docsAt(k).write.mode("overwrite").parquet(dir)
+      val d = spark.read.parquet(dir)
+      def t[A](name: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        println(f"ngramstage $name%-14s " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        r
+      }
+      // the operator end-to-end, COLD (own cache scope, nothing shared
+      // with the decomposition below) — this is the ladder's number
+      val ((), releaseCold) = CacheScope.collect {
+        t("full_cold")(LlmText.dedupNgram(d)
+          .write.format("noop").mode("overwrite").save())
+      }
+      releaseCold()
+      val ((), release) = CacheScope.collect {
+        val sh = CacheScope.pin(LlmText.shingles(d))
+        t("shingles_pin")(
+          sh.write.format("noop").mode("overwrite").save())
+        val hsh = CacheScope.pin(LlmText.hashedShingles(sh))
+        t("hashed_pin")(
+          hsh.write.format("noop").mode("overwrite").save())
+        // the candidate stage decomposed (same expressions as
+        // ngramCandidates, restated so each exchange times alone)
+        val posting = sh
+          .select(col("doc_id"), explode(col("shingles")).as("g0"))
+          .select(col("doc_id"), xxhash64(col("g0")).as("gram"))
+        t("post_explode")(
+          println(s"ngramstage n_postings=${posting.count()}"))
+        val rare = CacheScope.pin(posting
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("gram"))))
+          .filter(col("df") <= LlmText.NgramDfCap)
+          .select(col("doc_id"), col("gram")))
+        t("df_window_pin")(
+          rare.write.format("noop").mode("overwrite").save())
+        val pre = rare.as("x").join(rare.as("y"),
+            col("x.gram") === col("y.gram") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        t("pair_join")(
+          println(s"ngramstage n_prepairs=${pre.count()}"))
+        t("pair_agg")(println("ngramstage n_agg=" +
+          pre.groupBy(col("id_a"), col("id_b"))
+            .agg(count(lit(1)).as("shared")).count()))
+        val cand = CacheScope.pin(LlmText.ngramCandidates(sh))
+        t("candidates")(println(s"ngramstage n_cand=${cand.count()}"))
+        t("verify_only")(LlmText.verifyJaccard(cand, hsh)
+          .write.format("noop").mode("overwrite").save())
+        t("full_replay")(LlmText.dedupNgram(d)
+          .write.format("noop").mode("overwrite").save())
+      }
+      release()
     }
 
     // PageRank at K× edges (VERDICT r12 #4): the per-round cost is

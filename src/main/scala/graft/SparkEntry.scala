@@ -67,6 +67,10 @@ object SparkEntry {
     "llm_knn_ivf2",
     "llm_pq_search",
     "llm_ivfpq_search",
+    // production-path twins: exactFold=false — the deployment plan,
+    // free of the oracle's vec_id-ordered training fold
+    "llm_pq_search_prod",
+    "llm_ivfpq_search_prod",
     "llm_semdedup",
     "llm_textstats",
     "llm_contamination",

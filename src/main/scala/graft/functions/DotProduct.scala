@@ -240,6 +240,14 @@ object GraftFunctions {
         "graft_pq_lut"),
       quaternary("graft_pq_lut(s, sv, cvs, bbs)", PqLut.apply))
 
+  /** `graft_sdc(pa, pb, cvs, bbs)` — symmetric compressed distance of
+    * two packed PQ code words ([[PqSdc]]). */
+  val pqSdc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_sdc"),
+      new ExpressionInfo(classOf[PqSdc].getCanonicalName, "graft_sdc"),
+      quaternary("graft_sdc(pa, pb, cvs, bbs)", PqSdc.apply))
+
   /** `graft_ivf_topn(v, norm, ids, cvs, norms, n)` — fused trained-
     * quantizer top-n scan ([[IvfTopN]]); codebook arguments must be
     * literals, `n` a foldable integer literal. */
@@ -294,6 +302,7 @@ object GraftFunctions {
     ext.injectFunction(nfcNormalize)
     ext.injectFunction(pqAssign)
     ext.injectFunction(pqLut)
+    ext.injectFunction(pqSdc)
     ext.injectFunction(ivfTopN)
   }
 }

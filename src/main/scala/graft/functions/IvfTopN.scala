@@ -31,29 +31,48 @@ object IvfKernel {
 
   /** Top-`n` (cent_id, sim_r) of `v` against the codebook, ranked.
     * `ids` must be sorted ascending — index order then IS the
-    * tie-break order. */
+    * tie-break order.
+    *
+    * Degenerate-input policy (documented, spec-pinned): a NON-FINITE
+    * similarity (a zero-norm or NaN/Inf vector makes EVERY cosine
+    * NaN; an individual NaN centroid makes its own) is never a
+    * candidate — such cells are skipped, and a vector with fewer than
+    * `n` finite similarities emits a SHORTER array (empty for a fully
+    * degenerate vector, which thereby drops out of the index/probe
+    * frames after the posexplode instead of crashing the scan). The
+    * window formulation this kernel replaced ranked NaN highest
+    * (Spark's NaN ordering), i.e. indexed garbage cells; excluding
+    * them is the correction, not a drift. */
   def topN(v: ArrayData, norm: Double, ids: Array[UTF8String],
       cvs: Array[Array[Double]], norms: Array[Double],
       n: Int): ArrayData = {
     val cells = ids.length
+    if (cells == 0) return new GenericArrayData(new Array[Any](0))
+    val dim = cvs(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"graft_ivf_topn: vector dimension ${v.numElements()} does not " +
+          s"match codebook dimension $dim — the scanned vectors and the " +
+          "codebook were built with different dims")
     val raw = new Array[Double](cells)
     var c = 0
     while (c < cells) {
       var ab = 0.0
       val cv = cvs(c)
       var i = 0
-      val len = math.min(v.numElements(), cv.length)
-      while (i < len) { ab += v.getDouble(i) * cv(i); i += 1 }
+      while (i < dim) { ab += v.getDouble(i) * cv(i); i += 1 }
       raw(c) = ab / (norm * norms(c))
       c += 1
     }
-    // n-th largest raw value (n is tiny: selection into a small array)
+    // n-th largest FINITE raw value (n is tiny: selection into a small
+    // array). NaN/Inf never enter: NaN comparisons are false, and Inf
+    // is explicitly excluded so round6 (BigDecimal) can't throw below.
     val k = math.min(n, cells)
     val top = Array.fill(k)(Double.NegativeInfinity)
     c = 0
     while (c < cells) {
       val x = raw(c)
-      if (x > top(k - 1)) {
+      if (java.lang.Double.isFinite(x) && x > top(k - 1)) {
         var j = k - 1
         while (j > 0 && top(j - 1) < x) { top(j) = top(j - 1); j -= 1 }
         top(j) = x
@@ -61,13 +80,15 @@ object IvfKernel {
       c += 1
     }
     val bound = top(k - 1) - 2e-6
-    // exact-round the survivors only; keep (idx, r6)
+    // exact-round the finite survivors only; keep (idx, r6). If fewer
+    // than k similarities are finite, bound is -Inf and every finite
+    // cell is a candidate (m < k is handled by the shorter output).
     var m = 0
     val candIdx = new Array[Int](cells)
     val candR6 = new Array[Double](cells)
     c = 0
     while (c < cells) {
-      if (raw(c) > bound) {
+      if (java.lang.Double.isFinite(raw(c)) && raw(c) > bound) {
         candIdx(m) = c
         candR6(m) = PqKernel.round6(raw(c))
         m += 1
@@ -75,10 +96,11 @@ object IvfKernel {
       c += 1
     }
     // rank: repeatedly take (max r6, min idx) — idx asc == id asc
+    val outLen = math.min(k, m)
     val used = new Array[Boolean](m)
-    val out = new Array[Any](k)
+    val out = new Array[Any](outLen)
     var r = 0
-    while (r < k) {
+    while (r < outLen) {
       var best = -1
       var j = 0
       while (j < m) {

@@ -46,6 +46,7 @@ object PqKernel {
     * bench entry's hotspot and being free. */
   def assign(sv: ArrayData, cvs: Array[Array[Double]],
       bbs: Array[Double]): InternalRow = {
+    checkDim(sv, cvs, "graft_pq_assign")
     val n = sv.numElements()
     var aa = 0.0
     var i = 0
@@ -64,18 +65,31 @@ object PqKernel {
     var bestDist = Double.MaxValue
     c = 0
     while (c < cvs.length) {
-      if (raw(c) < bound) {
+      // NaN distances (a NaN coordinate in sv or a NaN centroid)
+      // never satisfy raw < bound, so they can't win — and +Inf never
+      // beats the MaxValue init, keeping round6's BigDecimal parse
+      // off non-finite input
+      if (raw(c) < bound && java.lang.Double.isFinite(raw(c))) {
         val r6 = round6(raw(c))
         if (r6 < bestDist) { bestDist = r6; bestCode = c.toLong }
       }
       c += 1
     }
+    // A NaN subvector leaves every distance NaN and no winner. Writing
+    // the sentinel code -1 into an index would silently corrupt it
+    // (ADC lookups on -1 drop the row at best) — fail the encode
+    // loudly instead, mirroring the unsorted-ids rejection in IvfTopN.
+    if (bestCode < 0)
+      throw new IllegalArgumentException(
+        "graft_pq_assign: no centroid has a finite distance — the " +
+          "input subvector contains NaN/Inf coordinates")
     new GenericInternalRow(Array[Any](bestCode, bestDist))
   }
 
   /** The full integer-scaled LUT row: round(dist·10⁹) per code. */
   def lut(sv: ArrayData, cvs: Array[Array[Double]],
       bbs: Array[Double]): ArrayData = {
+    checkDim(sv, cvs, "graft_pq_lut")
     val n = sv.numElements()
     var aa = 0.0
     var i = 0
@@ -83,17 +97,75 @@ object PqKernel {
     val out = new Array[Long](cvs.length)
     var c = 0
     while (c < cvs.length) {
-      out(c) = scale9(dist(aa, sv, cvs(c), bbs(c)))
+      val d = dist(aa, sv, cvs(c), bbs(c))
+      if (!java.lang.Double.isFinite(d))
+        throw new IllegalArgumentException(
+          "graft_pq_lut: non-finite distance at code " + c +
+            " — the query subvector contains NaN/Inf coordinates")
+      out(c) = scale9(d)
       c += 1
     }
     ArrayData.toArrayData(out)
   }
 
+  /** Symmetric (code↔code) PQ distance: ‖q_a − q_b‖² of two packed
+    * code words via the per-subspace cross-distance tables (SDC —
+    * Jégou et al. 2011 §III.A). One L1-resident lookup per subspace;
+    * byte s of each word is its subspace-s code. */
+  def sdc(pa: Long, pb: Long,
+      tables: Array[Array[Array[Double]]]): Double = {
+    var s = 0
+    var d = 0.0
+    while (s < tables.length) {
+      val t = tables(s)
+      val ca = ((pa >>> (8 * s)) & 0xFFL).toInt
+      val cb = ((pb >>> (8 * s)) & 0xFFL).toInt
+      if (ca >= t.length || cb >= t.length)
+        throw new IllegalArgumentException(
+          s"graft_sdc: code ${math.max(ca, cb)} at subspace $s is " +
+            s"outside the ${t.length}-entry codebook — the packed " +
+            "words and the codebook disagree")
+      d += t(ca)(cb)
+      s += 1
+    }
+    d
+  }
+
+  /** The SDC cross-distance tables of a codebook:
+    * D[s][a][b] = ‖cv_{s,a} − cv_{s,b}‖² (= bb_a − 2·cv_a·cv_b +
+    * bb_b, the same left-assoc spelling as [[dist]]). M·256² doubles
+    * (≤ 4 MB) — built once per plan from the literal codebook. */
+  def sdcTables(cvs: Array[Array[Array[Double]]],
+      bbs: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    Array.tabulate(cvs.length) { s =>
+      val c = cvs(s)
+      val b = bbs(s)
+      Array.tabulate(c.length) { a =>
+        Array.tabulate(c.length) { j =>
+          var ab = 0.0
+          var i = 0
+          while (i < c(a).length) { ab += c(a)(i) * c(j)(i); i += 1 }
+          b(a) - 2.0 * ab + b(j)
+        }
+      }
+    }
+
+  /** Equal-dims guard: a query/corpus vector sliced with a different
+    * SubDim than the codebook was trained at must fail loudly, not
+    * silently score over the truncated prefix. */
+  private def checkDim(sv: ArrayData, cvs: Array[Array[Double]],
+      name: String): Unit =
+    if (cvs.length > 0 && sv.numElements() != cvs(0).length)
+      throw new IllegalArgumentException(
+        s"$name: subvector dimension ${sv.numElements()} does not " +
+          s"match codebook dimension ${cvs(0).length} — the vectors " +
+          "and the codebook were built with different SubDim/dim")
+
   private def dist(aa: Double, sv: ArrayData, cv: Array[Double],
       bb: Double): Double = {
     var ab = 0.0
     var i = 0
-    val n = math.min(sv.numElements(), cv.length)
+    val n = cv.length
     while (i < n) { ab += sv.getDouble(i) * cv(i); i += 1 }
     aa - 2.0 * ab + bb
   }
@@ -254,5 +326,91 @@ case class PqLut(s: Expression, sv: Expression, cvs: Expression,
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PqLut =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
+/** `graft_sdc(pa, pb, cvs, bbs)` → double: the symmetric compressed
+  * distance ‖q_a − q_b‖² of two PACKED code words (byte s = the
+  * subspace-s code, [[graft.operators.Pq.packCodes]]'s layout) via
+  * the per-subspace cross-distance tables derived once from the
+  * literal codebook. This is the pair-join payload trick: a candidate
+  * join ships 8 bytes per side instead of the float vectors, and the
+  * distance estimate costs [[Pq.M]] table lookups instead of a 64-dim
+  * dot — the prefilter [[graft.operators.LlmSim.dedupEmbedPq]] ranks
+  * candidates with before fetching floats for survivors. */
+case class PqSdc(pa: Expression, pb: Expression, cvs: Expression,
+    bbs: Expression) extends Expression {
+
+  override def prettyName: String = "graft_sdc"
+  override def children: Seq[Expression] = Seq(pa, pb, cvs, bbs)
+  override def nullable: Boolean = true
+  override lazy val foldable: Boolean = pa.foldable && pb.foldable
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okCvs = cvs.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    }
+    val okBbs = bbs.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true; case _ => false
+    }
+    if (!(pa.dataType == LongType && pb.dataType == LongType &&
+        okCvs && okBbs))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires " +
+        "(bigint, bigint, array<array<array<double>>>, " +
+        "array<array<double>>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+    else if (!cvs.foldable || !bbs.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: the codebook arguments must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient private lazy val tables: Array[Array[Array[Double]]] = {
+    def arr3(e: Expression): Array[Array[Array[Double]]] = {
+      val a = e.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(a.numElements()) { i =>
+        val sub = a.getArray(i)
+        Array.tabulate(sub.numElements())(j =>
+          sub.getArray(j).toDoubleArray())
+      }
+    }
+    val bbsLocal = {
+      val a = bbs.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
+    }
+    PqKernel.sdcTables(arr3(cvs), bbsLocal)
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = pa.eval(input)
+    val b = pb.eval(input)
+    if (a == null || b == null) null
+    else PqKernel.sdc(a.asInstanceOf[Long], b.asInstanceOf[Long], tables)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val tRef = ctx.addReferenceObj("sdcTables", tables, "double[][][]")
+    val aGen = pa.genCode(ctx)
+    val bGen = pb.genCode(ctx)
+    val resultCode =
+      code"""
+        ${aGen.code}
+        ${bGen.code}
+        boolean ${ev.isNull} = ${aGen.isNull} || ${bGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PqKernel.sdc(
+            ${aGen.value}, ${bGen.value}, $tRef);
+        }
+        """
+    ev.copy(code = resultCode)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqSdc =
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
 }

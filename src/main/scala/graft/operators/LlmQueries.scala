@@ -63,7 +63,21 @@ object LlmQueries {
     "llm_pq_encode" -> ((s, d) => Pq.encode(embs(s, d))),
     "llm_pq_search" -> ((s, d) => Pq.search(embs(s, d))),
     "llm_ivfpq_search" -> ((s, d) => Pq.searchIvf(embs(s, d))),
+    // PRODUCTION-path twins (exactFold = false): codebooks train with
+    // plain partial-aggregating avg instead of the vec_id-ordered fold
+    // the DuckDB oracle needs for bit-parity (~1.4 s of the sf0.1
+    // llm_pq_search entry is that fold alone). No SQL oracle — the
+    // training-sum order is unspecified by design — so the gate
+    // records a rows-only check; PqSpec pins that both paths return
+    // the SAME top-k rows under the round(·,6) ranking.
+    "llm_pq_search_prod" ->
+      ((s, d) => Pq.search(embs(s, d), exactFold = false)),
+    "llm_ivfpq_search_prod" ->
+      ((s, d) => Pq.searchIvf(embs(s, d), exactFold = false)),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
+    // exact-bound PQ prefilter: provably identical output, so it
+    // shares llm_dedup_embed's oracle verbatim
+    "llm_dedup_embed_pq" -> ((s, d) => LlmSim.dedupEmbedPq(embs(s, d))),
     "llm_contamination_embed" ->
       ((s, d) => LlmSim.contaminationEmbed(embs(s, d))),
     "llm_semdedup" -> ((s, d) => LlmSim.semDedup(embs(s, d))),
@@ -146,6 +160,10 @@ object LlmQueries {
     "llm_pq_search" -> PqSql.searchSql,
     "llm_ivfpq_search" -> PqSql.searchIvfSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
+    // the PQ exact-bound prefilter is output-identical by proof
+    // (triangle-inequality prune + identical verify), so the SAME
+    // oracle checks it end-to-end
+    "llm_dedup_embed_pq" -> LlmSimSql.dedupEmbedSql,
     "llm_contamination_embed" -> LlmSimSql.contaminationEmbedSql,
     "llm_semdedup" -> LlmSimSql.semDedupSql,
     "llm_label_noise" -> LlmSimSql.labelNoiseSql,

@@ -66,7 +66,7 @@ object LlmSim {
   }
 
   /** Exact top-k cosine neighbors for each query vector (vec_id % 20). */
-  def knnBrute(embeddings: DataFrame): DataFrame = {
+  def knnBrute(embeddings: DataFrame, k: Int = TopK): DataFrame = {
     val e = withVec(embeddings)
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
@@ -74,7 +74,7 @@ object LlmSim {
     val pairs = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .withColumn("cos",
         dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
-    ranked(pairs, TopK)
+    ranked(pairs, k)
   }
 
   /** Hard-negative mining for contrastive/retrieval training: for
@@ -129,6 +129,89 @@ object LlmSim {
       col("v").as("vb"), col("norm").as("nb"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= EmbedDupThreshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** PQ-prefiltered [[dedupEmbed]] — identical candidate generation
+    * (same sign cells) and the identical exact round-6 verify, but the
+    * within-cell candidate join ships each side as ONE packed 8-byte
+    * PQ code word plus an 8-byte error bound ([[Pq.withPacked]])
+    * instead of the 64-double vector (~540 B/row of join payload →
+    * ~32 B), and each candidate pair is scored by [[Pq.M]] SDC table
+    * lookups ([[graft.functions.PqSdc]]) instead of a 64-dim dot.
+    * Float vectors are fetched — two id equi-joins against the pinned
+    * vector table — ONLY for pairs surviving the prefilter.
+    *
+    * Prefilter modes (both verify survivors exactly, so neither can
+    * emit a false pair; they differ in what they may MISS):
+    *  - `exactBound = true` (default, the gate entry): prune only
+    *    when the triangle inequality PROVES the pair is under the
+    *    threshold — on the unit sphere cos(a,b) = 1 − ‖â−b̂‖²/2 and
+    *    ‖â−b̂‖ ≥ sdc − e_a − e_b, so pairs with
+    *    1 − max(0, sdc − e_a − e_b − 10⁻³)²/2 < threshold − 10⁻⁶
+    *    cannot round-6 to the threshold (the 10⁻³ slack dwarfs every
+    *    float/round-6 accounting term; e is the stored per-vector
+    *    reconstruction bound). Output is IDENTICAL to [[dedupEmbed]]
+    *    on ANY input — spec-pinned and oracle-checked against the
+    *    same DuckDB SQL. Its pruning power depends on reconstruction
+    *    error: clustered production embeddings (e ≪ 1) prune nearly
+    *    every non-dup; the isotropic noise fixture (e ≈ 0.6) prunes
+    *    ~nothing, leaving this mode strictly slower there — which the
+    *    ladder measures honestly rather than hiding.
+    *  - `exactBound = false`: prune by the DEBIASED SDC estimate
+    *    cos ≈ 1 − (sdc² + e_a² + e_b²)/2 at `margin` slack below the
+    *    threshold. The sign matters and was measured the hard way:
+    *    reconstructions are SHORTER than the unit originals
+    *    (quantizers shrink toward centroids), so ‖q_a − q_b‖² sits
+    *    ~e_a²+e_b² BELOW the true ‖â−b̂‖² on independent residuals —
+    *    E‖â−b̂‖² = ‖q_a−q_b‖² + ‖r_a‖² + ‖r_b‖² — and ADDING the
+    *    energies recenters the estimate (subtracting them instead
+    *    inflated every pair to near-dup: the 100× probe kept
+    *    99.998% of 197M pairs and spent 496 s fetching floats).
+    *    Not lossless: a true pair whose estimate falls below
+    *    threshold − margin is missed; the spec AUDITS the fixture
+    *    recall vs [[dedupEmbed]], and the ladder times this as the
+    *    scale path (survivor fetch is a small fraction of the pair
+    *    volume, so the 100× rung drops the per-pair 64-dim dot from
+    *    the critical path). */
+  def dedupEmbedPq(embeddings: DataFrame, cellDims: Int = IvfDims,
+      exactBound: Boolean = true, margin: Double = 0.2): DataFrame = {
+    val (cvsL, bbsL) =
+      Pq.localCodebook(Pq.codebook(embeddings, exactFold = false))
+    val e = CacheScope.pin(withVec(embeddings)
+      .withColumn("cell", cell(col("v"), cellDims)))
+    val vn = when(col("norm") > 0,
+      transform(col("v"), x => x / col("norm"))).otherwise(col("v"))
+    val codes = Pq
+      .withPacked(e.withColumn("vn", vn), col("vn"), cvsL, bbsL)
+      .select(col("vec_id"), col("cell"), col("packed"), col("err"))
+    val a = codes.select(col("cell"), col("vec_id").as("id_a"),
+      col("packed").as("pa"), col("err").as("ea"))
+    val b = codes.select(col("cell"), col("vec_id").as("id_b"),
+      col("packed").as("pb"), col("err").as("eb"))
+    val sdcSq = call_function("graft_sdc", col("pa"), col("pb"),
+      cvsL, bbsL)
+    val keep =
+      if (exactBound) {
+        val lb = greatest(
+          sqrt(greatest(sdcSq, lit(0.0))) - col("ea") - col("eb") -
+            lit(1e-3), lit(0.0))
+        lit(1.0) - lb * lb / 2 >= lit(EmbedDupThreshold - 1e-6)
+      } else
+        lit(1.0) - (sdcSq + col("ea") * col("ea") +
+          col("eb") * col("eb")) / 2 >= lit(EmbedDupThreshold - margin)
+    val cand = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(keep)
+      .select(col("id_a"), col("id_b"))
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("norm").as("na")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("norm").as("nb")), Seq("id_b"))
       .withColumn("cosine",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= EmbedDupThreshold)
@@ -206,7 +289,7 @@ object LlmSim {
     * Keep in sync with [[LlmSimSql.knnIvfTrainedSql]]. */
   def knnIvfTrained(embeddings: DataFrame,
       exactFold: Boolean = true, nprobe: Int = Nprobe,
-      cellDims: Int = IvfDims): DataFrame = {
+      cellDims: Int = IvfDims, k: Int = IvfTopK): DataFrame = {
     val sims = trainedSims(embeddings, exactFold, cellDims, n = nprobe)
     val corpus = sims.filter(col("nr") === 1)
       .select(col("cent_id"), col("vec_id"), col("v"), col("norm"))
@@ -218,7 +301,7 @@ object LlmSim {
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos",
         dot(col("qv"), col("v")) / (col("qnorm") * col("norm")))
-    ranked(pairs, IvfTopK)
+    ranked(pairs, k)
   }
 
   /** ANN quality audit — per-query recall@k of the production IVF
@@ -229,11 +312,19 @@ object LlmSim {
     * queries × one corpus scan), and the recall number decides the
     * nprobe/cellDims ladder, instead of trusting the index blindly.
     * Both sides truncate to the same k so the ratio is a true
-    * recall@k. Keep in sync with [[LlmSimSql.annRecallSql]]. */
-  def annRecall(embeddings: DataFrame, k: Int = IvfTopK): DataFrame = {
-    val exact = knnBrute(embeddings).filter(col("rank") <= k)
+    * recall@k — `k` is passed through to BOTH rankings (the brute side
+    * ranks k, the IVF side ranks k), so any k ≥ 1 measures a real
+    * recall@k rather than capping the approx side at its serving
+    * default. `nprobe`/`cellDims` expose the IVF ladder knobs the
+    * audit exists to tune. Keep in sync with
+    * [[LlmSimSql.annRecallSql]] (which pins the gate's defaults). */
+  def annRecall(embeddings: DataFrame, k: Int = IvfTopK,
+      nprobe: Int = Nprobe, cellDims: Int = IvfDims,
+      exactFold: Boolean = true): DataFrame = {
+    require(k >= 1, s"annRecall: k must be >= 1, got $k")
+    val exact = knnBrute(embeddings, k)
       .select(col("qid"), col("vec_id"))
-    val approx = knnIvfTrained(embeddings).filter(col("rank") <= k)
+    val approx = knnIvfTrained(embeddings, exactFold, nprobe, cellDims, k)
       .select(col("qid"), col("vec_id"))
     exact
       .join(approx.withColumn("hit", lit(1)), Seq("qid", "vec_id"),
@@ -272,7 +363,7 @@ object LlmSim {
     * construction — the same sanctioned driver-collect class as
     * [[Pq.localCodebook]] (the FAISS every-worker-holds-the-codebook
     * shape). */
-  private def localBook(cents: DataFrame): (Column, Column, Column) = {
+  private[graft] def localBook(cents: DataFrame): (Column, Column, Column) = {
     val rows = cents.select(col("cent_id"), col("cv"), col("cnorm"))
       .collect()
       .map(r => (r.getString(0),
@@ -282,6 +373,34 @@ object LlmSim {
     (typedLit(rows.map(_._1).toSeq), typedLit(rows.map(_._2).toSeq),
       typedLit(rows.map(_._3).toSeq))
   }
+
+  /** The trained coarse codebook (cent_id, cv, cnorm) of a corpus —
+    * [[codebook]] over the sign-cell seed frame, exposed so
+    * [[Pq.freeze]] can PERSIST the coarse quantizer next to the PQ
+    * codebook (the streamed IVF-PQ index assigns every arriving batch
+    * against this frozen book; retraining it would silently re-cell
+    * the already-stored corpus). */
+  private[graft] def coarseBook(embeddings: DataFrame,
+      exactFold: Boolean, cellDims: Int = IvfDims): DataFrame =
+    codebook(cellRows(embeddings, cellDims), exactFold)
+
+  /** Top-`n` coarse cells of each vector against a FROZEN coarse book
+    * (literal columns from [[localBook]]): (vec_id, cent_id, sim_r,
+    * nr ≤ n) — the serving-time twin of [[topNFrame]]'s assignment
+    * half (same fused kernel, same (round(·,6) DESC, cent_id) order),
+    * shared by the streamed index maintenance
+    * ([[graft.streaming.StreamingPqEncode]]: n=1 corpus cells) and the
+    * stored-index query path ([[Pq.searchIvfIndex]]: n=nprobe probe
+    * cells). Map-only — no shuffle, O(batch). */
+  private[graft] def topCellsFrozen(vecs: DataFrame, ids: Column,
+      cvs: Column, norms: Column, n: Int): DataFrame =
+    withVec(vecs).select(col("vec_id"),
+        posexplode(call_function("graft_ivf_topn",
+          col("v"), col("norm"), ids, cvs, norms, lit(n)))
+          .as(Seq("nr0", "tc")))
+      .select(col("vec_id"),
+        col("tc.cent_id").as("cent_id"), col("tc.sim_r").as("sim_r"),
+        (col("nr0") + 1).as("nr"))
 
   /** (vec_id, v, norm, cent_id, sim_r, nr ≤ n): each vector's top-n
     * centroids via the fused native [[graft.functions.IvfTopN]]

@@ -72,14 +72,33 @@ object LlmText {
       .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
   }
 
+  /** The shingle set as 64-bit hashes — the verify-join payload.
+    * Set-level Jaccard is invariant under an injective element map, so
+    * verifying over per-element xxhash64 values gives THE SAME
+    * intersection/union sizes as the strings unless two distinct
+    * shingles of one candidate pair collide in 64 bits (≥ ~10¹²
+    * corpus-wide distinct shingles before a collision is even likely;
+    * the fixed gate/ladder fixtures are verified collision-free by
+    * the oracle match itself). Why: the raw string arrays average
+    * ~20 B/shingle and the Jaccard-verify join shuffles BOTH sides'
+    * full sets per candidate pair — at the 100× ladder rung (500k
+    * docs) that payload spilled and turned the verify stage ~2×
+    * superlinear (6.3 s at 10× → 140 s at 100×); 8-byte elements cut
+    * the shuffled bytes ~3× and replace UTF8String comparisons with
+    * long compares in the intersect/union kernels. */
+  private[graft] def hashedShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
+      transform(col("shingles"), s => xxhash64(s)).as("shingles"))
+
   /** Exact shingle-Jaccard over CANDIDATE pairs only (the verify tail
-    * both near-dup operators share): join the full shingle sets back
-    * and keep pairs at/above the threshold. */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+    * both near-dup operators share): join the shingle sets back
+    * (as 64-bit element hashes — see [[hashedShingles]]) and keep
+    * pairs at/above the threshold. */
+  private[graft] def verifyJaccard(cand: DataFrame, hsh: DataFrame): DataFrame =
     cand
-      .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sa")),
+      .join(hsh.select(col("doc_id").as("id_a"), col("shingles").as("sa")),
         Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sb")),
+      .join(hsh.select(col("doc_id").as("id_b"), col("shingles").as("sb")),
         Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sa"), col("sb"))).cast("double") /
@@ -96,6 +115,9 @@ object LlmText {
     * tables a dedup pipeline checkpoints between stages. */
   def dedupNear(documents: DataFrame): DataFrame = {
     val sh = CacheScope.pin(shingles(documents))
+    // pinned as LONG arrays (~3× smaller than the strings): both
+    // verify joins read this, never the string sets
+    val hsh = CacheScope.pin(hashedShingles(sh))
     val sig = minhash(sh)
     val bands = CacheScope.pin(sig.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>
@@ -112,7 +134,7 @@ object LlmText {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
 
-    verifyJaccard(cand, sh)
+    verifyJaccard(cand, hsh)
   }
 
   /** Document frequency above which a shingle stops generating candidate
@@ -173,8 +195,28 @@ object LlmText {
     require(dfCapFraction >= 0 && dfCapFraction < 1,
       s"ngramCandidates: dfCapFraction must be in [0, 1), got " +
         dfCapFraction)
+    // Postings carry the gram as its 64-bit hash, not the string: the
+    // df window and the candidate self-join both shuffle on the gram,
+    // and an 8-byte key is ~3× less payload than the raw 3-gram text
+    // (same collision argument as [[hashedShingles]] — a collision
+    // merely merges two grams' df counts / shared tallies, and the
+    // exact-Jaccard verify behind this stage re-checks every pair
+    // anyway). The hash runs POST-explode, so it is a plain codegen'd
+    // scalar, not an interpreted per-element lambda.
+    // Per-doc shingle counts ride the POSTINGS (+8 B on each of the
+    // ~50 posting rows per doc) and pass through the pair aggregation
+    // as max() — n_sh is functionally dependent on the doc id, so
+    // max ≡ the value. The previous formulation equi-joined a counts
+    // table onto the AGGREGATED pairs instead: the pair frame is the
+    // largest in the whole operator (Σ_gram C(df,2) distinct pairs —
+    // ~112M rows at the 100× ladder rung, of which the bar keeps 1M),
+    // and shuffling it twice by id cost more than the pair aggregation
+    // itself (ngramstage probe: ~45 s of the 115 s candidate stage).
     val posting =
-      sh.select(col("doc_id"), explode(col("shingles")).as("gram"))
+      sh.select(col("doc_id"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("gram0"))
+        .select(col("doc_id"), col("n_sh"),
+          xxhash64(col("gram0")).as("gram"))
         .withColumn("df",
           count(lit(1)).over(Window.partitionBy(col("gram"))))
     // corpus-relative cap (max(absolute, ⌈f·N⌉)): the absolute cap
@@ -187,23 +229,18 @@ object LlmText {
         .crossJoin(broadcast(sh.agg(count(lit(1)).as("n_docs"))))
         .filter(col("df") <= greatest(lit(dfCap.toLong),
           ceil(lit(dfCapFraction) * col("n_docs")).cast("long")))
-    val rare = CacheScope.pin(capped.select(col("doc_id"), col("gram")))
+    val rare = CacheScope.pin(
+      capped.select(col("doc_id"), col("n_sh"), col("gram")))
 
-    // Per-doc shingle counts feed the short-doc gate below: one row per
-    // doc, equi-joined onto the (already aggregated) candidate pairs —
-    // far cheaper than joining the full shingle arrays pre-bar.
-    val counts = sh.select(col("doc_id"), size(col("shingles")).as("n_sh"))
     rare.as("x")
       .join(rare.as("y"),
         col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n_sh").as("na0"), col("y.n_sh").as("nb0"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(counts.select(col("doc_id").as("id_a"), col("n_sh").as("na")),
-        Seq("id_a"))
-      .join(counts.select(col("doc_id").as("id_b"), col("n_sh").as("nb")),
-        Seq("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("na0")).as("na"), max(col("nb0")).as("nb"))
       // ceil(min/3): the J >= 0.5 bar a pair of this length can actually
       // owe — see [[NgramMinShared]]'s short-document note
       .filter(col("shared") >= least(lit(minShared.toLong),
@@ -215,7 +252,8 @@ object LlmText {
       minShared: Int = NgramMinShared, dfCapFraction: Double = 0.0)
       : DataFrame = {
     val sh = CacheScope.pin(shingles(documents))
-    verifyJaccard(ngramCandidates(sh, dfCap, minShared, dfCapFraction), sh)
+    verifyJaccard(ngramCandidates(sh, dfCap, minShared, dfCapFraction),
+      CacheScope.pin(hashedShingles(sh)))
   }
 
   /** Training-set curation: the end-to-end composition a data pipeline

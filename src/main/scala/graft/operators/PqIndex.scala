@@ -190,6 +190,35 @@ object Pq {
       .select(col("vec_id"), col("s"), col("code"), col("l2sq"))
   }
 
+  /** Packed-word projection: adds `packed` (one BIGINT per vector —
+    * byte s, i.e. bits 8s..8s+7, holds the subspace-s code) and `err`
+    * (an UPPER bound on the reconstruction distance ‖v̂ − q‖: sqrt of
+    * the summed per-subspace l2sq values plus their M·5·10⁻⁷ round-6
+    * slack) to a frame whose `vnCol` is the L2-NORMALIZED vector.
+    * Map-only: [[M]] fused assign calls per row against the literal
+    * codebook. The packed word is the 8-byte pair-join payload
+    * [[graft.functions.PqSdc]] scores — see
+    * [[LlmSim.dedupEmbedPq]]. */
+  private[graft] def withPacked(df: DataFrame, vnCol: Column,
+      cvsL: Column, bbsL: Column): DataFrame = {
+    require(M * 8 <= 64,
+      s"packed-code layout holds at most 8 byte codes, M = $M")
+    val withMs = (0 until M).foldLeft(df)((d, s) =>
+      d.withColumn(s"__m$s",
+        call_function("graft_pq_assign", lit(s.toLong),
+          slice(vnCol, s * SubDim + 1, SubDim), cvsL, bbsL)))
+    withMs
+      .withColumn("packed",
+        (0 until M).map(s =>
+          shiftleft(col(s"__m$s").getField("code"), 8 * s))
+          .reduce(_ bitwiseOR _))
+      .withColumn("err",
+        sqrt((0 until M).map(s =>
+          col(s"__m$s").getField("l2sq")).reduce(_ + _) +
+          lit(M * 5e-7)))
+      .drop((0 until M).map(s => s"__m$s"): _*)
+  }
+
   /** Map-only argmin against the literal codebook: adds (code, l2sq)
     * to a subvector frame via the fused native
     * [[graft.functions.PqAssign]] kernel — one codegen'd call per row
@@ -339,17 +368,25 @@ object Pq {
   /** Freeze a codebook trained on `bootstrap` to `path/codebook`,
     * plus the bootstrap corpus's mean reconstruction error to
     * `path/baseline` — the drift reference [[graft.streaming
-    * .StreamingPqEncode]] compares every later batch against. A PQ
-    * codebook MUST be frozen in production: retraining silently
-    * invalidates every code already stored, so the only sound
-    * evolution is freeze → monitor drift → retrain + re-encode as an
-    * explicit migration. */
+    * .StreamingPqEncode]] compares every later batch against — plus
+    * the trained COARSE quantizer to `path/coarse` (≤ 2^cellDims
+    * rows), so the streamed index can maintain IVF cell assignments
+    * next to the byte codes and [[searchIvfIndex]] can serve the
+    * composed IVF-PQ query from storage alone. A PQ codebook MUST be
+    * frozen in production: retraining silently invalidates every code
+    * already stored (and retraining the coarse book silently re-cells
+    * the stored corpus), so the only sound evolution is freeze →
+    * monitor drift → retrain + re-encode as an explicit migration. */
   def freeze(spark: org.apache.spark.sql.SparkSession,
       bootstrap: DataFrame, path: String,
-      exactFold: Boolean = true): Unit = {
+      exactFold: Boolean = true,
+      cellDims: Int = LlmSim.IvfDims): Unit = {
     codebook(bootstrap, exactFold)
       .select(col("s"), col("code"), col("cv"), col("cell"))
       .write.mode("overwrite").parquet(s"$path/codebook")
+    LlmSim.coarseBook(bootstrap, exactFold, cellDims)
+      .select(col("cent_id"), col("cv"), col("cnorm"))
+      .write.mode("overwrite").parquet(s"$path/coarse")
     val (cvsL, bbsL) = frozenCodebook(spark, path)
     assignLocal(subvecs(bootstrap), cvsL, bbsL)
       .agg(avg(col("l2sq")).as("avg_l2sq"),
@@ -363,6 +400,57 @@ object Pq {
   def frozenCodebook(spark: org.apache.spark.sql.SparkSession,
       path: String): (Column, Column) =
     localCodebook(spark.read.parquet(s"$path/codebook"))
+
+  /** The frozen COARSE quantizer at `path` as cent_id-sorted literal
+    * columns (ids, cvs, cnorms) — ≤ 2^cellDims rows by construction,
+    * the same sanctioned driver-collect class as [[localCodebook]]. */
+  def frozenCoarse(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Column, Column, Column) =
+    LlmSim.localBook(spark.read.parquet(s"$path/coarse"))
+
+  /** IVF-PQ SERVED FROM THE STORED INDEX — the continuously-growing
+    * corpus shape: [[graft.streaming.StreamingPqEncode]] appends each
+    * batch's byte codes (`path/codes`) AND its frozen-coarse cell
+    * assignments (`path/cells`); this query path composes them with
+    * the frozen books exactly like [[searchIvf]] composes its
+    * in-memory twins, so the corpus is touched ONLY as (8-byte code
+    * rows ⋈ cell ids) — no float vector and no training pass at query
+    * time. Queries bring their exact vectors: probe cells come from
+    * the same fused kernel the maintenance side assigns with
+    * (identical round(·,6)/cent_id order), the LUT from the frozen PQ
+    * book. Candidates per query stay bounded by the probed cells'
+    * membership; the only shuffle is the (qid, vec_id) integer-sum
+    * aggregation. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, path: String,
+      k: Int = PqTopK, nprobe: Int = LlmSim.Nprobe): DataFrame = {
+    val (cIds, cCvs, cNorms) = frozenCoarse(spark, path)
+    val (cvsL, bbsL) = frozenCodebook(spark, path)
+    val corpusCells = spark.read.parquet(s"$path/cells")
+      .select(col("vec_id"), col("cent_id"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("s"), col("code"))
+      .join(corpusCells, Seq("vec_id"))
+    val probeCells = LlmSim
+      .topCellsFrozen(queries, cIds, cCvs, cNorms, nprobe)
+      .select(col("vec_id").as("qid"), col("cent_id"))
+    val lut = subvecs(queries)
+      .select(col("vec_id").as("qid"), col("s"),
+        posexplode(call_function("graft_pq_lut",
+          col("s"), col("sv"), cvsL, bbsL)).as(Seq("pos", "pd")))
+      .select(col("qid"), col("s"), col("pos").cast("long").as("code"),
+        col("pd"))
+      .join(probeCells, Seq("qid"))
+    val dists = codes.join(broadcast(lut), Seq("cent_id", "s", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("pd")) / lit(1e9), 6).as("dist"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    dists.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"), col("rank"))
+  }
 
   /** Encode a batch against a FROZEN codebook — the steady-state
     * production path (vs [[encode]], which trains from its own

@@ -23,11 +23,15 @@ import graft.operators.Pq
   * silent), and the pipeline owner schedules the explicit
   * retrain+re-encode migration a codebook change requires.
   *
-  * Exactly-once: codes and the drift row land in
-  * `path/codes/batch_id=<id>` / `path/drift/batch_id=<id>` via
-  * whole-directory overwrite — replaying a batch rewrites the same
-  * directories with identical content (encoding against a frozen
-  * codebook is deterministic), so redelivery cannot duplicate rows.
+  * Exactly-once: codes, coarse-cell assignments, and the drift row
+  * land in `path/codes/batch_id=<id>` / `path/cells/batch_id=<id>` /
+  * `path/drift/batch_id=<id>` via whole-directory overwrite —
+  * replaying a batch rewrites the same directories with identical
+  * content (encoding against frozen books is deterministic), so
+  * redelivery cannot duplicate rows. The cells table is what turns
+  * the codes store into a CONTINUOUSLY-GROWING IVF-PQ index:
+  * [[graft.operators.Pq.searchIvfIndex]] serves coarse-pruned ADC
+  * queries from (codes ⋈ cells) + the frozen books alone.
   * An `_applied` marker (namespace `pqenc`) is the fast-path skip on
   * the hot side, same as the other exactly-once sinks; [[graft.sinks
   * .Ledger.prune]] handles marker retention.
@@ -75,6 +79,17 @@ object StreamingPqEncode {
     val codes = Pq.encodeFrozen(batch, cvsL, bbsL)
       .localCheckpoint(true)
     codes.write.mode("overwrite").parquet(codesDir)
+    // Coarse-cell assignment rides NEXT TO the codes, under the same
+    // marker: [[graft.operators.Pq.searchIvfIndex]] joins
+    // codes ⋈ cells at query time, so the streamed IVF-PQ index stays
+    // complete batch-by-batch. Map-only against the frozen coarse
+    // book; whole-directory overwrite keeps the replay idempotent,
+    // and a crash between the codes and cells writes replays both
+    // (no marker yet → full redo, both directories overwritten).
+    val (cIds, cCvs, cNorms) = Pq.frozenCoarse(spark, path)
+    graft.operators.LlmSim.topCellsFrozen(batch, cIds, cCvs, cNorms, 1)
+      .select(col("vec_id"), col("cent_id"), col("sim_r"))
+      .write.mode("overwrite").parquet(s"$path/cells/batch_id=$batchId")
     val baseline = spark.read.parquet(s"$path/baseline")
       .select(col("avg_l2sq").as("baseline_avg"))
     val drift = codes

@@ -207,6 +207,117 @@ class PqSpec extends GraftSuite {
     assert(nullSv.head.isNullAt(0))
   }
 
+  test("production path (exactFold=false) returns the SAME top-k rows " +
+      "as the oracle path for search and searchIvf") {
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(triples(Pq.search(embs, exactFold = false)) ==
+      triples(Pq.search(embs, exactFold = true)))
+    assert(triples(Pq.searchIvf(embs, exactFold = false)) ==
+      triples(Pq.searchIvf(embs, exactFold = true)))
+  }
+
+  test("dedupEmbedPq: exact-bound mode is a drop-in for dedupEmbed " +
+      "(identical rows); margin mode never emits a false pair and " +
+      "its fixture recall is audited") {
+    val exact = LlmSim.dedupEmbed(embs).collect().map(_.toSeq).toSet
+    val viaPq = LlmSim.dedupEmbedPq(embs).collect().map(_.toSeq).toSet
+    assert(viaPq === exact,
+      "triangle-bound prefilter must be lossless")
+    val fast = LlmSim.dedupEmbedPq(embs, exactBound = false)
+      .collect().map(_.toSeq).toSet
+    assert(fast.subsetOf(exact),
+      "margin mode shares the exact verify — no false pairs possible")
+    if (exact.size >= 4) {
+      val recall = fast.size.toDouble / exact.size
+      info(f"margin-mode recall vs exact: $recall%.3f " +
+        f"(${fast.size}/${exact.size})")
+      assert(recall >= 0.5,
+        s"debiased-SDC prefilter lost most true pairs: $recall")
+    } else info(s"exact pair set too small to audit recall " +
+      s"(${fast.size}/${exact.size} found)")
+  }
+
+  test("degenerate vectors: NaN subvector fails the encode loudly; " +
+      "dim mismatch against the codebook fails loudly") {
+    val (cvsL, bbsL) = Pq.localCodebook(Pq.codebook(twoClusterFixture))
+    val nanEx = intercept[Exception] {
+      Seq((0L, Seq(Double.NaN) ++ Seq.fill(7)(0.5)))
+        .toDF("s", "sv")
+        .select(call_function("graft_pq_assign",
+          col("s"), col("sv"), cvsL, bbsL)).collect()
+    }
+    assert(nanEx.getMessage.contains("NaN") ||
+      (nanEx.getCause != null && nanEx.getCause.getMessage.contains("NaN")),
+      s"want a loud NaN message, got: ${nanEx.getMessage}")
+    val dimEx = intercept[Exception] {
+      Seq((0L, Seq(0.5, 0.5))) // SubDim=8 codebook, 2-dim subvector
+        .toDF("s", "sv")
+        .select(call_function("graft_pq_assign",
+          col("s"), col("sv"), cvsL, bbsL)).collect()
+    }
+    assert(dimEx.getMessage.contains("dimension") ||
+      (dimEx.getCause != null &&
+        dimEx.getCause.getMessage.contains("dimension")),
+      s"want a loud dim message, got: ${dimEx.getMessage}")
+  }
+
+  test("zero-norm and NaN embeddings are excluded from the IVF index " +
+      "instead of crashing the fused scan") {
+    import org.apache.spark.sql.functions.{typedLit, lit => flit}
+    // kernel level: zero vector (all sims NaN) → empty array; a norm-0
+    // row with nonzero v (sims ±Inf) → empty as well
+    val ids = typedLit(Seq("a", "b"))
+    val cvs = typedLit(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val nrm = typedLit(Seq(1.0, 1.0))
+    val degenerate = Seq(
+      (Seq(0.0, 0.0), 0.0), (Seq(1.0, 0.0), 0.0)).toDF("v", "norm")
+      .select(size(call_function("graft_ivf_topn",
+        col("v"), col("norm"), ids, cvs, nrm, flit(2))).as("n"))
+      .collect()
+    assert(degenerate.forall(_.getInt(0) == 0))
+    // operator level: one zero and one NaN vector among a real corpus;
+    // knnIvfTrained must complete, exclude them, and keep the rest
+    val mixed = Seq(
+      (0L, Array.fill(64)(0.1f)), (1L, Array.fill(64)(-0.2f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.3f else -0.1f)),
+      (7L, Array.fill(64)(0.0f)),
+      (9L, Array.fill(64)(Float.NaN)),
+      (20L, Array.tabulate(64)(i => 0.01f * i - 0.3f)))
+      .toDF("vec_id", "embedding")
+    val out = LlmSim.knnIvfTrained(mixed).collect()
+    val outIds = out.map(_.getAs[Long]("vec_id")).toSet ++
+      out.map(_.getAs[Long]("qid")).toSet
+    assert(!outIds.contains(7L) && !outIds.contains(9L),
+      s"degenerate vectors leaked into the index: $outIds")
+    assert(out.nonEmpty, "healthy vectors must still match")
+  }
+
+  test("annRecall honors k past the serving default on BOTH sides") {
+    val k = 5 // > IvfTopK = 3, the silently-understated case
+    val out = LlmSim.annRecall(embs, k = k).collect()
+    val exact = LlmSim.knnBrute(embs, k).select(col("qid"), col("vec_id"))
+    val approx = LlmSim
+      .knnIvfTrained(embs, k = k).select(col("qid"), col("vec_id"))
+    val expected = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").count().collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("count")).toMap
+    assert(out.length == exact.select("qid").distinct().count())
+    out.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      assert(r.getAs[Long]("n_hits") == expected.getOrElse(qid, 0L))
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(expected.getOrElse(qid, 0L) / k.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the approx side genuinely ranks k deep now: at least one query
+    // must score an n_hits above the old IvfTopK ceiling OR every
+    // n_hits is witnessed by the k-deep intersection built above —
+    // which the equality loop already proved
+    assert(out.forall(_.getAs[Long]("n_hits") <= k))
+  }
+
   test("annRecall: one row per query, n_hits consistent with a " +
       "direct intersection, recall in [0,1]") {
     val out = LlmSim.annRecall(embs).collect()

@@ -101,6 +101,43 @@ class StreamingPqEncodeSpec extends GraftSuite {
     assert(got === want)
   }
 
+  test("streamed IVF-PQ index (codes + coarse cells per batch) serves " +
+      "searchIvfIndex identically to the batch searchIvf, across " +
+      "chops, a replay, and a mid-batch crash window") {
+    val path = freshPath()
+    Pq.freeze(spark, embs, path)
+    StreamingPqEncode.applyBatch(spark,
+      embs.filter(col("vec_id") < 250), path, 0L)
+    StreamingPqEncode.applyBatch(spark,
+      embs.filter(col("vec_id") >= 250), path, 1L)
+    // crash window: batch 1 died AFTER the codes write but BEFORE the
+    // cells write and the marker — wipe cells + marker and replay; the
+    // redo must overwrite both directories back to a complete state
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/cells/batch_id=1"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_applied/pqenc_1"), false)
+    StreamingPqEncode.applyBatch(spark,
+      embs.filter(col("vec_id") >= 250), path, 1L)
+    // an already-applied batch replayed once more: still a no-op
+    StreamingPqEncode.applyBatch(spark,
+      embs.filter(col("vec_id") < 250), path, 0L)
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.count() == embs.count())
+    assert(cells.groupBy("vec_id").count()
+      .filter(col("count") =!= 1).count() == 0,
+      "exactly one coarse cell per stored vector")
+    val queries = embs.filter(
+      col("vec_id") % graft.operators.LlmSim.QueryMod === 0)
+    val got = Pq.searchIvfIndex(spark, queries, path)
+      .collect().map(_.toSeq).toSet
+    val want = Pq.searchIvf(embs).collect().map(_.toSeq).toSet
+    assert(got === want,
+      "stored-index IVF-PQ must equal the batch searchIvf")
+  }
+
   test("a drifted batch raises the reconstruction-error ratio and " +
       "trips the retrain flag; an in-distribution batch does not") {
     val path = freshPath()
