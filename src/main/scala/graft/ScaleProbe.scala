@@ -29,7 +29,7 @@ object ScaleProbe {
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
         "curation", "layout", "analytics", "pagerank", "dfcap", "resolve",
         "ganttprof", "cooccur", "basketcap", "simscale", "recall",
-        "ngramstage", "embpqstage")
+        "ngramstage", "embpqstage", "serve", "recallc", "embpq768")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -932,6 +932,155 @@ object ScaleProbe {
       release()
     }
 
+    // Stored-index SERVING ladder (VERDICT r18 item 1's done-bar):
+    // freeze+encode a 1×/10×/K× corpus into the partitioned codes
+    // layout, then time Pq.searchIvfIndex with a FIXED ~100-query
+    // batch at fixed nprobe and per-rung-grown cellDims (k ∝ corpus).
+    // Expected membership per probe ≈ nprobe·N/2^cellDims stays ~flat
+    // across rungs, so SERVE TIME MUST STAY ~FLAT while the corpus
+    // grows K× — that is the whole point of the cent_id-partitioned
+    // layout (the r17 plan shuffled O(corpus) per query batch and
+    // would have scaled linearly here). Build time is reported
+    // separately (it IS linear — one map-only encode pass).
+    if (sections("serve")) {
+      val queries = embBase.filter(col("vec_id") % 600 === 0)
+        .select(col("vec_id"), col("embedding"))
+      queries.write.mode("overwrite")
+        .parquet("/tmp/graft_scale_serve_q")
+      val q = spark.read.parquet("/tmp/graft_scale_serve_q")
+      println(s"serve queries=${q.count()}")
+      for (kk <- Seq(1, 10, k).distinct.sorted.filter(_ <= k)) {
+        val grown = LlmSim.IvfDims +
+          math.ceil(math.log(kk.toDouble) / math.log(2)).toInt
+        val dir = s"/tmp/graft_scale_serve_corpus_$kk"
+        embAtUnique(kk).write.mode("overwrite").parquet(dir)
+        val corpus = spark.read.parquet(dir)
+        val idx = s"/tmp/graft_scale_serve_idx_$kk"
+        val fsP = new org.apache.hadoop.fs.Path(idx)
+        fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(fsP, true)
+        val t0 = System.nanoTime()
+        Pq.buildIndexIfAbsent(spark, corpus, idx,
+          exactFold = false, cellDims = grown)
+        println(f"serve_${kk}x build  " +
+          f"${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+          s"vecs=${corpus.count()} cellDims=$grown")
+        // two timed serves: the second is the steady-state number
+        // (first pays codegen + footer reads)
+        for (rep <- 1 to 2) {
+          val t1 = System.nanoTime()
+          Pq.searchIvfIndex(spark, q, idx)
+            .write.format("noop").mode("overwrite").save()
+          println(f"serve_${kk}x query$rep " +
+            f"${(System.nanoTime() - t1) / 1e9}%8.2f s")
+        }
+      }
+    }
+
+    // Clustered-corpus recall frontier (VERDICT r18 #6): R7's
+    // nprobe×cellDims table was measured on the isotropic-noise
+    // fixture — the hardest case for ANY quantizer, so its absolute
+    // recalls understate every real deployment. This reruns the sweep
+    // on PLANTED-cluster fixtures (cluster term + per-vector noise,
+    // both hash-deterministic), at two tightness settings, so the
+    // table gives absolute operating points for data with structure:
+    //   tight: cluster scale 0.35 vs noise 0.15 (within cos ≈ 0.84)
+    //   loose: cluster scale 0.25 vs noise 0.25 (within cos ≈ 0.50)
+    if (sections("recallc")) {
+      def clustered(nClusters: Int, a: Double, b: Double): DataFrame =
+        embBase.select(col("vec_id"),
+            pmod(hash(col("vec_id")), lit(nClusters)).as("cid"),
+            col("embedding"))
+          .withColumn("embedding",
+            transform(col("embedding"), (_, j) =>
+              ((pmod(hash(lit(7), col("cid"), j), lit(2001)) - 1000)
+                .cast("double") / 1000.0 * a +
+               (pmod(hash(lit(11), col("vec_id"), j), lit(2001)) - 1000)
+                .cast("double") / 1000.0 * b).cast("float")))
+          .select(col("vec_id"), col("embedding"))
+      for ((tag, a, b) <- Seq(("tight", 0.35, 0.15),
+          ("loose", 0.25, 0.25))) {
+        val dir = s"/tmp/graft_scale_recallc_$tag"
+        clustered(64, a, b).write.mode("overwrite").parquet(dir)
+        val e = spark.read.parquet(dir)
+        for (dims <- Seq(4, 6, 8); np <- Seq(1, 2, 4, 8)) {
+          val t0 = System.nanoTime()
+          val ((n, mean), release) = CacheScope.collect {
+            val r = LlmSim.annRecall(e, k = LlmSim.IvfTopK,
+              nprobe = np, cellDims = dims, exactFold = false)
+              .agg(count(lit(1)).as("n"), avg(col("recall")).as("m"))
+              .head()
+            (r.getLong(0), r.getDouble(1))
+          }
+          release()
+          println(f"recallc_$tag dims=$dims%-2d np=$np%-2d " +
+            f"queries=$n%6d recall@${LlmSim.IvfTopK}=$mean%.4f " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+      }
+    }
+
+    // 768-dim dedupEmbedPq economics (VERDICT r18 #4): the prefilter
+    // pays nothing at 64 dims (embpqstage's honest negative — an SDC
+    // lookup saves a 64-mult dot, too cheap to beat the packing tax).
+    // At 768 dims the verify dot costs 12× more per pair while the
+    // SDC estimate still costs M=8 lookups over the SAME 8-byte word
+    // — this measures whether (and where) that flips the economics,
+    // on a clustered dup-rare fixture (cluster term the 96-dim-
+    // subspace codebook can capture, per-vector noise keeping true
+    // dups rare). Reports base vs prefiltered wall time plus the
+    // keep-rate, at 1× and K×.
+    if (sections("embpq768")) {
+      val dims768 = 768
+      def emb768(kk: Int, nClusters: Int): DataFrame =
+        (0 until kk).map { i =>
+          embBase.select(
+              (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"))
+            .withColumn("cid",
+              pmod(hash(col("vec_id")), lit(nClusters)))
+            .withColumn("embedding",
+              transform(sequence(lit(0), lit(dims768 - 1)), j =>
+                ((pmod(hash(lit(7), col("cid"), j), lit(2001)) - 1000)
+                  .cast("double") / 1000.0 * 0.2 +
+                 (pmod(hash(lit(11), col("vec_id"), j), lit(2001))
+                  - 1000).cast("double") / 1000.0 * 0.3)
+                  .cast("float")))
+            .select(col("vec_id"), col("embedding"))
+        }.reduce(_ unionByName _)
+      for (kk <- Seq(1, k).distinct.sorted.filter(_ <= k)) {
+        val grown = LlmSim.IvfDims +
+          math.ceil(math.log(kk.toDouble) / math.log(2)).toInt
+        val dir = s"/tmp/graft_scale_embpq768_$kk"
+        emb768(kk, 64 * kk).write.mode("overwrite").parquet(dir)
+        val e = spark.read.parquet(dir)
+        def t(name: String)(body: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          body
+          println(f"embpq768_${kk}x $name%-12s " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2f s")
+        }
+        val ((), rel) = CacheScope.collect {
+          t("base_cold")(LlmSim.dedupEmbed(e, cellDims = grown)
+            .write.format("noop").mode("overwrite").save())
+        }
+        rel()
+        val ((), rel2) = CacheScope.collect {
+          t("pqm_cold")(LlmSim.dedupEmbedPq(e, grown,
+              exactBound = false, dims = dims768)
+            .write.format("noop").mode("overwrite").save())
+          t("pqx_cold")(LlmSim.dedupEmbedPq(e, grown,
+              exactBound = true, dims = dims768)
+            .write.format("noop").mode("overwrite").save())
+        }
+        rel2()
+        // recall audit of the margin mode at this dimension
+        val exact = LlmSim.dedupEmbed(e, cellDims = grown).count()
+        val kept = LlmSim.dedupEmbedPq(e, grown, exactBound = false,
+          dims = dims768).count()
+        println(s"embpq768_${kk}x pairs exact=$exact margin=$kept")
+      }
+    }
+
     // Stage attribution for dedupNgram at K× — the ladder times the
     // operator end-to-end; this splits pin-build / candidates /
     // verify so a superlinear rung is DIAGNOSED, not guessed
@@ -968,13 +1117,17 @@ object ScaleProbe {
           .select(col("doc_id"), xxhash64(col("g0")).as("gram"))
         t("post_explode")(
           println(s"ngramstage n_postings=${posting.count()}"))
-        val rare = CacheScope.pin(posting
-          .withColumn("df", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("gram"))))
+        // restates the r18 skew-safe formulation: groupBy df (map-side
+        // partials) + join-back, replacing the per-gram count window
+        // whose partition materialized on one task
+        val rareGrams = posting.groupBy(col("gram"))
+          .agg(count(lit(1)).as("df"))
           .filter(col("df") <= LlmText.NgramDfCap)
+          .select(col("gram"))
+        val rare = CacheScope.pin(posting
+          .join(rareGrams, Seq("gram"))
           .select(col("doc_id"), col("gram")))
-        t("df_window_pin")(
+        t("df_join_pin")(
           rare.write.format("noop").mode("overwrite").save())
         val pre = rare.as("x").join(rare.as("y"),
             col("x.gram") === col("y.gram") &&
@@ -993,6 +1146,27 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save())
       }
       release()
+
+      // Zipfian HOT-GRAM rung (VERDICT r17 #5): every document gets
+      // the same appended sentence, planting ~7 corpus-wide grams
+      // whose posting lists are each the WHOLE corpus. Under the old
+      // count-window df those lists funneled through single tasks
+      // before the cap dropped them; under the groupBy+join they
+      // arrive as map-side partials and the join probes an absent
+      // key. Pass = hotgram_cold lands in the same band as full_cold
+      // (the hot grams are all > NgramDfCap, so the OUTPUT pair set
+      // is identical to the no-suffix corpus's).
+      val hotDir = "/tmp/graft_scale_ngramhot"
+      docsAt(k)
+        .withColumn("text", concat(col("text"),
+          lit(" zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")))
+        .write.mode("overwrite").parquet(hotDir)
+      val hot = spark.read.parquet(hotDir)
+      val ((), releaseHot) = CacheScope.collect {
+        t("hotgram_cold")(LlmText.dedupNgram(hot)
+          .write.format("noop").mode("overwrite").save())
+      }
+      releaseHot()
     }
 
     // PageRank at K× edges (VERDICT r12 #4): the per-round cost is

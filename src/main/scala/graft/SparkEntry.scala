@@ -71,6 +71,10 @@ object SparkEntry {
     // free of the oracle's vec_id-ordered training fold
     "llm_pq_search_prod",
     "llm_ivfpq_search_prod",
+    // the STORED-index serving path (freeze+encode once — the ready
+    // marker makes reps 2+ time the query alone, which is the number
+    // that matters: rep 1 pays the one-off build)
+    "llm_ivfpq_index",
     "llm_semdedup",
     "llm_textstats",
     "llm_contamination",
@@ -89,6 +93,7 @@ object SparkEntry {
     "cls_kcore",
     "cls_bfs",
     "cls_item_cooccur",
+    "cls_itemsets3",
     "cls_interval_merge",
     "llm_decontaminate",
     // pseudo-queries handled inside Bench: full RcoEtl.run+load for one

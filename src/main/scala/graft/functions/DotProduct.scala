@@ -248,6 +248,20 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PqSdc].getCanonicalName, "graft_sdc"),
       quaternary("graft_sdc(pa, pb, cvs, bbs)", PqSdc.apply))
 
+  /** `graft_adc(packed, lut)` — asymmetric compressed distance of a
+    * packed PQ code word against a per-query integer-scaled LUT
+    * ([[PqAdc]]); the LUT is a column, not a literal. */
+  val pqAdc: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[PqAdc].getCanonicalName, "graft_adc"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          s"graft_adc(packed, lut) takes exactly two arguments, got " +
+            s"${exprs.size}")
+        PqAdc(exprs.head, exprs(1))
+      })
+
   /** `graft_ivf_topn(v, norm, ids, cvs, norms, n)` — fused trained-
     * quantizer top-n scan ([[IvfTopN]]); codebook arguments must be
     * literals, `n` a foldable integer literal. */
@@ -303,6 +317,7 @@ object GraftFunctions {
     ext.injectFunction(pqAssign)
     ext.injectFunction(pqLut)
     ext.injectFunction(pqSdc)
+    ext.injectFunction(pqAdc)
     ext.injectFunction(ivfTopN)
   }
 }

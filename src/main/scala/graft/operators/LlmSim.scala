@@ -131,7 +131,14 @@ object LlmSim {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= EmbedDupThreshold)
+      // the NaN drop is EXPLICIT: Spark (and DuckDB) order NaN above
+      // every number, so `cosine >= t` alone would emit every pair
+      // touching a NaN/zero-norm vector as a "duplicate" — a NaN
+      // cosine is absence of evidence, not a match (r18; keeps this
+      // operator and the dedupEmbedPq prefilter output-identical on
+      // degenerate input too)
+      .filter(col("cosine") >= EmbedDupThreshold &&
+        !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
@@ -156,7 +163,15 @@ object LlmSim {
     *    float/round-6 accounting term; e is the stored per-vector
     *    reconstruction bound). Output is IDENTICAL to [[dedupEmbed]]
     *    on ANY input — spec-pinned and oracle-checked against the
-    *    same DuckDB SQL. Its pruning power depends on reconstruction
+    *    same DuckDB SQL. Non-finite vectors (a NaN/Inf coordinate)
+    *    are pre-dropped to MATCH [[dedupEmbed]]'s explicit NaN-cosine
+    *    drop (r18: investigating ADVICE r17's divergence report found
+    *    BOTH engines order NaN above every number, so the bare
+    *    `cosine >= t` filter was emitting every degenerate pair as a
+    *    "dup" — the drop is now explicit in both operators and the
+    *    oracle); the pre-filter keeps the fail-loud encode kernel and
+    *    the codebook trainer off poisoned input, output-identical on
+    *    any input. Its pruning power depends on reconstruction
     *    error: clustered production embeddings (e ≪ 1) prune nearly
     *    every non-dup; the isotropic noise fixture (e ≈ 0.6) prunes
     *    ~nothing, leaving this mode strictly slower there — which the
@@ -177,16 +192,42 @@ object LlmSim {
     *    scale path (survivor fetch is a small fraction of the pair
     *    volume, so the 100× rung drops the per-pair 64-dim dot from
     *    the critical path). */
+  /** `dims` must equal the embedding column's dimension (default: the
+    * house 64-dim fixture layout). The PQ slicer would otherwise
+    * silently quantize only a PREFIX of each vector — codes, error
+    * bounds and the "provably lossless" exact-bound prune would all
+    * describe a projection, not the vector — so the dimension is
+    * verified against the data with a one-row probe (the sanctioned
+    * bounded-scalar-collect class) and a mismatch fails loudly. */
   def dedupEmbedPq(embeddings: DataFrame, cellDims: Int = IvfDims,
-      exactBound: Boolean = true, margin: Double = 0.2): DataFrame = {
+      exactBound: Boolean = true, margin: Double = 0.2,
+      dims: Int = Pq.M * Pq.SubDim): DataFrame = {
+    require(dims % Pq.M == 0,
+      s"dedupEmbedPq: dims $dims not divisible into ${Pq.M} subspaces")
+    val subDim = dims / Pq.M
+    embeddings.select(size(col("embedding")).as("n")).limit(1)
+      .collect().headOption.foreach(r => require(r.getInt(0) == dims,
+        s"dedupEmbedPq: dims = $dims but the embedding column has " +
+          s"${r.getInt(0)} dimensions — a mismatched slicer would " +
+          "silently quantize a prefix"))
+    // non-finite pre-drop: norm = sqrt(Σx²) is NaN iff any coordinate
+    // is NaN, +Inf iff any is ±Inf — dedupEmbed's NaN-cosine filter
+    // drops exactly these rows from every pair, so dropping them here
+    // preserves output identity while keeping the fail-loud assign
+    // kernel (and the codebook trainer) off poisoned input
+    val nrm = sqrt(call_function("graft_dot",
+      col("embedding").cast("array<double>"),
+      col("embedding").cast("array<double>")))
+    val finite = embeddings.filter(
+      !isnan(nrm) && nrm =!= lit(Double.PositiveInfinity))
     val (cvsL, bbsL) =
-      Pq.localCodebook(Pq.codebook(embeddings, exactFold = false))
-    val e = CacheScope.pin(withVec(embeddings)
+      Pq.localCodebook(Pq.codebook(finite, exactFold = false, subDim))
+    val e = CacheScope.pin(withVec(finite)
       .withColumn("cell", cell(col("v"), cellDims)))
     val vn = when(col("norm") > 0,
       transform(col("v"), x => x / col("norm"))).otherwise(col("v"))
     val codes = Pq
-      .withPacked(e.withColumn("vn", vn), col("vn"), cvsL, bbsL)
+      .withPacked(e.withColumn("vn", vn), col("vn"), cvsL, bbsL, subDim)
       .select(col("vec_id"), col("cell"), col("packed"), col("err"))
     val a = codes.select(col("cell"), col("vec_id").as("id_a"),
       col("packed").as("pa"), col("err").as("ea"))
@@ -214,7 +255,10 @@ object LlmSim {
         col("norm").as("nb")), Seq("id_b"))
       .withColumn("cosine",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("cosine") >= EmbedDupThreshold)
+      // same explicit NaN drop as [[dedupEmbed]] (zero-norm vectors
+      // survive the finite pre-drop and produce 0/0 here)
+      .filter(col("cosine") >= EmbedDupThreshold &&
+        !isnan(col("cosine")))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
@@ -708,7 +752,7 @@ object LlmSimSql {
       round(${dot("a.v", "b.v")} / (a.norm * b.norm), 6) AS cosine
       FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id)
     SELECT id_a, id_b, cosine FROM pairs
-    WHERE cosine >= ${LlmSim.EmbedDupThreshold}"""
+    WHERE cosine >= ${LlmSim.EmbedDupThreshold} AND NOT isnan(cosine)"""
 
   val contaminationEmbedSql: String =
     s"""WITH $eCte,

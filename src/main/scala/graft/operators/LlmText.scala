@@ -183,8 +183,8 @@ object LlmText {
     * on raw grams whose volume is Σ_gram df² — bounded by the df cap,
     * so per-key work is ≤ cap² and the plan stays a shuffle-bounded
     * equi-join. The pair count is a partial-aggregate (map-side
-    * combine), the df filter one window pass over the postings (a
-    * single shuffle on gram, no second scan or join). */
+    * combine); the df filter is a groupBy(gram) count joined back
+    * onto the postings — see the skew note in the body. */
   /** The candidate stage of [[dedupNgram]], from a [[shingles]] frame:
     * postings → df cap → gram self-join → shared-gram bar. Exposed
     * package-private so the scale probe can count candidates without
@@ -196,13 +196,17 @@ object LlmText {
       s"ngramCandidates: dfCapFraction must be in [0, 1), got " +
         dfCapFraction)
     // Postings carry the gram as its 64-bit hash, not the string: the
-    // df window and the candidate self-join both shuffle on the gram,
-    // and an 8-byte key is ~3× less payload than the raw 3-gram text
-    // (same collision argument as [[hashedShingles]] — a collision
-    // merely merges two grams' df counts / shared tallies, and the
-    // exact-Jaccard verify behind this stage re-checks every pair
-    // anyway). The hash runs POST-explode, so it is a plain codegen'd
-    // scalar, not an interpreted per-element lambda.
+    // df aggregation and the candidate self-join both shuffle on the
+    // gram, and an 8-byte key is ~3× less payload than the raw 3-gram
+    // text. Collision honesty (ADVICE r17): a 64-bit collision can
+    // only (a) ADD candidate pairs that share a merged gram — which
+    // the exact-Jaccard verify behind this stage rejects — or
+    // (b) push a rare gram's MERGED df over the cap and silently drop
+    // its candidates: a recall loss the verify never sees, with
+    // probability ~ (#grams)²/2⁶⁵ of any collision at all, negligible
+    // but real, NOT "verified away". The hash runs POST-explode, so
+    // it is a plain codegen'd scalar, not an interpreted per-element
+    // lambda.
     // Per-doc shingle counts ride the POSTINGS (+8 B on each of the
     // ~50 posting rows per doc) and pass through the pair aggregation
     // as max() — n_sh is functionally dependent on the doc id, so
@@ -217,20 +221,31 @@ object LlmText {
           explode(col("shingles")).as("gram0"))
         .select(col("doc_id"), col("n_sh"),
           xxhash64(col("gram0")).as("gram"))
-        .withColumn("df",
-          count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // Gram df as a groupBy + join-back, NOT a count window (VERDICT
+    // r17 #5): a window partition materializes on ONE task, so a
+    // corpus-wide boilerplate shingle would funnel its entire posting
+    // list through a single straggler before the cap could drop it.
+    // The groupBy gets map-side partial aggregation (a hot gram
+    // arrives at its reducer as per-mapper partials, O(mappers) rows),
+    // and the join back is an equi-join AQE can skew-split — the hot
+    // gram's posting rows then just probe an absent key (it is capped
+    // OUT of the counts side) and vanish without a blowup.
+    val dfCounts = posting.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
     // corpus-relative cap (max(absolute, ⌈f·N⌉)): the absolute cap
     // alone admits a SHRINKING per-doc gram fraction as the corpus
     // grows. The default f = 0 keeps the absolute behavior with no
     // extra stage; N is one count over the per-doc shingle frame.
-    val capped =
-      if (dfCapFraction == 0.0) posting.filter(col("df") <= dfCap)
-      else posting
+    val rareGrams =
+      (if (dfCapFraction == 0.0) dfCounts.filter(col("df") <= dfCap)
+      else dfCounts
         .crossJoin(broadcast(sh.agg(count(lit(1)).as("n_docs"))))
         .filter(col("df") <= greatest(lit(dfCap.toLong),
-          ceil(lit(dfCapFraction) * col("n_docs")).cast("long")))
+          ceil(lit(dfCapFraction) * col("n_docs")).cast("long"))))
+        .select(col("gram"))
     val rare = CacheScope.pin(
-      capped.select(col("doc_id"), col("n_sh"), col("gram")))
+      posting.join(rareGrams, Seq("gram"))
+        .select(col("doc_id"), col("n_sh"), col("gram")))
 
     rare.as("x")
       .join(rare.as("y"),

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LlmSim, Pq}
+import graft.streaming.StreamingPqEncode
+
+/** [[Pq.migrate]] — the retrain+re-encode path the drift monitor's
+  * flag calls for: post-migration equivalence with a fresh index,
+  * the drift thermometer resetting, and the crash windows of the
+  * staged commit (uncommitted → discard; committed → heal finishes
+  * the swap from any interleaving; read paths refuse a half-swapped
+  * index). */
+class PqMigrateSpec extends GraftSuite {
+
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+
+  /** The drifted regime: shifted copies the bootstrap book quantizes
+    * badly — exactly what trips the retrain flag. */
+  private lazy val drifted = embs
+    .select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.6f)).as("embedding"))
+
+  private def freshPath(): String =
+    Files.createTempDirectory("pq_migrate").resolve("pq").toString
+
+  private def fs(path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def topk(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private lazy val queries = embs.filter(
+    col("vec_id") % LlmSim.QueryMod === 0)
+
+  test("drift flags the shifted corpus; migrate retrains, re-encodes " +
+      "and re-baselines — the same data then serves ≡ a fresh index " +
+      "and encodes drift-free") {
+    val path = freshPath()
+    Pq.freeze(spark, embs, path)
+    StreamingPqEncode.applyBatch(spark, embs, path, 0L)
+    // the distribution shifts: drifted batch trips the flag
+    StreamingPqEncode.applyBatch(spark, drifted, path, 1L,
+      retrainRatio = 1.2)
+    val flagged = spark.read.parquet(s"$path/drift")
+      .filter(col("retrain") === 1).count()
+    assert(flagged == 1, "the drifted batch must trip the flag")
+
+    // the migration the flag calls for: retrain on the CURRENT corpus
+    val corpus = embs.unionByName(drifted)
+    Pq.migrate(spark, corpus, path)
+
+    // equivalence with an index frozen+encoded from scratch — query
+    // set = the corpus' own house split, so the in-memory searchIvf
+    // (which derives its queries from the corpus) is comparable too
+    val qs = corpus.filter(col("vec_id") % LlmSim.QueryMod === 0)
+    val fresh = freshPath()
+    Pq.buildIndexIfAbsent(spark, corpus, fresh)
+    assert(topk(Pq.searchIvfIndex(spark, qs, path)) ===
+      topk(Pq.searchIvfIndex(spark, qs, fresh)),
+      "post-migration serving must equal a fresh freeze+encode")
+    assert(topk(Pq.searchIvfIndex(spark, qs, path)) ===
+      topk(Pq.searchIvf(corpus)),
+      "post-migration serving must equal the in-memory searchIvf")
+
+    // old drift rows and batch markers are retired with the old book
+    assert(!fs(path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/drift")))
+    assert(!fs(path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/_applied")))
+    // the formerly-drifted data is now IN-distribution for the new
+    // book: a fresh stream's batch of it encodes without the flag
+    StreamingPqEncode.applyBatch(spark, drifted, path, 0L,
+      retrainRatio = 1.2)
+    val post = spark.read.parquet(s"$path/drift").collect()
+    assert(post.length == 1 && post.head.getAs[Int]("retrain") == 0,
+      s"post-migration drift row: ${post.toSeq}")
+  }
+
+  test("an UNcommitted crashed migration is discarded: the old index " +
+      "is intact and serves unchanged") {
+    val path = freshPath()
+    Pq.buildIndexIfAbsent(spark, embs, path)
+    val before = topk(Pq.searchIvfIndex(spark, queries, path))
+    // crash mid-staging: books staged, codes half-written, NO commit
+    Pq.freeze(spark, embs.unionByName(drifted), s"$path/_migrate")
+    // the old index still serves (staging is invisible to reads)...
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === before)
+    // ...and the heal discards the staging outright
+    Pq.healMigration(spark, path)
+    assert(!fs(path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/_migrate")))
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === before)
+  }
+
+  test("a COMMITTED crashed migration blocks reads until healed, and " +
+      "heal finishes the swap from a mid-swap interleaving") {
+    val path = freshPath()
+    Pq.buildIndexIfAbsent(spark, embs, path)
+    val corpus = embs.unionByName(drifted)
+    // replay the full staging phase exactly as migrate stages it...
+    val staging = s"$path/_migrate"
+    Pq.freeze(spark, corpus, staging)
+    val (cvsL, bbsL) = Pq.frozenCodebook(spark, staging)
+    val (cIds, cCvs, cNorms) = Pq.frozenCoarse(spark, staging)
+    Pq.writeCodes(
+      Pq.encodeIndexed(corpus, cvsL, bbsL, cIds, cCvs, cNorms),
+      staging, Pq.CorpusBatchId)
+    fs(path).create(new org.apache.hadoop.fs.Path(
+      s"$staging/_COMMIT"), true).close()
+    // ...then crash MID-swap: one component already swapped
+    val f = fs(path)
+    f.delete(new org.apache.hadoop.fs.Path(s"$path/codebook"), true)
+    f.rename(new org.apache.hadoop.fs.Path(s"$staging/codebook"),
+      new org.apache.hadoop.fs.Path(s"$path/codebook"))
+
+    // reads refuse the mixed state loudly
+    val ex = intercept[IllegalStateException] {
+      Pq.searchIvfIndex(spark, queries, path).collect()
+    }
+    assert(ex.getMessage.contains("healMigration"))
+
+    Pq.healMigration(spark, path)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(staging)))
+    val fresh = freshPath()
+    Pq.buildIndexIfAbsent(spark, corpus, fresh)
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) ===
+      topk(Pq.searchIvfIndex(spark, queries, fresh)),
+      "healed mid-swap crash must converge to the migrated index")
+    // healing is idempotent
+    Pq.healMigration(spark, path)
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) ===
+      topk(Pq.searchIvfIndex(spark, queries, fresh)))
+  }
+}

@@ -239,6 +239,22 @@ class PqSpec extends GraftSuite {
       s"(${fast.size}/${exact.size} found)")
   }
 
+  test("dedupEmbedPq equals dedupEmbed on poisoned input too: " +
+      "non-finite vectors are pre-dropped, not thrown on") {
+    val poisoned = embs.select(col("vec_id"), col("embedding"))
+      .limit(80)
+      .unionByName(Seq(
+        (900001L, Array.fill(64)(Float.NaN)),
+        (900002L, Array.fill(64)(Float.PositiveInfinity)),
+        (900003L, Array.tabulate(64)(i =>
+          if (i == 3) Float.NaN else 0.2f)))
+        .toDF("vec_id", "embedding"))
+    val exact = LlmSim.dedupEmbed(poisoned).collect().map(_.toSeq).toSet
+    val viaPq = LlmSim.dedupEmbedPq(poisoned).collect().map(_.toSeq).toSet
+    assert(viaPq === exact,
+      "degenerate rows must be dropped to identity, not crash the kernel")
+  }
+
   test("degenerate vectors: NaN subvector fails the encode loudly; " +
       "dim mismatch against the codebook fails loudly") {
     val (cvsL, bbsL) = Pq.localCodebook(Pq.codebook(twoClusterFixture))
