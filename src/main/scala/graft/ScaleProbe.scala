@@ -943,7 +943,8 @@ object ScaleProbe {
     // would have scaled linearly here). Build time is reported
     // separately (it IS linear — one map-only encode pass).
     if (sections("serve")) {
-      val queries = embBase.filter(col("vec_id") % 600 === 0)
+      val queries = embBase
+        .filter(col("vec_id") % LlmSim.QueryMod === 0)
         .select(col("vec_id"), col("embedding"))
       queries.write.mode("overwrite")
         .parquet("/tmp/graft_scale_serve_q")

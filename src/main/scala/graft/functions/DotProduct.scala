@@ -248,6 +248,33 @@ object GraftFunctions {
       new ExpressionInfo(classOf[PqSdc].getCanonicalName, "graft_sdc"),
       quaternary("graft_sdc(pa, pb, cvs, bbs)", PqSdc.apply))
 
+  /** `graft_pq_pack(vn, cvs, bbs)` / `graft_pq_lut_all(vn, cvs, bbs)`
+    * — whole-vector fusions of the per-subspace PQ scans
+    * ([[PqPack]]/[[PqLutAll]]); codebook arguments must be
+    * literals. */
+  private def ternary(sig: String,
+      mk: (Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression =
+    (exprs: Seq[Expression]) => {
+      require(exprs.size == 3,
+        s"$sig takes exactly three arguments, got ${exprs.size}")
+      mk(exprs(0), exprs(1), exprs(2))
+    }
+
+  val pqPack: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_pq_pack"),
+      new ExpressionInfo(classOf[PqPack].getCanonicalName,
+        "graft_pq_pack"),
+      ternary("graft_pq_pack(vn, cvs, bbs)", PqPack.apply))
+
+  val pqLutAll: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_pq_lut_all"),
+      new ExpressionInfo(classOf[PqLutAll].getCanonicalName,
+        "graft_pq_lut_all"),
+      ternary("graft_pq_lut_all(vn, cvs, bbs)", PqLutAll.apply))
+
   /** `graft_adc(packed, lut)` — asymmetric compressed distance of a
     * packed PQ code word against a per-query integer-scaled LUT
     * ([[PqAdc]]); the LUT is a column, not a literal. */
@@ -318,6 +345,8 @@ object GraftFunctions {
     ext.injectFunction(pqLut)
     ext.injectFunction(pqSdc)
     ext.injectFunction(pqAdc)
+    ext.injectFunction(pqPack)
+    ext.injectFunction(pqLutAll)
     ext.injectFunction(ivfTopN)
   }
 }

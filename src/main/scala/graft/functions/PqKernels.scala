@@ -108,6 +108,130 @@ object PqKernel {
     ArrayData.toArrayData(out)
   }
 
+  /** All-subspace packing of one NORMALIZED vector in a single call:
+    * byte s of the returned word is subspace s's [[assign]] code, and
+    * the second field is the Σ_s l2sq reconstruction total. The
+    * per-subspace arithmetic REPLICATES [[assign]] exactly (same aa
+    * fold over the slice, same (aa − 2·ab) + bb spelling, same
+    * bounded-round6 winner scan, same lowest-code ties) — pinned by
+    * the PqSpec differential against M separate assign calls. One
+    * expression instance per plan instead of M means the multi-MB
+    * codebook literal serializes ONCE, which measured as the
+    * difference between the packed search plan paying ~6 s of plan/
+    * codegen tax and paying none. */
+  def packAll(vn: ArrayData, cvs: Array[Array[Array[Double]]],
+      bbs: Array[Array[Double]]): InternalRow = {
+    val m = cvs.length
+    if (m > 8)
+      throw new IllegalArgumentException(
+        s"graft_pq_pack: the packed word holds at most 8 byte codes, " +
+          s"codebook has $m subspaces")
+    checkVecDim(vn, cvs, "graft_pq_pack")
+    val subDim = if (m == 0) 0 else cvs(0)(0).length
+    var packed = 0L
+    var l2sqSum = 0.0
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val cs = cvs(s)
+      val bs = bbs(s)
+      var aa = 0.0
+      var i = 0
+      while (i < subDim) {
+        val x = vn.getDouble(off + i); aa += x * x; i += 1
+      }
+      val raw = new Array[Double](cs.length)
+      var rawMin = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var ab = 0.0
+        var j = 0
+        while (j < subDim) {
+          ab += vn.getDouble(off + j) * cv(j); j += 1
+        }
+        val d = aa - 2.0 * ab + bs(c)
+        raw(c) = d
+        if (d < rawMin) rawMin = d
+        c += 1
+      }
+      val bound = rawMin + 2e-6
+      var bestCode = -1L
+      var bestDist = Double.MaxValue
+      c = 0
+      while (c < cs.length) {
+        if (raw(c) < bound && java.lang.Double.isFinite(raw(c))) {
+          val r6 = round6(raw(c))
+          if (r6 < bestDist) { bestDist = r6; bestCode = c.toLong }
+        }
+        c += 1
+      }
+      if (bestCode < 0)
+        throw new IllegalArgumentException(
+          "graft_pq_pack: no centroid has a finite distance at " +
+            s"subspace $s — the vector contains NaN/Inf coordinates")
+      packed |= bestCode << (8 * s)
+      l2sqSum += bestDist
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](packed, l2sqSum))
+  }
+
+  /** All-subspace integer-scaled LUT of one normalized QUERY vector:
+    * row s is subspace s's [[lut]] row. Same single-literal-instance
+    * rationale as [[packAll]]; spec-pinned against M lut calls. */
+  def lutAll(vn: ArrayData, cvs: Array[Array[Array[Double]]],
+      bbs: Array[Array[Double]]): ArrayData = {
+    val m = cvs.length
+    checkVecDim(vn, cvs, "graft_pq_lut_all")
+    val subDim = if (m == 0) 0 else cvs(0)(0).length
+    val rows = new Array[ArrayData](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val cs = cvs(s)
+      val bs = bbs(s)
+      var aa = 0.0
+      var i = 0
+      while (i < subDim) {
+        val x = vn.getDouble(off + i); aa += x * x; i += 1
+      }
+      val out = new Array[Long](cs.length)
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var ab = 0.0
+        var j = 0
+        while (j < subDim) {
+          ab += vn.getDouble(off + j) * cv(j); j += 1
+        }
+        val d = aa - 2.0 * ab + bs(c)
+        if (!java.lang.Double.isFinite(d))
+          throw new IllegalArgumentException(
+            "graft_pq_lut_all: non-finite distance at subspace " + s +
+              " code " + c + " — the query contains NaN/Inf coordinates")
+        out(c) = scale9(d)
+        c += 1
+      }
+      rows(s) = ArrayData.toArrayData(out)
+      s += 1
+    }
+    ArrayData.toArrayData(rows)
+  }
+
+  /** The whole-vector dims guard of the fused kernels: vn must hold
+    * exactly M·subDim coordinates for this codebook. */
+  private def checkVecDim(vn: ArrayData,
+      cvs: Array[Array[Array[Double]]], name: String): Unit = {
+    val m = cvs.length
+    val subDim = if (m == 0 || cvs(0).isEmpty) 0 else cvs(0)(0).length
+    if (vn.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"$name: vector dimension ${vn.numElements()} does not match " +
+          s"codebook layout $m x $subDim — the vectors and the " +
+          "codebook were built with different dims")
+  }
+
   /** Asymmetric distance of one PACKED code word against a per-QUERY
     * integer-scaled LUT (`lut[s][code]` = round(‖q_s − c_{s,code}‖²·
     * 10⁹), [[lut]]'s rows stacked): Σ_s lut[s][byte_s(packed)] — the
@@ -440,6 +564,136 @@ case class PqSdc(pa: Expression, pb: Expression, cvs: Expression,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): PqSdc =
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3))
+}
+
+/** Shared shape of the fused WHOLE-VECTOR PQ kernels: children are
+  * (vn: array<double> — the L2-normalized full vector, cvs, bbs) with
+  * the codebook arguments foldable literals parsed once — ONE
+  * expression instance (and one serialized literal copy) per plan,
+  * vs the M instances the per-subspace kernels would cost a packed
+  * projection. */
+abstract class PqVecScanBase extends Expression {
+
+  def vn: Expression
+  def cvs: Expression
+  def bbs: Expression
+
+  override def children: Seq[Expression] = Seq(vn, cvs, bbs)
+  override def nullable: Boolean = true
+  override lazy val foldable: Boolean = vn.foldable
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okVn = vn.dataType match {
+      case ArrayType(DoubleType, _) => true; case _ => false
+    }
+    val okCvs = cvs.dataType match {
+      case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+      case _ => false
+    }
+    val okBbs = bbs.dataType match {
+      case ArrayType(ArrayType(DoubleType, _), _) => true; case _ => false
+    }
+    if (!(okVn && okCvs && okBbs))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires " +
+        "(array<double>, array<array<array<double>>>, " +
+        "array<array<double>>), got " +
+        children.map(_.dataType.simpleString).mkString(", "))
+    else if (!cvs.foldable || !bbs.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: the codebook arguments must be literals")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  @transient protected lazy val cvsLocal: Array[Array[Array[Double]]] = {
+    val a = cvs.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements()) { i =>
+      val sub = a.getArray(i)
+      Array.tabulate(sub.numElements())(j =>
+        sub.getArray(j).toDoubleArray())
+    }
+  }
+  @transient protected lazy val bbsLocal: Array[Array[Double]] = {
+    val a = bbs.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(a.numElements())(i => a.getArray(i).toDoubleArray())
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = vn.eval(input)
+    if (v == null) null
+    else kernel(v.asInstanceOf[ArrayData], cvsLocal, bbsLocal)
+  }
+
+  protected def kernel(vn: ArrayData, cvs: Array[Array[Array[Double]]],
+      bbs: Array[Array[Double]]): Any
+
+  protected def genVecKernelCall(ctx: CodegenContext, ev: ExprCode,
+      kernelName: String): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    val cvsRef = ctx.addReferenceObj("pqCvs", cvsLocal, "double[][][]")
+    val bbsRef = ctx.addReferenceObj("pqBbs", bbsLocal, "double[][]")
+    val vGen = vn.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    val resultCode =
+      code"""
+        ${vGen.code}
+        boolean ${ev.isNull} = ${vGen.isNull};
+        $javaType ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.PqKernel.$kernelName(
+            ${vGen.value}, $cvsRef, $bbsRef);
+        }
+        """
+    ev.copy(code = resultCode)
+  }
+}
+
+/** `graft_pq_pack(vn, cvs, bbs)` → struct(packed bigint, l2sq_sum
+  * double): all M subspace codes of one normalized vector packed into
+  * one word, plus the summed reconstruction error — the single-call
+  * fusion of M `graft_pq_assign`s ([[PqKernel.packAll]]). */
+case class PqPack(vn: Expression, cvs: Expression, bbs: Expression)
+    extends PqVecScanBase {
+
+  override def prettyName: String = "graft_pq_pack"
+  override def dataType: DataType = StructType(Seq(
+    StructField("packed", LongType, nullable = false),
+    StructField("l2sq_sum", DoubleType, nullable = false)))
+
+  override protected def kernel(vn: ArrayData,
+      cvs: Array[Array[Array[Double]]],
+      bbs: Array[Array[Double]]): Any = PqKernel.packAll(vn, cvs, bbs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = genVecKernelCall(ctx, ev, "packAll")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqPack =
+    copy(newChildren(0), newChildren(1), newChildren(2))
+}
+
+/** `graft_pq_lut_all(vn, cvs, bbs)` → array<array<bigint>>: the full
+  * M × 2^SubCellDims integer-scaled ADC table of one normalized query
+  * — the single-call fusion of M `graft_pq_lut`s
+  * ([[PqKernel.lutAll]]); the row shape [[PqAdc]] consumes. */
+case class PqLutAll(vn: Expression, cvs: Expression, bbs: Expression)
+    extends PqVecScanBase {
+
+  override def prettyName: String = "graft_pq_lut_all"
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false),
+      containsNull = false)
+
+  override protected def kernel(vn: ArrayData,
+      cvs: Array[Array[Array[Double]]],
+      bbs: Array[Array[Double]]): Any = PqKernel.lutAll(vn, cvs, bbs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = genVecKernelCall(ctx, ev, "lutAll")
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PqLutAll =
+    copy(newChildren(0), newChildren(1), newChildren(2))
 }
 
 /** `graft_adc(packed, lut)` → bigint: the asymmetric compressed

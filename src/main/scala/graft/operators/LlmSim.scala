@@ -227,7 +227,7 @@ object LlmSim {
     val vn = when(col("norm") > 0,
       transform(col("v"), x => x / col("norm"))).otherwise(col("v"))
     val codes = Pq
-      .withPacked(e.withColumn("vn", vn), col("vn"), cvsL, bbsL, subDim)
+      .withPacked(e.withColumn("vn", vn), col("vn"), cvsL, bbsL)
       .select(col("vec_id"), col("cell"), col("packed"), col("err"))
     val a = codes.select(col("cell"), col("vec_id").as("id_a"),
       col("packed").as("pa"), col("err").as("ea"))

@@ -44,6 +44,16 @@ import org.apache.spark.sql.functions._
   *    NO exact vectors are touched on the corpus side: this is the
   *    operator you run when the corpus no longer fits as floats.
   *
+  * Around those, the STORED-index lifecycle (r17-r18): [[Pq.freeze]]
+  * persists the PQ + coarse books; [[graft.streaming
+  * .StreamingPqEncode]] appends each arriving batch as packed
+  * one-row-per-vector codes under `codes/batch_id=N/cent_id=C/`
+  * ([[Pq.encodeIndexed]]); [[Pq.searchIndex]]/[[Pq.searchIvfIndex]]
+  * serve full-scan/cell-pruned ADC from that table and the books
+  * alone ([[graft.functions.PqAdc]] scoring); the drift monitor's
+  * retrain flag is actioned by [[Pq.migrate]] — staged retrain +
+  * re-encode behind an atomic, crash-healed swap.
+  *
   * Scale shape: training aggregates are map-side-combinable
   * per-(s, cell, pos) partials; encode is a broadcast join + a
   * (vec_id, s)-keyed argmin window over 16 candidates; search's only
@@ -217,7 +227,7 @@ object Pq {
     * [[graft.functions.PqAdc]] score — see [[LlmSim.dedupEmbedPq]]
     * and [[searchIvfIndex]]. */
   private[graft] def withPacked(df: DataFrame, vnCol: Column,
-      cvsL: Column, bbsL: Column, subDim: Int = SubDim): DataFrame = {
+      cvsL: Column, bbsL: Column): DataFrame = {
     require(M * 8 <= 64,
       s"packed-code layout holds at most 8 byte codes, M = $M")
     // one byte per subspace code: a codebook wider than 256 would
@@ -226,20 +236,19 @@ object Pq {
     require((1 << SubCellDims) <= 256,
       s"packed-code bytes hold codes 0..255; SubCellDims = $SubCellDims" +
         s" yields ${1 << SubCellDims} codes per subspace")
-    val withMs = (0 until M).foldLeft(df)((d, s) =>
-      d.withColumn(s"__m$s",
-        call_function("graft_pq_assign", lit(s.toLong),
-          slice(vnCol, s * subDim + 1, subDim), cvsL, bbsL)))
-    withMs
-      .withColumn("packed",
-        (0 until M).map(s =>
-          shiftleft(col(s"__m$s").getField("code"), 8 * s))
-          .reduce(_ bitwiseOR _))
-      .withColumn("l2sq_sum",
-        (0 until M).map(s =>
-          col(s"__m$s").getField("l2sq")).reduce(_ + _))
+    // ONE fused kernel call per row (graft_pq_pack): the previous
+    // M-column fold instantiated the multi-MB codebook literal at M
+    // expression sites — measured as ~6 s of plan/codegen tax on the
+    // sf0.1 packed-search entry before any row was scanned. The
+    // kernel derives M and subDim from the codebook and fail-louds a
+    // dimension mismatch, so no per-subspace slicing happens in the
+    // plan at all.
+    df.withColumn("__pk",
+        call_function("graft_pq_pack", vnCol, cvsL, bbsL))
+      .withColumn("packed", col("__pk.packed"))
+      .withColumn("l2sq_sum", col("__pk.l2sq_sum"))
       .withColumn("err", sqrt(col("l2sq_sum") + lit(M * 5e-7)))
-      .drop((0 until M).map(s => s"__m$s"): _*)
+      .drop("__pk")
   }
 
   /** Map-only argmin against the literal codebook: adds (code, l2sq)
@@ -281,30 +290,39 @@ object Pq {
       k: Int = PqTopK,
       queryMod: Int = LlmSim.QueryMod): DataFrame = {
     val (cvsL, bbsL) = localCodebook(codebook(embeddings, exactFold))
-    val sub = CacheScope.pin(subvecs(embeddings))
-    val codes = assignLocal(sub, cvsL, bbsL)
-      .select(col("vec_id"), col("s"), col("code"))
-    // LUT rows from the fused native kernel (integer-scaled — full
-    // double precision in, so no digits are lost to the 6-decimal
-    // display rounding): posexplode's 0-based position IS the code
-    // by construction
-    val lut = sub
-      .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("s"),
-        posexplode(call_function("graft_pq_lut",
-          col("s"), col("sv"), cvsL, bbsL)).as(Seq("pos", "pd")))
-      .select(col("qid"), col("s"), col("pos").cast("long").as("code"),
-        col("pd"))
-    val dists = codes.join(broadcast(lut), Seq("s", "code"))
-      .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round(sum(col("pd")) / lit(1e9), 6).as("dist"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    dists.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("dist"), col("rank"))
+    // packed scoring (r18, same plan family as the stored-index
+    // paths): ONE row per corpus vector and one graft_adc call per
+    // (query, candidate), replacing the exploded (s, code)-join whose
+    // Q·N·M intermediate rows fed a corpus-sized (qid, vec_id)
+    // aggregation shuffle. The integer terms and their sum are
+    // BIT-IDENTICAL to the join formulation (associative scaled
+    // longs), so the gate's oracle — which still spells the M-way
+    // join in SQL — keeps matching hash-exactly.
+    val codes = packedOf(embeddings, cvsL, bbsL)
+    val q = queryLuts(
+      embeddings.filter(col("vec_id") % queryMod === 0), cvsL, bbsL)
+    val dists = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(call_function("graft_adc", col("packed"), col("lut"))
+          / lit(1e9), 6).as("dist"))
+    rankTopK(dists, k)
   }
+
+  /** (vec_id, packed) of a corpus against literal codebooks —
+    * map-only, the in-memory twin of [[encodeIndexed]]'s packing
+    * half (same normalization, same fused assign kernel). */
+  private def packedOf(embeddings: DataFrame, cvsL: Column,
+      bbsL: Column): DataFrame =
+    withPacked(
+      embeddings
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+        .withColumn("vn", when(col("norm") > 0,
+          transform(col("v"), x => x / col("norm")))
+          .otherwise(col("v"))),
+      col("vn"), cvsL, bbsL)
+      .select(col("vec_id"), col("packed"))
 
   /** Stored codes table schema — declared EXPLICITLY on every read:
     * `cent_id` is a directory-partition value like "0110", which
@@ -375,10 +393,19 @@ object Pq {
   /** Write one batch of [[encodeIndexed]] rows as
     * `path/codes/batch_id=N/cent_id=C/` — whole-directory overwrite
     * (idempotent replay), cent_id as a PARTITION directory (probe
-    * pruning). */
+    * pruning). The batch is CLUSTERED by cent_id first: an unclustered
+    * partitioned write emits one file per (write task × cell) — at
+    * 2^11 cells × 32 tasks that is ~65k splinter files per batch,
+    * and the read-side listing of them was measured DOMINATING the
+    * serve ladder's 100× rung. Clustering costs one batch-sized
+    * (never corpus-sized) shuffle per encode and yields one file per
+    * cell, which is what keeps the serving scan's file count — and
+    * the driver's listing — proportional to cells, not to
+    * tasks×cells. */
   private[graft] def writeCodes(codes: DataFrame, path: String,
       batchId: Long): Unit =
-    codes.write.partitionBy("cent_id").mode("overwrite")
+    codes.repartition(col("cent_id"))
+      .write.partitionBy("cent_id").mode("overwrite")
       .parquet(s"$path/codes/batch_id=$batchId")
 
   /** (qid, lut): each query's integer-scaled ADC lookup table as ONE
@@ -397,9 +424,7 @@ object Pq {
         transform(col("v0"), x => x / col("nrm")))
         .otherwise(col("v0")))
       .select(col("qid"),
-        array((0 until M).map(s =>
-          call_function("graft_pq_lut", lit(s.toLong),
-            slice(col("vn"), s * SubDim + 1, SubDim), cvsL, bbsL)): _*)
+        call_function("graft_pq_lut_all", col("vn"), cvsL, bbsL)
           .as("lut"))
 
   /** Shared top-k ranking: (qid, vec_id, dist) → rank ≤ k, the
@@ -459,33 +484,34 @@ object Pq {
       queryMod: Int = LlmSim.QueryMod): DataFrame = {
     val sims = LlmSim.trainedSims(embeddings, exactFold, cellDims,
       n = nprobe)
-    val corpusCells = sims.filter(col("nr") === 1)
-      .select(col("vec_id"), col("cent_id"))
     val probeCells = sims
       .filter(col("vec_id") % queryMod === 0 && col("nr") <= nprobe)
       .select(col("vec_id").as("qid"), col("cent_id"))
     val (cvsL, bbsL) = localCodebook(codebook(embeddings, exactFold))
-    val sub = CacheScope.pin(subvecs(embeddings))
-    val codes = assignLocal(sub, cvsL, bbsL)
-      .select(col("vec_id"), col("s"), col("code"))
-      .join(corpusCells, Seq("vec_id"))
-    val lut = sub
-      .filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("s"),
-        posexplode(call_function("graft_pq_lut",
-          col("s"), col("sv"), cvsL, bbsL)).as(Seq("pos", "pd")))
-      .select(col("qid"), col("s"), col("pos").cast("long").as("code"),
-        col("pd"))
-      .join(probeCells, Seq("qid"))
-    val dists = codes.join(broadcast(lut), Seq("cent_id", "s", "code"))
+    // packed scoring (r18, see [[search]]): the corpus rides the
+    // trainedSims frame — (cent_id, vec_id, packed) one row each,
+    // the vn/packing arithmetic identical to [[encodeIndexed]]'s —
+    // then candidates are the probe-cell equi-join and each scores
+    // as one graft_adc call. Bit-identical dists to the (cent_id, s,
+    // code)-join formulation the oracle still spells.
+    val codes = withPacked(
+      sims.filter(col("nr") === 1)
+        .select(col("vec_id"), col("cent_id"), col("v"), col("norm"))
+        .withColumn("vn", when(col("norm") > 0,
+          transform(col("v"), x => x / col("norm")))
+          .otherwise(col("v"))),
+      col("vn"), cvsL, bbsL)
+      .select(col("vec_id"), col("cent_id"), col("packed"))
+    val q = queryLuts(
+      embeddings.filter(col("vec_id") % queryMod === 0), cvsL, bbsL)
+    val dists = codes
+      .join(broadcast(probeCells), Seq("cent_id"))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(round(sum(col("pd")) / lit(1e9), 6).as("dist"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("dist").asc, col("vec_id").asc)
-    dists.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("dist"), col("rank"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(call_function("graft_adc", col("packed"), col("lut"))
+          / lit(1e9), 6).as("dist"))
+    rankTopK(dists, k)
   }
 
   /** Freeze a codebook trained on `bootstrap` to `path/codebook`,
@@ -566,11 +592,40 @@ object Pq {
     // bounded by construction: ≤ 2^cellDims distinct cells exist
     val probedIds = probeCells.select(col("cent_id")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val codes = readCodes(spark, path)
-      .filter(col("cent_id").isin(probedIds: _*))
+    // Open the probed directories DIRECTLY instead of filtering a
+    // whole-table read: path-based partition discovery LISTS every
+    // cent_id= directory before pruning, and with cells ∝ corpus
+    // (the k-grows-with-N rule) that listing was the serve ladder's
+    // remaining O(cells) term — measured 3× from 1× to 100× on
+    // queries whose probed membership stayed flat. Enumerating
+    // batch dirs (O(batches)) × probed cells (O(Q·nprobe) existence
+    // probes) keeps the ENTIRE query path proportional to what it
+    // reads. (A metastore-backed deployment gets this from catalog
+    // partition pruning; on a bare filesystem the constructed paths
+    // are the equivalent.) `basePath` keeps batch_id/cent_id as
+    // partition columns of the subdirectory reads.
+    val fs = fsOf(spark, path)
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val probedDirs =
+      if (!fs.exists(codesRoot)) Seq.empty[String]
+      else for {
+        b <- fs.listStatus(codesRoot).toSeq
+        if b.isDirectory && b.getPath.getName.startsWith("batch_id=")
+        c <- probedIds
+        dir = new org.apache.hadoop.fs.Path(b.getPath, s"cent_id=$c")
+        if fs.exists(dir)
+      } yield dir.toString
+    val codes =
+      if (probedDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          codesTableSchema)
+      else spark.read.option("basePath", s"$path/codes")
+        .schema(codesTableSchema).parquet(probedDirs: _*)
+    val prunedCodes = codes
       .select(col("vec_id"), col("cent_id"), col("packed"))
     val q = queryLuts(queries, cvsL, bbsL)
-    val dists = codes
+    val dists = prunedCodes
       .join(broadcast(probeCells), Seq("cent_id"))
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(q), Seq("qid"))

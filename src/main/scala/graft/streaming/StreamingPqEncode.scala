@@ -9,9 +9,10 @@ import graft.operators.Pq
 /** Streaming PQ encoding against a FROZEN codebook — the steady-state
   * loop of a compressed vector store: [[graft.operators.Pq.freeze]]
   * trains once from a bootstrap corpus, then every arriving batch is
-  * byte-encoded map-only (no shuffle, O(batch)) and appended to the
-  * codes table, while a per-batch DRIFT row tracks mean reconstruction
-  * error against the bootstrap baseline.
+  * byte-encoded (one map-only kernel pass + one BATCH-sized clustering
+  * shuffle for the per-cell file layout — never corpus-sized work)
+  * and appended to the codes table, while a per-batch DRIFT row
+  * tracks mean reconstruction error against the bootstrap baseline.
   *
   * The drift signal is the operational half of PQ that toy demos skip:
   * a frozen codebook quantizes tomorrow's distribution with yesterday's

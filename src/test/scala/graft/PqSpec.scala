@@ -133,6 +133,48 @@ class PqSpec extends GraftSuite {
     }
   }
 
+  test("fused whole-vector kernels (graft_pq_pack / graft_pq_lut_all) " +
+      "equal the per-subspace kernels bit-for-bit") {
+    val (cvsL, bbsL) = Pq.localCodebook(Pq.codebook(embs))
+    def gd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      call_function("graft_dot", a, b)
+    val rows = embs
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(gd(col("v"), col("v"))))
+      .withColumn("vn", when(col("nrm") > 0,
+        transform(col("v"), x => x / col("nrm"))).otherwise(col("v")))
+      .withColumn("pk", call_function("graft_pq_pack",
+        col("vn"), cvsL, bbsL))
+      .withColumn("la", call_function("graft_pq_lut_all",
+        col("vn"), cvsL, bbsL))
+      .withColumn("packed_ref",
+        (0 until Pq.M).map(s => shiftleft(
+          call_function("graft_pq_assign", lit(s.toLong),
+            slice(col("vn"), s * Pq.SubDim + 1, Pq.SubDim), cvsL, bbsL)
+            .getField("code"), 8 * s)).reduce(_ bitwiseOR _))
+      .withColumn("l2sq_ref",
+        (0 until Pq.M).map(s =>
+          call_function("graft_pq_assign", lit(s.toLong),
+            slice(col("vn"), s * Pq.SubDim + 1, Pq.SubDim), cvsL, bbsL)
+            .getField("l2sq")).reduce(_ + _))
+      .withColumn("lut_ref", array((0 until Pq.M).map(s =>
+        call_function("graft_pq_lut", lit(s.toLong),
+          slice(col("vn"), s * Pq.SubDim + 1, Pq.SubDim),
+          cvsL, bbsL)): _*))
+      .select(col("pk.packed").as("packed"), col("packed_ref"),
+        col("pk.l2sq_sum").as("l2sq_sum"), col("l2sq_ref"),
+        col("la"), col("lut_ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("packed") == r.getAs[Long]("packed_ref"))
+      assert(r.getAs[Double]("l2sq_sum") == r.getAs[Double]("l2sq_ref"))
+      assert(r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]]("la")
+        == r.getAs[scala.collection.Seq[scala.collection.Seq[Long]]](
+          "lut_ref"))
+    }
+  }
+
   test("searchIvf: candidates come only from probed cells, distances " +
       "equal the full ADC search, ranks well-formed") {
     val out = Pq.searchIvf(embs).collect()
