@@ -910,9 +910,10 @@ object ScaleProbe {
         t("pairs")(println(s"embpqstage n_pairs=${pairs.count()}"))
         val sdcSq = call_function("graft_sdc", col("pa"), col("pb"),
           cvsL, bbsL)
+        // the r18 RAW keep rule (see dedupEmbedPq scaladoc: the +e²
+        // debias over-penalized correlated-residual true pairs)
         val cand = pairs.filter(
-          lit(1.0) - (sdcSq + col("ea") * col("ea") +
-            col("eb") * col("eb")) / 2 >=
+          lit(1.0) - sdcSq / 2 >=
             lit(LlmSim.EmbedDupThreshold - 0.2))
           .select(col("id_a"), col("id_b"))
         t("prefilter")(println(s"embpqstage n_kept=${cand.count()}"))

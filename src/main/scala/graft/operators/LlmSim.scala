@@ -176,22 +176,29 @@ object LlmSim {
     *    every non-dup; the isotropic noise fixture (e ≈ 0.6) prunes
     *    ~nothing, leaving this mode strictly slower there — which the
     *    ladder measures honestly rather than hiding.
-    *  - `exactBound = false`: prune by the DEBIASED SDC estimate
-    *    cos ≈ 1 − (sdc² + e_a² + e_b²)/2 at `margin` slack below the
-    *    threshold. The sign matters and was measured the hard way:
-    *    reconstructions are SHORTER than the unit originals
-    *    (quantizers shrink toward centroids), so ‖q_a − q_b‖² sits
-    *    ~e_a²+e_b² BELOW the true ‖â−b̂‖² on independent residuals —
-    *    E‖â−b̂‖² = ‖q_a−q_b‖² + ‖r_a‖² + ‖r_b‖² — and ADDING the
-    *    energies recenters the estimate (subtracting them instead
-    *    inflated every pair to near-dup: the 100× probe kept
-    *    99.998% of 197M pairs and spent 496 s fetching floats).
-    *    Not lossless: a true pair whose estimate falls below
-    *    threshold − margin is missed; the spec AUDITS the fixture
+    *  - `exactBound = false`: prune by the RAW SDC estimate
+    *    cos ≈ 1 − sdc²/2 at `margin` slack below the threshold.
+    *    Estimator history, both signs measured the hard way: for a
+    *    RANDOM pair the unbiased estimate adds the reconstruction
+    *    energies (E‖â−b̂‖² = ‖q_a−q_b‖² + ‖r_a‖² + ‖r_b‖² on
+    *    independent residuals — subtracting them instead kept
+    *    99.998% of 197M pairs at the 100× rung), and r17 shipped that
+    *    +e² debias. But the keep rule's job is recall on TRUE pairs,
+    *    and a true near-dup's residuals are CORRELATED (â ≈ b̂ means
+    *    the quantizer errs the same way on both: r_a ≈ r_b cancels in
+    *    the difference), so for exactly the pairs that must survive,
+    *    sdc ≈ the true distance and the +e² debias over-penalizes
+    *    them by ~e_a²+e_b². Invisible at 64 dims (e² ≈ 0.35 against
+    *    a 0.2 margin still left fixture recall 1.0); FATAL at high
+    *    reconstruction error — the 768-dim probe measured recall 0/4
+    *    under the debias, 4/4 raw. Raw's cost is keep-rate on random
+    *    pairs (it overestimates their cos by ~(e_a²+e_b²)/2), which
+    *    the exact verify absorbs as wasted fetches, never as a wrong
+    *    pair. Not lossless: a true pair whose raw estimate falls
+    *    below threshold − margin is missed (only possible when
+    *    residuals DON'T fully cancel); the spec AUDITS the fixture
     *    recall vs [[dedupEmbed]], and the ladder times this as the
-    *    scale path (survivor fetch is a small fraction of the pair
-    *    volume, so the 100× rung drops the per-pair 64-dim dot from
-    *    the critical path). */
+    *    scale path. */
   /** `dims` must equal the embedding column's dimension (default: the
     * house 64-dim fixture layout). The PQ slicer would otherwise
     * silently quantize only a PREFIX of each vector — codes, error
@@ -242,8 +249,7 @@ object LlmSim {
             lit(1e-3), lit(0.0))
         lit(1.0) - lb * lb / 2 >= lit(EmbedDupThreshold - 1e-6)
       } else
-        lit(1.0) - (sdcSq + col("ea") * col("ea") +
-          col("eb") * col("eb")) / 2 >= lit(EmbedDupThreshold - margin)
+        lit(1.0) - sdcSq / 2 >= lit(EmbedDupThreshold - margin)
     val cand = a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))
       .filter(keep)
