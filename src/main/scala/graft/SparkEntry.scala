@@ -71,10 +71,11 @@ object SparkEntry {
     // free of the oracle's vec_id-ordered training fold
     "llm_pq_search_prod",
     "llm_ivfpq_search_prod",
-    // the STORED-index serving path (freeze+encode once — the ready
+    // the STORED-index serving paths (freeze+encode once — the ready
     // marker makes reps 2+ time the query alone, which is the number
     // that matters: rep 1 pays the one-off build)
     "llm_ivfpq_index",
+    "llm_pq_index",
     "llm_semdedup",
     "llm_textstats",
     "llm_contamination",

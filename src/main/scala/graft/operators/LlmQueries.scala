@@ -103,6 +103,18 @@ object LlmQueries {
         org.apache.spark.sql.functions.col("vec_id")
           % LlmSim.QueryMod === 0), path)
     }),
+    // the stored FULL-SCAN twin (no coarse pruning — the recall-exact
+    // fallback a deployment keeps for small/critical query sets);
+    // shares the same built index, pinned ≡ Pq.search so it rides
+    // llm_pq_search's oracle
+    "llm_pq_index" -> ((s, d) => {
+      val e = embs(s, d)
+      val path = indexPath(s, d)
+      Pq.buildIndexIfAbsent(s, e, path)
+      Pq.searchIndex(s, e.filter(
+        org.apache.spark.sql.functions.col("vec_id")
+          % LlmSim.QueryMod === 0), path)
+    }),
     "llm_dedup_embed" -> ((s, d) => LlmSim.dedupEmbed(embs(s, d))),
     // exact-bound PQ prefilter: provably identical output, so it
     // shares llm_dedup_embed's oracle verbatim
@@ -188,9 +200,10 @@ object LlmQueries {
     "llm_pq_encode" -> PqSql.encodeSql,
     "llm_pq_search" -> PqSql.searchSql,
     "llm_ivfpq_search" -> PqSql.searchIvfSql,
-    // the stored-index serving path returns the SAME rows as the
-    // in-memory searchIvf by spec pin, so the same oracle checks it
+    // the stored-index serving paths return the SAME rows as their
+    // in-memory twins by spec pin, so the same oracles check them
     "llm_ivfpq_index" -> PqSql.searchIvfSql,
+    "llm_pq_index" -> PqSql.searchSql,
     "llm_dedup_embed" -> LlmSimSql.dedupEmbedSql,
     // the PQ exact-bound prefilter is output-identical by proof
     // (triangle-inequality prune + identical verify), so the SAME
