@@ -408,12 +408,21 @@ object Pq {
       .write.partitionBy("cent_id").mode("overwrite")
       .parquet(s"$path/codes/batch_id=$batchId")
 
+  /** LUT-broadcast bound for the stored-index serving paths: a query
+    * batch up to this size broadcasts its LUTs (~[[M]]·256·8 B ≈
+    * 16 KB each — ≤ ~32 MB per executor at the bound); a LARGER batch
+    * must not ride one unbounded broadcast (the r17 ADVICE point), so
+    * [[searchIndex]] serves it in hash-split chunks of ≤ this many
+    * queries and [[searchIvfIndex]] switches the LUT join to a
+    * qid-shuffle join (whose exchange the per-query top-k window then
+    * reuses — no extra shuffle vs the broadcast plan). */
+  val MaxBroadcastQueries = 2048
+
   /** (qid, lut): each query's integer-scaled ADC lookup table as ONE
     * array<array<bigint>> column (M rows × 2^SubCellDims), built
     * map-only from the query's normalized vector — the broadcast
-    * payload of the stored-index search paths (~M·256·8 B ≈ 16 KB per
-    * query; a query BATCH must stay bounded, which a serving workload
-    * is — chunk huge offline batches at the caller). */
+    * payload of the stored-index search paths (bounded per
+    * [[MaxBroadcastQueries]]). */
   private def queryLuts(queries: DataFrame, cvsL: Column,
       bbsL: Column): DataFrame =
     queries
@@ -446,19 +455,34 @@ object Pq {
     * sum is bit-identical to the (s, code)-join aggregation in any
     * order); the corpus side is one scan of 8-byte words, one
     * broadcast of the bounded query batch, and the only shuffle is
-    * the per-query top-k window. */
+    * the per-query top-k window.
+    *
+    * A batch larger than `maxBroadcastQueries` serves in hash-split
+    * chunks (pmod(hash(qid)) — each chunk one bounded LUT broadcast,
+    * unioned in a single plan). The Q·N scoring work is intrinsic to
+    * a full scan, so the extra per-chunk passes over the 8-byte codes
+    * amortize into it; what the chunking buys is that NO batch size
+    * can blow the executor-side broadcast memory. Per-qid results are
+    * independent, so the union is exactly the one-broadcast answer. */
   def searchIndex(spark: org.apache.spark.sql.SparkSession,
-      queries: DataFrame, path: String,
-      k: Int = PqTopK): DataFrame = {
+      queries: DataFrame, path: String, k: Int = PqTopK,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
     requireHealed(spark, path)
     val (cvsL, bbsL) = frozenCodebook(spark, path)
     val codes = readCodes(spark, path)
       .select(col("vec_id"), col("packed"))
     val q = queryLuts(queries, cvsL, bbsL)
-    val dists = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(call_function("graft_adc", col("packed"), col("lut"))
-          / lit(1e9), 6).as("dist"))
+    val nChunks = math.max(1, math.ceil(
+      queries.count().toDouble / maxBroadcastQueries).toInt)
+    val dists = (0 until nChunks).map { i =>
+      val qc =
+        if (nChunks == 1) q
+        else q.filter(pmod(hash(col("qid")), lit(nChunks)) === i)
+      codes.join(broadcast(qc), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(call_function("graft_adc", col("packed"), col("lut"))
+            / lit(1e9), 6).as("dist"))
+    }.reduce(_.unionByName(_))
     rankTopK(dists, k)
   }
 
@@ -582,7 +606,8 @@ object Pq {
     * replaces. */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, path: String,
-      k: Int = PqTopK, nprobe: Int = LlmSim.Nprobe): DataFrame = {
+      k: Int = PqTopK, nprobe: Int = LlmSim.Nprobe,
+      maxBroadcastQueries: Int = MaxBroadcastQueries): DataFrame = {
     requireHealed(spark, path)
     val (cIds, cCvs, cNorms) = frozenCoarse(spark, path)
     val (cvsL, bbsL) = frozenCodebook(spark, path)
@@ -625,10 +650,19 @@ object Pq {
     val prunedCodes = codes
       .select(col("vec_id"), col("cent_id"), col("packed"))
     val q = queryLuts(queries, cvsL, bbsL)
+    // LUT broadcast bounded per MaxBroadcastQueries: an oversized
+    // batch joins its LUTs by a qid SHUFFLE join instead — the
+    // exchange it introduces is on the same key as rankTopK's window
+    // partition, so the sort-merge join's shuffle is reused and the
+    // plan stays one-corpus-pass either way. (probeCells stays
+    // broadcast at any Q: its rows are ~16 B pairs, 1000× smaller
+    // than a LUT — a 10⁶-query batch is still tens of MB.)
+    val qJoin =
+      if (queries.count() <= maxBroadcastQueries) broadcast(q) else q
     val dists = prunedCodes
       .join(broadcast(probeCells), Seq("cent_id"))
       .filter(col("vec_id") =!= col("qid"))
-      .join(broadcast(q), Seq("qid"))
+      .join(qJoin, Seq("qid"))
       .select(col("qid"), col("vec_id"),
         round(call_function("graft_adc", col("packed"), col("lut"))
           / lit(1e9), 6).as("dist"))

@@ -194,6 +194,29 @@ class StreamingPqEncodeSpec extends GraftSuite {
         "partition pruning is not happening")
   }
 
+  test("a query batch beyond the LUT-broadcast bound serves " +
+      "identically: searchIndex in hash-split chunks, searchIvfIndex " +
+      "through the qid-shuffle join") {
+    val path = freshPath()
+    Pq.freeze(spark, embs, path)
+    StreamingPqEncode.applyBatch(spark, embs, path, 0L)
+    // every vector queries — far beyond a forced bound of 7, so the
+    // full-scan path splits into many chunks and the IVF path takes
+    // the non-broadcast LUT join
+    val fullWant = Pq.searchIndex(spark, embs, path)
+      .collect().map(_.toSeq).toSet
+    val fullGot = Pq.searchIndex(spark, embs, path,
+      maxBroadcastQueries = 7).collect().map(_.toSeq).toSet
+    assert(fullGot === fullWant,
+      "chunked full-scan serving must equal the one-broadcast answer")
+    val ivfWant = Pq.searchIvfIndex(spark, embs, path)
+      .collect().map(_.toSeq).toSet
+    val ivfGot = Pq.searchIvfIndex(spark, embs, path,
+      maxBroadcastQueries = 7).collect().map(_.toSeq).toSet
+    assert(ivfGot === ivfWant,
+      "shuffle-join LUT serving must equal the broadcast answer")
+  }
+
   test("a degenerate vector in a directly-applied batch is dropped, " +
       "not a poison pill: the replay completes and stores finite " +
       "rows only") {
