@@ -29,7 +29,8 @@ object ScaleProbe {
       Set("rco", "emb", "text", "fleet", "ingest", "vecingest", "temporal",
         "curation", "layout", "analytics", "pagerank", "dfcap", "resolve",
         "ganttprof", "cooccur", "basketcap", "simscale", "recall",
-        "ngramstage", "embpqstage", "serve", "recallc", "embpq768")
+        "ngramstage", "embpqstage", "serve", "recallc", "embpq768",
+        "compactserve")
     val sections = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(knownSections)
@@ -977,6 +978,69 @@ object ScaleProbe {
             f"${(System.nanoTime() - t1) / 1e9}%8.2f s")
         }
       }
+    }
+
+    // Compaction rung (round 18): a long-lived STREAMED index accrues
+    // one dir per batch, so probe enumeration is O(batches × probed
+    // cells) and each cell's membership splinters across one file per
+    // batch — after the per-cell clustering fix, batch count is the
+    // remaining multiplier on the serving scan's file count. Build the
+    // 10× corpus as 64 streamed chops, serve, Pq.compact, serve again:
+    // the query must get FASTER (≈64× fewer files per probed cell) and
+    // the answer must not change.
+    if (sections("compactserve")) {
+      val nB = 64
+      val dir = "/tmp/graft_scale_cserve_corpus"
+      embAtUnique(10).write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      val queries = embBase
+        .filter(col("vec_id") % LlmSim.QueryMod === 0)
+        .select(col("vec_id"), col("embedding"))
+      val idx = "/tmp/graft_scale_cserve_idx"
+      val fsP = new org.apache.hadoop.fs.Path(idx)
+      val fsh = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsh.delete(fsP, true)
+      val grown = LlmSim.IvfDims + 4 // the serve rung's k ∝ N rule, 10×
+      Pq.freeze(spark, corpus, idx, exactFold = false, cellDims = grown)
+      val t0 = System.nanoTime()
+      for (b <- 0 until nB)
+        graft.streaming.StreamingPqEncode.applyBatch(spark,
+          corpus.filter(pmod(col("vec_id"), lit(nB)) === b),
+          idx, b.toLong)
+      println(f"cserve build($nB%d chops) " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+        s"vecs=${corpus.count()} cellDims=$grown")
+      def codeFiles(): Int = {
+        val it = fsh.listFiles(
+          new org.apache.hadoop.fs.Path(s"$idx/codes"), true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+      def serve(tag: String): Long = {
+        var sig = 0L
+        for (rep <- 1 to 2) {
+          val t1 = System.nanoTime()
+          val rows = Pq.searchIvfIndex(spark, queries, idx)
+            .agg(count(lit(1)), sum(col("vec_id"))).collect()
+          println(f"cserve ${tag}_q$rep " +
+            f"${(System.nanoTime() - t1) / 1e9}%8.2f s")
+          sig = rows.head.getLong(1)
+        }
+        sig
+      }
+      println(s"cserve files_before=${codeFiles()}")
+      val sigBefore = serve("batched")
+      val t2 = System.nanoTime()
+      Pq.compact(spark, idx)
+      println(f"cserve compact " +
+        f"${(System.nanoTime() - t2) / 1e9}%8.2f s")
+      println(s"cserve files_after=${codeFiles()}")
+      val sigAfter = serve("compacted")
+      require(sigBefore == sigAfter,
+        s"compaction changed the answer: $sigBefore != $sigAfter")
     }
 
     // Clustered-corpus recall frontier (VERDICT r18 #6): R7's

@@ -759,17 +759,85 @@ object Pq {
     fs.delete(staging, true)
   }
 
-  /** Read paths refuse a committed-but-unswapped migration: serving
-    * a half-swapped index would mix codes of one book with the other
-    * book's LUTs. (An UNcommitted staging is fine — the live
-    * components are untouched.) */
+  /** Merge every stored batch into ONE reserved corpus batch
+    * ([[CorpusBatchId]]) — the maintenance pass a long-lived streamed
+    * index needs: [[searchIvfIndex]]'s driver-side probe enumeration
+    * is O(batch dirs × probed cells), so after months of streaming
+    * the BATCH-DIR COUNT — not the data — becomes the per-query
+    * constant (and each cell's membership splinters across one file
+    * per batch). Compaction rewrites N batch dirs as one — a single
+    * corpus-sized cent_id-clustered shuffle, the same linear cost as
+    * the encodes that produced them — staged under `path/_compact`
+    * behind a `_COMMIT` marker and crash-healed from any
+    * interleaving, the [[migrate]] discipline. UNLIKE migrate it
+    * touches ONLY the codes table: books and baseline stand, so
+    * drift rows stay meaningful and are KEPT, and the `_applied`
+    * markers are KEPT — a replayed stream batch must STILL no-op,
+    * because its rows now live in the compacted dir and re-applying
+    * would duplicate them. Same single-writer maintenance contract
+    * as [[migrate]]: quiesce the encode stream around the call. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    healMigration(spark, path)
+    healCompaction(spark, path)
+    val fs = fsOf(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_compact")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    writeCodes(
+      readCodes(spark, path)
+        .select(col("vec_id"), col("cent_id"), col("sim_r"),
+          col("packed"), col("l2sq_sum")),
+      staging.toString, CorpusBatchId)
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_COMMIT"), true)
+      .close()
+    commitCompaction(spark, path)
+  }
+
+  /** Finish or discard a crashed [[compact]]: committed staging →
+    * complete the codes swap; uncommitted → delete it (the live
+    * codes are intact). No-op when no staging exists. */
+  def healCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_compact")
+    if (!fs.exists(staging)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_COMMIT")))
+      commitCompaction(spark, path)
+    else fs.delete(staging, true)
+  }
+
+  private def commitCompaction(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/_compact")
+    val src = new org.apache.hadoop.fs.Path(staging, "codes")
+    // absent = already swapped by a previous (crashed) commit pass
+    if (fs.exists(src)) {
+      val dest = new org.apache.hadoop.fs.Path(path, "codes")
+      if (fs.exists(dest)) fs.delete(dest, true)
+      fs.rename(src, dest)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Read paths refuse a committed-but-unswapped migration or
+    * compaction: serving a half-swapped index would mix codes of one
+    * book with the other book's LUTs (migration) or serve a corpus
+    * with its codes dir mid-replacement (compaction). (An UNcommitted
+    * staging is fine — the live components are untouched.) */
   private def requireHealed(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit =
+      path: String): Unit = {
     if (fsOf(spark, path).exists(
         new org.apache.hadoop.fs.Path(s"$path/_migrate/_COMMIT")))
       throw new IllegalStateException(
         s"PQ index at $path has a committed but unapplied migration " +
           "— run Pq.healMigration(spark, path) first")
+    if (fsOf(spark, path).exists(
+        new org.apache.hadoop.fs.Path(s"$path/_compact/_COMMIT")))
+      throw new IllegalStateException(
+        s"PQ index at $path has a committed but unapplied compaction " +
+          "— run Pq.healCompaction(spark, path) first")
+  }
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession,
       path: String): org.apache.hadoop.fs.FileSystem =

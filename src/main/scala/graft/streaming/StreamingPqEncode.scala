@@ -77,14 +77,27 @@ object StreamingPqEncode {
   /** Encode one batch against the frozen books at `path`, write
     * packed+celled codes and the drift row idempotently, return the
     * codes written (read back from the table on a fast-path replay,
-    * so `emit` sees identical rows either way). */
+    * so `emit` sees identical rows either way — except a replay
+    * AFTER [[graft.operators.Pq.compact]] merged this batch's dir
+    * into the corpus batch, which returns the EMPTY frame: the rows
+    * were emitted when first applied, the marker still skips the
+    * write, and nothing can duplicate). */
   def applyBatch(spark: SparkSession, batch: DataFrame, path: String,
       batchId: Long,
       retrainRatio: Double = RetrainRatio): DataFrame = {
     Pq.healMigration(spark, path)
+    Pq.healCompaction(spark, path)
     val codesDir = s"$path/codes/batch_id=$batchId"
-    def readBack: DataFrame =
-      spark.read.schema(Pq.batchCodesSchema).parquet(codesDir)
+    def readBack: DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(codesDir)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(p))
+        spark.read.schema(Pq.batchCodesSchema).parquet(codesDir)
+      else // compacted away: applied, rows live in the corpus batch
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          Pq.batchCodesSchema)
+    }
     if (applied(spark, path, batchId)) return readBack
     val (cvsL, bbsL) = Pq.frozenCodebook(spark, path)
     val (cIds, cCvs, cNorms) = Pq.frozenCoarse(spark, path)

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
 import graft.operators.{LlmSim, Pq}
 import graft.streaming.StreamingPqEncode
 
-/** [[Pq.migrate]] — the retrain+re-encode path the drift monitor's
-  * flag calls for: post-migration equivalence with a fresh index,
-  * the drift thermometer resetting, and the crash windows of the
-  * staged commit (uncommitted → discard; committed → heal finishes
-  * the swap from any interleaving; read paths refuse a half-swapped
-  * index). */
+/** [[Pq.migrate]] and [[Pq.compact]] — the stored index's two
+  * maintenance passes: migrate is the retrain+re-encode the drift
+  * monitor's flag calls for (post-migration equivalence with a fresh
+  * index, the drift thermometer resetting), compact merges the
+  * accumulated stream-batch dirs into the reserved corpus batch
+  * (serving unchanged, replay markers preserved). Both share the
+  * staged-commit discipline whose crash windows are replayed here:
+  * uncommitted → discard; committed → heal finishes the swap from
+  * any interleaving; read paths refuse a half-swapped index. */
 class PqMigrateSpec extends GraftSuite {
 
   private lazy val embs =
@@ -95,6 +98,95 @@ class PqMigrateSpec extends GraftSuite {
     Pq.healMigration(spark, path)
     assert(!fs(path).exists(
       new org.apache.hadoop.fs.Path(s"$path/_migrate")))
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === before)
+  }
+
+  test("compact merges every batch dir into the corpus batch: serving " +
+      "is unchanged, drift rows and applied markers survive, and a " +
+      "replayed batch still no-ops") {
+    val path = freshPath()
+    Pq.freeze(spark, embs, path)
+    val b0 = embs.filter(col("vec_id") < 150)
+    val b1 = embs.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+    val b2 = embs.filter(col("vec_id") >= 300)
+    StreamingPqEncode.applyBatch(spark, b0, path, 0L)
+    StreamingPqEncode.applyBatch(spark, b1, path, 1L)
+    StreamingPqEncode.applyBatch(spark, b2, path, 2L)
+    val beforeIvf = topk(Pq.searchIvfIndex(spark, queries, path))
+    val beforeFull = topk(Pq.searchIndex(spark, queries, path))
+    val rowsBefore = Pq.readCodes(spark, path)
+      .select("vec_id", "cent_id", "sim_r", "packed", "l2sq_sum")
+      .collect().map(_.toSeq).toSet
+
+    Pq.compact(spark, path)
+
+    val table = Pq.readCodes(spark, path)
+    assert(table.select("batch_id").distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(Pq.CorpusBatchId),
+      "one reserved corpus batch after compaction")
+    assert(table.select("vec_id", "cent_id", "sim_r", "packed",
+      "l2sq_sum").collect().map(_.toSeq).toSet === rowsBefore,
+      "compaction moves rows, never changes them")
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === beforeIvf)
+    assert(topk(Pq.searchIndex(spark, queries, path)) === beforeFull)
+    // books/baseline untouched → drift rows stay meaningful and stay
+    assert(spark.read.parquet(s"$path/drift").count() == 3)
+    // a replayed applied batch must STILL no-op (its rows live in the
+    // corpus batch now): marker survives, nothing re-writes, the
+    // replay returns the empty frame
+    assert(fs(path).exists(new org.apache.hadoop.fs.Path(
+      s"$path/_applied/pqenc_1")))
+    assert(StreamingPqEncode.applyBatch(spark, b1, path, 1L)
+      .count() == 0)
+    assert(Pq.readCodes(spark, path).count() == embs.count(),
+      "the replay wrote nothing")
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === beforeIvf)
+  }
+
+  test("a COMMITTED crashed compaction blocks reads until healed and " +
+      "heals to the compacted index; an uncommitted one is discarded") {
+    val path = freshPath()
+    Pq.freeze(spark, embs, path)
+    StreamingPqEncode.applyBatch(spark,
+      embs.filter(col("vec_id") < 250), path, 0L)
+    StreamingPqEncode.applyBatch(spark,
+      embs.filter(col("vec_id") >= 250), path, 1L)
+    val before = topk(Pq.searchIvfIndex(spark, queries, path))
+
+    // uncommitted crash: staged codes, no _COMMIT → discarded, the
+    // live two-batch table serves on
+    Pq.writeCodes(
+      Pq.readCodes(spark, path).select(col("vec_id"), col("cent_id"),
+        col("sim_r"), col("packed"), col("l2sq_sum")),
+      s"$path/_compact", Pq.CorpusBatchId)
+    Pq.healCompaction(spark, path)
+    assert(!fs(path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/_compact")))
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === before)
+    assert(Pq.readCodes(spark, path).select("batch_id").distinct()
+      .count() == 2, "uncommitted staging discarded, batches intact")
+
+    // committed mid-swap crash: staging committed and the live codes
+    // dir already deleted — the worst interleaving
+    Pq.writeCodes(
+      Pq.readCodes(spark, path).select(col("vec_id"), col("cent_id"),
+        col("sim_r"), col("packed"), col("l2sq_sum")),
+      s"$path/_compact", Pq.CorpusBatchId)
+    fs(path).create(new org.apache.hadoop.fs.Path(
+      s"$path/_compact/_COMMIT"), true).close()
+    fs(path).delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    val ex = intercept[IllegalStateException] {
+      Pq.searchIvfIndex(spark, queries, path).collect()
+    }
+    assert(ex.getMessage.contains("healCompaction"))
+    Pq.healCompaction(spark, path)
+    assert(!fs(path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/_compact")))
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === before)
+    assert(Pq.readCodes(spark, path).select("batch_id").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(Pq.CorpusBatchId))
+    // healing is idempotent
+    Pq.healCompaction(spark, path)
     assert(topk(Pq.searchIvfIndex(spark, queries, path)) === before)
   }
 
