@@ -781,6 +781,9 @@ object Pq {
     healMigration(spark, path)
     healCompaction(spark, path)
     val fs = fsOf(spark, path)
+    // books frozen but nothing streamed yet: nothing to compact
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes")))
+      return
     val staging = new org.apache.hadoop.fs.Path(s"$path/_compact")
     if (fs.exists(staging)) fs.delete(staging, true)
     writeCodes(

@@ -147,6 +147,10 @@ class PqMigrateSpec extends GraftSuite {
       "heals to the compacted index; an uncommitted one is discarded") {
     val path = freshPath()
     Pq.freeze(spark, embs, path)
+    // books frozen, nothing streamed yet: compact is a clean no-op
+    Pq.compact(spark, path)
+    assert(!fs(path).exists(
+      new org.apache.hadoop.fs.Path(s"$path/codes")))
     StreamingPqEncode.applyBatch(spark,
       embs.filter(col("vec_id") < 250), path, 0L)
     StreamingPqEncode.applyBatch(spark,
