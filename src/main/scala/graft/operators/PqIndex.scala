@@ -756,6 +756,10 @@ object Pq {
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/drift"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_applied"), true)
+    // the compaction bound indexes the RETIRED batch-id space — a new
+    // stream's ids restart at 0 and must not be refused against it
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_compacted_through"),
+      true)
     fs.delete(staging, true)
   }
 
@@ -786,14 +790,46 @@ object Pq {
       return
     val staging = new org.apache.hadoop.fs.Path(s"$path/_compact")
     if (fs.exists(staging)) fs.delete(staging, true)
+    val all = readCodes(spark, path)
+    // the highest stream batch id merged — swapped in WITH the codes:
+    // `_applied` markers are prunable (Ledger.prune keeps the newest
+    // K), and pre-compaction that was safe because a marker-less
+    // replay rewrote its own batch dir with identical content. After
+    // compaction the batch dir is GONE, so a marker-less replay would
+    // re-write its rows NEXT TO the compacted copy — duplicates. The
+    // durable `_compacted_through` bound makes [[graft.streaming
+    // .StreamingPqEncode.applyBatch]] refuse ids at or below it no
+    // matter what happened to the markers. (One-row driver agg;
+    // [[migrate]] deletes the bound with `_applied` — it retires the
+    // whole batch-id space.)
+    val maxBatch = all.agg(max(col("batch_id"))).collect()
+      .head.getLong(0)
     writeCodes(
-      readCodes(spark, path)
-        .select(col("vec_id"), col("cent_id"), col("sim_r"),
-          col("packed"), col("l2sq_sum")),
+      all.select(col("vec_id"), col("cent_id"), col("sim_r"),
+        col("packed"), col("l2sq_sum")),
       staging.toString, CorpusBatchId)
+    val thr = new org.apache.hadoop.fs.Path(staging, "_compacted_through")
+    fs.mkdirs(thr)
+    fs.create(new org.apache.hadoop.fs.Path(thr, maxBatch.toString),
+      true).close()
     fs.create(new org.apache.hadoop.fs.Path(staging, "_COMMIT"), true)
       .close()
     commitCompaction(spark, path)
+  }
+
+  /** The highest batch id a committed [[compact]] has merged into the
+    * corpus batch, if any — stream batch ids at or below this must
+    * never re-apply (their rows live in the compacted dir and their
+    * `_applied` markers may have been pruned). */
+  private[graft] def compactedThrough(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] = {
+    val fs = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_compacted_through")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .maxOption
   }
 
   /** Finish or discard a crashed [[compact]]: committed staging →
@@ -813,12 +849,14 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val fs = fsOf(spark, path)
     val staging = new org.apache.hadoop.fs.Path(s"$path/_compact")
-    val src = new org.apache.hadoop.fs.Path(staging, "codes")
-    // absent = already swapped by a previous (crashed) commit pass
-    if (fs.exists(src)) {
-      val dest = new org.apache.hadoop.fs.Path(path, "codes")
-      if (fs.exists(dest)) fs.delete(dest, true)
-      fs.rename(src, dest)
+    Seq("codes", "_compacted_through").foreach { c =>
+      val src = new org.apache.hadoop.fs.Path(staging, c)
+      // absent = already swapped by a previous (crashed) commit pass
+      if (fs.exists(src)) {
+        val dest = new org.apache.hadoop.fs.Path(path, c)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(src, dest)
+      }
     }
     fs.delete(staging, true)
   }

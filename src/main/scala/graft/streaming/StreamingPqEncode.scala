@@ -98,6 +98,12 @@ object StreamingPqEncode {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           Pq.batchCodesSchema)
     }
+    // ids at or below a committed compaction's bound NEVER re-apply,
+    // even if Ledger.prune collected their `_applied` markers: their
+    // rows live in the compacted corpus batch, and a re-write here
+    // would duplicate them beside it
+    if (Pq.compactedThrough(spark, path).exists(batchId <= _))
+      return readBack
     if (applied(spark, path, batchId)) return readBack
     val (cvsL, bbsL) = Pq.frozenCodebook(spark, path)
     val (cIds, cCvs, cNorms) = Pq.frozenCoarse(spark, path)

@@ -141,6 +141,25 @@ class PqMigrateSpec extends GraftSuite {
     assert(Pq.readCodes(spark, path).count() == embs.count(),
       "the replay wrote nothing")
     assert(topk(Pq.searchIvfIndex(spark, queries, path)) === beforeIvf)
+    // ...and the no-op must survive marker PRUNING (Ledger.prune may
+    // collect old pqenc markers): the compaction bound, swapped in
+    // with the codes, refuses the id outright
+    assert(Pq.compactedThrough(spark, path) === Some(2L))
+    fs(path).delete(new org.apache.hadoop.fs.Path(
+      s"$path/_applied/pqenc_1"), false)
+    assert(StreamingPqEncode.applyBatch(spark, b1, path, 1L)
+      .count() == 0)
+    assert(Pq.readCodes(spark, path).count() == embs.count(),
+      "a marker-pruned replay of a compacted batch wrote nothing")
+    assert(topk(Pq.searchIvfIndex(spark, queries, path)) === beforeIvf)
+    // migrate retires the whole batch-id space — the compaction bound
+    // must go with the markers, or a NEW stream's batch 0 would be
+    // silently refused
+    Pq.migrate(spark, embs, path)
+    assert(Pq.compactedThrough(spark, path) === None)
+    assert(StreamingPqEncode.applyBatch(spark, b1, path, 1L)
+      .count() == b1.count(),
+      "post-migration the id space is fresh and batch 1 applies")
   }
 
   test("a COMMITTED crashed compaction blocks reads until healed and " +
