@@ -305,6 +305,18 @@ object GraftFunctions {
           literalInt("graft_ivf_topn(..., n)", exprs, 5))
       })
 
+  /** `graft_ed1(a, b)` — exact `levenshtein(a, b, 1)` equivalent
+    * (0 / 1 / -1) without the banded DP ([[Ed1]]). */
+  val ed1: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_ed1"),
+      new ExpressionInfo(classOf[Ed1].getCanonicalName, "graft_ed1"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2,
+          s"graft_ed1(a, b) takes exactly two arguments, got ${exprs.size}")
+        Ed1(exprs.head, exprs(1))
+      })
+
   /** `graft_nfc(text)` — Unicode NFC normalization
     * ([[NfcNormalize]]). */
   val nfcNormalize: (FunctionIdentifier, ExpressionInfo,
@@ -341,6 +353,7 @@ object GraftFunctions {
     ext.injectFunction(mightContain)
     ext.injectFunction(misraGries)
     ext.injectFunction(nfcNormalize)
+    ext.injectFunction(ed1)
     ext.injectFunction(pqAssign)
     ext.injectFunction(pqLut)
     ext.injectFunction(pqSdc)

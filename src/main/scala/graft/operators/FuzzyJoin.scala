@@ -292,6 +292,15 @@ object FuzzyJoin {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Exact thresholded distance for the verify step: the banded-DP
+    * built-in in general, the allocation-free [[graft.functions.Ed1]]
+    * kernel at k=1 (same 0/1/-1 contract — Ed1Spec pins the
+    * equivalence; the r18 probe measured the DP at ~2.4 µs/pair,
+    * the largest single term of cls_fuzzy_join). */
+  private def thresholdDist(a: Column, b: Column, k: Int): Column =
+    if (k == 1) call_function("graft_ed1", a, b)
+    else levenshtein(a, b, k)
+
   private def deletionSelfJoin(df: DataFrame, idCol: String,
       strCol: String, keysOf: Column => Column, k: Int,
       denseGuard: String = "off", denseRatio: Double = 32.0,
@@ -302,8 +311,19 @@ object FuzzyJoin {
       .filter(col(idCol).isNotNull && col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("str"),
         length(col(strCol)).as("len"))
-    val keys = base.select(col("id"), col("str"), col("len"),
-      explode(keysOf(col("str"))).as("dkey"))
+    // Int64-hashed deletion keys (r18, guide §2.3 — shuffle fewer
+    // bytes / narrower types): the candidate join needs only key
+    // EQUALITY, so each O(len)-byte deletion key collapses to its
+    // xxhash64 before the exchange, and the row's own string no
+    // longer rides the key frame at all (it used to cross the
+    // exchange len+1 times — once per key). A 64-bit collision can
+    // only ADD a candidate pair, which the exact verify rejects; a
+    // true pair admitted via a collided key was already admitted via
+    // its theorem-guaranteed shared key, so the post-distinct output
+    // is identical (FuzzyJoinSpec differentials).
+    val keys = base.select(col("id"), col("len"),
+        explode(keysOf(col("str"))).as("__dk"))
+      .select(col("id"), col("len"), xxhash64(col("__dk")).as("dkey"))
     if (denseGuard != "off") {
       val rows = base.count()
       val (cand, _) = candidateBound(keys)
@@ -321,18 +341,27 @@ object FuzzyJoin {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
     }
-    val a = keys.select(col("id").as("id_a"), col("str").as("str_a"),
-      col("len").as("len_a"), col("dkey"))
-    val b = keys.select(col("id").as("id_b"), col("str").as("str_b"),
-      col("len").as("len_b"), col("dkey").as("dkey_b"))
-    a.join(b,
+    val a = keys.select(col("id").as("id_a"), col("len").as("len_a"),
+      col("dkey"))
+    val b = keys.select(col("id").as("id_b"), col("len").as("len_b"),
+      col("dkey").as("dkey_b"))
+    // Candidate pairs dedup on IDS ALONE (16 bytes/row through the
+    // distinct exchange instead of ids + both strings); the strings
+    // attach AFTER the distinct — one copy per surviving pair — via
+    // two id-keyed joins against the (id, str) projection.
+    val cand = a.join(b,
         col("dkey") === col("dkey_b") && col("id_a") < col("id_b") &&
           abs(col("len_a") - col("len_b")) <= k)
-      .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("str").as("str_a")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("str").as("str_b")),
+        Seq("id_b"))
       .withColumn("dist",
-        levenshtein(col("str_a"), col("str_b"), k).cast("long"))
-      .filter(col("dist") >= 0) // threshold'd DP: -1 = over k
+        thresholdDist(col("str_a"), col("str_b"), k).cast("long"))
+      .filter(col("dist") >= 0) // threshold'd verify: -1 = over k
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
@@ -344,20 +373,31 @@ object FuzzyJoin {
     * per-key fan-in. NULL ids/strings drop on both sides. */
   def join1(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String): DataFrame = {
-    def keyed(df: DataFrame, id: String, str: String, tag: String)
+    // same r18 restructure as [[deletionSelfJoin]]: hashed keys
+    // through the exchange, ids-only distinct, strings re-attached
+    // once per surviving pair, Ed1 verify
+    def cleaned(df: DataFrame, id: String, str: String, tag: String)
         : DataFrame = df
       .filter(col(id).isNotNull && col(str).isNotNull)
       .select(col(id).as(s"id_$tag"), col(str).as(s"str_$tag"),
-        length(col(str)).as(s"len_$tag"),
-        explode(deletionKeys(col(str))).as("dkey"))
-    keyed(left, leftId, leftStr, "a")
-      .join(keyed(right, rightId, rightStr, "b"), Seq("dkey"))
+        length(col(str)).as(s"len_$tag"))
+    def keyed(df: DataFrame, tag: String): DataFrame = df
+      .select(col(s"id_$tag"), col(s"len_$tag"),
+        explode(deletionKeys(col(s"str_$tag"))).as("__dk"))
+      .select(col(s"id_$tag"), col(s"len_$tag"),
+        xxhash64(col("__dk")).as("dkey"))
+    val la = cleaned(left, leftId, leftStr, "a")
+    val rb = cleaned(right, rightId, rightStr, "b")
+    keyed(la, "a")
+      .join(keyed(rb, "b"), Seq("dkey"))
       .filter(abs(col("len_a") - col("len_b")) <= 1)
-      .select(col("id_a"), col("str_a"), col("id_b"), col("str_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+      .join(la.select(col("id_a"), col("str_a")), Seq("id_a"))
+      .join(rb.select(col("id_b"), col("str_b")), Seq("id_b"))
       .withColumn("dist",
-        levenshtein(col("str_a"), col("str_b"), 1).cast("long"))
-      .filter(col("dist") >= 0) // threshold'd DP: -1 = over 1
+        thresholdDist(col("str_a"), col("str_b"), 1).cast("long"))
+      .filter(col("dist") >= 0) // threshold'd verify: -1 = over 1
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
