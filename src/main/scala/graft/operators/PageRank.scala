@@ -86,16 +86,31 @@ object PageRank {
       val bcast = p.n <= broadcastNodesMax
       var ranks = cut(p.nodes.select(col("node"),
         round(lit(1.0) / lit(p.n), scale).as("r")))
-      (1 to iters).foreach { _ =>
-        // dangling mass: one scalar aggregate per round (opt-in)
-        val dm =
-          if (!redistributeDangling) 0.0
-          else ranks.join(p.outdeg, ranks("node") === p.outdeg("src"),
-              "left_anti")
-            .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
-        val next = cut(iterate(p, ranks, damping, scale, dm, bcast))
+      // Lineage-cut cadence (r18): each cut is an eager action (a
+      // job), so cutting every round costs `iters` job launches for
+      // plans that stay tiny when composed two-deep. Two rounds per
+      // cut halves the launches; the per-round quantization is in the
+      // PLAN, so results are bit-identical regardless of cadence.
+      // Dangling redistribution needs a materialized rank frame per
+      // round (the scalar mass probe), so it keeps cadence 1.
+      val cutEvery = if (redistributeDangling) 1 else 2
+      var done = 0
+      while (done < iters) {
+        val step = math.min(cutEvery, iters - done)
+        var cur = ranks
+        (1 to step).foreach { _ =>
+          // dangling mass: one scalar aggregate per round (opt-in)
+          val dm =
+            if (!redistributeDangling) 0.0
+            else cur.join(p.outdeg, cur("node") === p.outdeg("src"),
+                "left_anti")
+              .agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
+          cur = iterate(p, cur, damping, scale, dm, bcast)
+        }
+        val next = cut(cur)
         CacheScope.release(ranks) // superseded round: free blocks now
         ranks = next
+        done += step
       }
       ranks.select(col("node"), col("r").as("rank"))
     } finally p.release()
@@ -129,13 +144,21 @@ object PageRank {
     val width = math.max(1, math.min(filtered.rdd.getNumPartitions,
       edges.sparkSession.sessionState.conf.numShufflePartitions))
     val (frames, release) = CacheScope.collect {
-      val e = CacheScope.pin(filtered.repartition(width, col("src")))
+      val e0 = filtered.repartition(width, col("src"))
+      val outdeg = CacheScope.pin(e0.groupBy(col("src"))
+        .agg(count(lit(1)).cast("double").as("od")))
+      // out-degree rides INSIDE the cached edge row (r18): the
+      // ranks⋈outdeg join every round used to run before the edge
+      // probe — one extra join (and, in the broadcast shape, one
+      // extra broadcast build) per round for a value that is
+      // round-INVARIANT. Joining it here costs one co-partitioned
+      // join at pin time (outdeg derives from e0's partitioning —
+      // no exchange) and removes the per-round join outright.
+      val e = CacheScope.pin(e0.join(outdeg, Seq("src")))
       val nodes = CacheScope.pin(e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node")))
         .repartition(width, col("node"))
         .distinct())
-      val outdeg = CacheScope.pin(e.groupBy(col("src"))
-        .agg(count(lit(1)).cast("double").as("od")))
       (e, nodes, outdeg)
     }
     val (e, nodes, outdeg) = frames
@@ -156,9 +179,9 @@ object PageRank {
       damping: Double, scale: Int, dm: Double,
       broadcastRanks: Boolean = false): DataFrame = {
     val r = if (broadcastRanks) broadcast(ranks) else ranks
-    val weighted = r.join(p.outdeg, r("node") === p.outdeg("src"))
-    val contrib = (if (broadcastRanks) broadcast(weighted) else weighted)
-      .join(p.e, Seq("src"))
+    // od is pre-joined into the cached edge row (see pin), so a round
+    // is ONE rank⋈edges join plus the inherent groupBy(dst) transpose
+    val contrib = r.join(p.e, r("node") === p.e("src"))
       .groupBy(col("dst"))
       .agg(sum(col("r") / col("od")).as("c"))
     val cj = if (broadcastRanks) broadcast(contrib) else contrib
