@@ -927,20 +927,31 @@ object ClassicQueries {
     var n = surv.count()
     var rounds = 0
     var done = n == 0L
+    var hasDeg = false // surv carries a round-computed deg column
     while (rounds < maxRounds && !done) {
       rounds += 1
+      // keep the round's degrees in the checkpoint (r18): on the
+      // fixpoint exit the set did not change, so the degrees computed
+      // THIS round are already the final core degrees — the closing
+      // coreDeg pass below only runs on a maxRounds (non-fixpoint)
+      // exit instead of always
       val next = CacheScope.track(
         coreDeg(surv).filter(col("deg") >= k)
-          .select(col("x").as("node"))
+          .select(col("x").as("node"), col("deg"))
           .localCheckpoint(true))
       val m = next.count()
       done = m == n // removal-only: equal count = equal set = fixpoint
       CacheScope.release(surv) // superseded round checkpoint: blocks die now
       surv = next
       n = m
+      hasDeg = true
     }
-    coreDeg(surv)
-      .select(col("x").as("node"), col("deg").cast("long").as("core_deg"))
+    val withDeg =
+      if (done && hasDeg) surv.select(col("node"), col("deg"))
+      else coreDeg(surv)
+        .select(col("x").as("node"), col("deg"))
+    withDeg
+      .select(col("node"), col("deg").cast("long").as("core_deg"))
       .orderBy(col("node"))
   }
 
@@ -980,17 +991,27 @@ object ClassicQueries {
     val und = CacheScope.pin(
       edges.select(col("u").as("x"), col("v").as("y"))
         .unionByName(edges.select(col("v").as("x"), col("u").as("y"))))
-    var visited = CacheScope.track(
+    val seed = CacheScope.track(
       und.select(col("x").as("node")).distinct()
         .filter(pmod(col("node"), lit(100L)) === 0)
         .withColumn("dist", lit(0L))
         .localCheckpoint(true))
-    var frontier = visited.select(col("node"))
-    var prevNext: DataFrame = null
+    // The visited set is the UNION of the per-round frontier
+    // checkpoints — kept as a lazy union over those (already
+    // materialized) frames instead of re-checkpointing the
+    // accumulated union every round (r18): the union rewrite was a
+    // second full materialization per round whose input grows with
+    // the reached set, and the anti-join consumes a ≤depth-wide
+    // union of cached frames just as well. Round frames stay alive
+    // until the result is consumed (they ARE the result).
+    var rounds = List(seed)
+    var frontier = seed.select(col("node"))
     var d = 0
     var exhausted = frontier.isEmpty
     while (d < depth && !exhausted) {
       d += 1
+      val visited = rounds.map(_.select(col("node")))
+        .reduce(_ unionByName _)
       val next = CacheScope.track(
         und.join(frontier.select(col("node").as("x")), Seq("x"))
           .select(col("y").as("node")).distinct()
@@ -999,23 +1020,13 @@ object ClassicQueries {
           .localCheckpoint(true))
       exhausted = next.isEmpty
       if (!exhausted) {
-        val nv = CacheScope.track(
-          visited.unionByName(next).localCheckpoint(true))
-        // nv materialized: last round's frames are dead — free their
-        // blocks now instead of waiting out a GC cycle
-        CacheScope.release(visited)
-        if (prevNext != null) CacheScope.release(prevNext)
-        prevNext = next
-        visited = nv
+        rounds ::= next
         frontier = next.select(col("node"))
       } else {
         CacheScope.release(next) // empty probe frame
       }
     }
-    // the final round's frontier source backs nothing in the returned
-    // plan (visited is its own checkpoint)
-    if (prevNext != null) CacheScope.release(prevNext)
-    visited.orderBy(col("node"))
+    rounds.reduce(_ unionByName _).orderBy(col("node"))
   }
 
   /** Pair-count floor of [[itemCooccur]]. */
