@@ -423,10 +423,13 @@ object LlmText {
         .unionByName(minsS.select(col("c").as("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // fixpoint: symmetric difference empty (bounded early-exit probes)
+      // fixpoint: symmetric difference empty — both directions probed
+      // in ONE action (r18: the two sequential isEmpty probes were two
+      // job launches per round; the union short-circuits identically)
       converged =
-        ss.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
-          edges.join(ss, Seq("u", "v"), "left_anti").isEmpty
+        ss.join(edges, Seq("u", "v"), "left_anti")
+          .unionByName(edges.join(ss, Seq("u", "v"), "left_anti"))
+          .isEmpty
       CacheScope.release(edges) // superseded round: free blocks now
       edges = ss
     }
