@@ -136,10 +136,16 @@ object QualityChecks {
   def fdCheck(df: DataFrame, tableName: String, lhs: Seq[String],
       rhs: String): DataFrame = {
     require(lhs.nonEmpty, "fdCheck: empty lhs")
+    // NULL counts as a value: distinct non-null values + 1 iff any
+    // NULL rhs exists in the group. (r18: this used to fold NULL in
+    // via countDistinct(coalesce(cast(rhs as string), sentinel)) —
+    // a per-row string render whose distinct then compared strings;
+    // counting NULL separately keeps the native type through the
+    // aggregate. Violation/total counts are identical.)
     df.filter(lhs.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(lhs.map(col): _*)
-      .agg(countDistinct(coalesce(col(rhs).cast("string"),
-        lit("__null"))).as("__nrhs"))
+      .agg((countDistinct(col(rhs)) +
+        max(when(col(rhs).isNull, 1).otherwise(0))).as("__nrhs"))
       .agg(count(when(col("__nrhs") > 1, lit(1))).as("__v"),
         count(lit(1)).as("__total"))
       .select(
