@@ -1144,6 +1144,12 @@ object ClassicQueries {
   private[graft] def itemsets3Of(uiRaw: DataFrame,
       maxBasket: Int = MaxBasket): DataFrame = {
     val ui = capBaskets(uiRaw, maxBasket, "itemsets3")
+    // (r18 negative result, kept as the measured decision: PINNING the
+    // per-user pair-instance frame so the self-join runs once REGRESSED
+    // the entry 4.7 -> 5.8 s — materializing 1.76M cached rows costs
+    // more than re-running the broadcast-shaped join, and the cache
+    // blocks displace the hot ui/freqPairs frames. The recompute
+    // below is the cheaper plan at both measured scales.)
     val freqPairs = CacheScope.pin(
       ui.select(col("user_id"), col("item").as("item_a"))
         .join(ui.select(col("user_id"), col("item").as("item_b")),
