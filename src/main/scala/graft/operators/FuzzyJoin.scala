@@ -321,9 +321,19 @@ object FuzzyJoin {
     // true pair admitted via a collided key was already admitted via
     // its theorem-guaranteed shared key, so the post-distinct output
     // is identical (FuzzyJoinSpec differentials).
-    val keys = base.select(col("id"), col("len"),
+    val keys0 = base.select(col("id"), col("len"),
         explode(keysOf(col("str"))).as("__dk"))
       .select(col("id"), col("len"), xxhash64(col("__dk")).as("dkey"))
+    // At k=2 the key material is O(len³) BYTES of substring building
+    // per row (1 + len + C(len,2) deletions) and the self-join computes
+    // it for BOTH sides; the hashed frame is narrow (20 B/row), so
+    // pinning it halves the generation cost and feeds the self-join's
+    // build side from cache (r18, measured: 29.3 → 7.7 s on the sf0.1
+    // radius-2 entry, on top of the 129.6 → 29.3 s restructure). k=1
+    // keys are
+    // len+1 per row — regeneration is cheaper than materializing the
+    // cache there (the itemsets3 lesson), so only k≥2 pins.
+    val keys = if (k >= 2) CacheScope.pin(keys0) else keys0
     if (denseGuard != "off") {
       val rows = base.count()
       val (cand, _) = candidateBound(keys)
